@@ -1,0 +1,27 @@
+"""linkgraph — a from-scratch PySpark-native link-graph analytics engine.
+
+Reimplements the reference's (networkx) link-graph capabilities —
+pagerank, connected_components, label_propagation_communities,
+triangles — as iterative DataFrame programs over an edge table
+extracted from Common-Crawl-style web pages, plus the large-scale
+training-data operators (dedup, similarity search, text analysis)
+such a corpus pipeline needs. See SURVEY.md for the reference
+analysis and the operator-by-operator parity map.
+"""
+
+from .graph import LinkGraph, assign_dense_ids, build_adjacency, graph_from_edge_names, graph_from_pages
+from .plans.loop import PowerIterationFailedConvergence, SuperstepLoop
+from .session import get_spark
+
+__all__ = [
+    "LinkGraph",
+    "PowerIterationFailedConvergence",
+    "SuperstepLoop",
+    "assign_dense_ids",
+    "build_adjacency",
+    "get_spark",
+    "graph_from_edge_names",
+    "graph_from_pages",
+]
+
+__version__ = "0.1.0"

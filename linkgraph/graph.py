@@ -1,0 +1,237 @@
+"""Graph core: edge/vertex tables, dense ids, CSR-block adjacency.
+
+Replaces the reference's dict-of-dict-of-dict storage
+(networkx/classes/graph.py:233-237, slots ``_adj``/``_node`` at
+graph.py:313-314; DiGraph ``_succ``/``_pred`` at digraph.py:330-332)
+with two DataFrames:
+
+    vertices(id BIGINT, url STRING)
+    edges(src BIGINT, dst BIGINT, weight DOUBLE)
+
+Node identity is any string (urls); dense collision-free BIGINT ids
+come from a distributed dictionary (:func:`assign_dense_ids`) — the
+Spark analog of ``convert_node_labels_to_integers``
+(networkx/relabel.py:227). The ``_pred`` mirror is a projection
+(swap src/dst), not a second maintained structure.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def assign_dense_ids(df: DataFrame, key: str = "url", num_partitions: int | None = None) -> DataFrame:
+    """distinct keys -> (id BIGINT dense 0..N-1, key) dictionary.
+
+    Scale-safe dense ranking WITHOUT a single-partition window:
+    range-partition by key, rank within each partition, then add
+    broadcast per-partition offsets (classic two-phase zip-with-index,
+    expressed purely in DataFrame ops). Deterministic: id order ==
+    lexicographic key order, which stands in for the reference's
+    insertion order (``nodelist = list(G)``,
+    networkx/convert_matrix.py:459) — documented divergence, tests
+    compare by node name, never by raw id.
+    """
+    keys = df.select(key).distinct()
+    if num_partitions:
+        keys = keys.repartitionByRange(num_partitions, key)
+    else:
+        keys = keys.repartitionByRange(key)
+    part = keys.withColumn("_pid", F.spark_partition_id())
+    local = part.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(key))
+    )
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select((F.col("_rn") - 1 + F.col("_off")).cast("long").alias("id"), key)
+    )
+
+
+@dataclass(frozen=True)
+class LinkGraph:
+    """Immutable pair of DataFrames + directedness flag.
+
+    ``edges`` may contain parallel rows (multigraph); ``weight`` is
+    nullable with nx's ``d.get(weight, 1)`` default applied at read
+    time (networkx/classes/reportviews.py:527) via
+    :meth:`weighted_edges`.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+    directed: bool = True
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.vertices.sparkSession
+
+    # -- projections ---------------------------------------------------
+    def weighted_edges(self) -> DataFrame:
+        return self.edges.select(
+            "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("weight")
+        )
+
+    def reverse(self) -> "LinkGraph":
+        """Zero-cost reversed view (networkx/classes/graphviews.py:238)."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        return replace(self, edges=rev)
+
+    def symmetrized_edges(self) -> DataFrame:
+        """Both directions of every edge; identity for self-loops handled
+        by union (undirected -> directed conversion of
+        networkx/algorithms/link_analysis/pagerank_alg.py:128)."""
+        we = self.weighted_edges()
+        return we.unionByName(
+            we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+
+    def undirected_edges(self) -> DataFrame:
+        """Canonical undirected simple-edge set: src<=dst, deduped,
+        parallel edges collapsed (weight summed)."""
+        we = self.weighted_edges()
+        canon = we.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            "weight",
+        )
+        return canon.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+    def coalesced_edges(self, directed: bool | None = None) -> DataFrame:
+        """Parallel edges summed — CSR coalescing semantics
+        (networkx/convert_matrix.py:490; pagerank multigraph note at
+        pagerank_alg.py:227-229)."""
+        if directed is None:
+            directed = self.directed
+        base = self.weighted_edges() if directed else self.symmetrized_edges()
+        if not directed:
+            # symmetrize first, then coalesce both directions independently
+            pass
+        return base.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+    # -- aggregations ----------------------------------------------------
+    def out_degrees(self, weighted: bool = False) -> DataFrame:
+        agg = F.sum("weight") if weighted else F.count(F.lit(1)).cast("double")
+        deg = self.weighted_edges().groupBy("src").agg(agg.alias("degree"))
+        return (
+            self.vertices.join(deg, self.vertices.id == deg.src, "left")
+            .select("id", F.coalesce("degree", F.lit(0.0)).alias("degree"))
+        )
+
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+
+def graph_from_pages(pages: DataFrame, directed: bool = True) -> LinkGraph:
+    """Full ingest: pages -> extraction UDF -> edges + id dictionary.
+
+    Only urls that exist as pages become vertices; out-links to
+    uncrawled urls are dropped (dangling handling then matches the
+    reference where the node set == crawled set). Parallel links kept.
+    """
+    from .sources.extract import edges_from_pages
+
+    raw = edges_from_pages(pages)
+    ids = assign_dense_ids(pages.select("url"), "url")
+    v = ids.select("id", "url")
+    e = (
+        raw.join(ids.withColumnRenamed("id", "src"), raw.src_url == F.col("url"))
+        .drop("url")
+        .join(ids.withColumnRenamed("id", "dst"), F.col("dst_url") == F.col("url"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return LinkGraph(vertices=v, edges=e, directed=directed)
+
+
+def graph_from_edge_names(
+    spark: SparkSession, edges: list, nodes: list = (), directed: bool = True
+) -> LinkGraph:
+    """Fixture constructor from (u, v[, weight]) tuples of node names —
+    the Spark analog of ``from_edgelist`` (networkx/convert.py:479)."""
+    rows = []
+    for e in edges:
+        u, v = e[0], e[1]
+        w = float(e[2]) if len(e) > 2 else None
+        rows.append((str(u), str(v), w))
+    names = sorted({str(u) for e in edges for u in e[:2]} | {str(n) for n in nodes})
+    edf = spark.createDataFrame(
+        rows or [(None, None, None)],
+        schema=T.StructType(
+            [
+                T.StructField("su", T.StringType()),
+                T.StructField("sv", T.StringType()),
+                T.StructField("weight", T.DoubleType()),
+            ]
+        ),
+    )
+    if not rows:
+        edf = edf.where(F.lit(False))
+    ndf = spark.createDataFrame([(n,) for n in names] or [("_",)], "url string")
+    if not names:
+        ndf = ndf.where(F.lit(False))
+    ids = assign_dense_ids(ndf, "url")
+    e = (
+        edf.join(ids.withColumnRenamed("id", "src"), edf.su == ids.url)
+        .drop("url")
+        .join(ids.withColumnRenamed("id", "dst"), F.col("sv") == F.col("url"))
+        .select("src", "dst", "weight")
+    )
+    return LinkGraph(vertices=ids.select("id", "url"), edges=e, directed=directed)
+
+
+def build_adjacency(
+    edges: DataFrame,
+    num_partitions: int = 32,
+    hub_chunk: int = 4096,
+) -> DataFrame:
+    """Degree-annotated, salted, per-partition CSR-block adjacency.
+
+    The distributed analog of the reference's CSR substrate
+    (``to_scipy_sparse_array``, networkx/convert_matrix.py:490):
+
+        adj(src BIGINT, salt INT, dsts ARRAY<BIGINT>, wts ARRAY<DOUBLE>, deg BIGINT)
+
+    * parallel edges pre-summed (CSR duplicate coalescing),
+    * rows hash-partitioned by src so the per-superstep rank join
+      co-locates without re-shuffling the (persisted) adjacency,
+    * HUB SALTING: a vertex with out-degree > ``hub_chunk`` is split
+      into ceil(deg/hub_chunk) rows (salt = chunk index); the rank
+      join then replicates that vertex's rank once per chunk instead
+      of funnelling one giant array through a single task.
+    """
+    coalesced = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    deg = coalesced.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nchunks = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(hub_chunk)))
+    salted = coalesced.join(deg, "src").withColumn(
+        "salt", F.pmod(F.xxhash64("dst"), nchunks).cast("int")
+    )
+    adj = (
+        salted.groupBy("src", "salt")
+        .agg(
+            F.collect_list("dst").alias("dsts"),
+            F.collect_list("weight").alias("wts"),
+            F.first("deg").alias("deg"),
+        )
+        .repartition(num_partitions, "src")
+    )
+    return adj

@@ -1,0 +1,192 @@
+"""PageRank as an iterative DataFrame program.
+
+Semantics replicate the reference exactly
+(networkx/algorithms/link_analysis/pagerank_alg.py, `_pagerank_python`
+at :115-172 / `_pagerank_scipy` at :358-498):
+
+* undirected input converted to directed with both edge directions
+  (pagerank_alg.py:128),
+* parallel (multigraph) edge weights summed — CSR duplicate
+  coalescing (convert_matrix.py:490; noted at pagerank_alg.py:227-229),
+* transition weights out-strength-normalized (stochastic_graph,
+  networkx/generators/stochastic.py:17-54),
+* personalization / nstart / dangling vectors each normalized by
+  their own sum; all-zero personalization raises ZeroDivisionError
+  (pagerank_alg.py:139-154, 466-487),
+* dangling node = zero out-strength; its mass `alpha * sum(x[dangling])`
+  is redistributed via dangling weights every iteration
+  (pagerank_alg.py:155-161, 488-493),
+* update  x = alpha*(x @ W + danglesum*w_dangling) + (1-alpha)*p,
+* convergence: L1 norm  sum|x - xlast| < N * tol  — threshold scales
+  with node count (pagerank_alg.py:169-170, 495-496),
+* non-convergence after max_iter raises
+  PowerIterationFailedConvergence (pagerank_alg.py:172, 498).
+
+Physical strategy (Spark-first, not a port): the graph is compiled
+once into a degree-annotated, hub-salted CSR-block adjacency
+(:func:`linkgraph.graph.build_adjacency`), hash-partitioned by src and
+persisted across all supersteps. Each superstep is ONE job: rank rows
+shuffle to the adjacency partitioning, contributions explode JVM-side
+from the CSR arrays, partial (map-side) aggregation combines before
+the dst shuffle, and the dangling-mass scalar rides the same plan as
+a broadcast one-row aggregate — the only per-superstep collect is the
+L1-error scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph, build_adjacency
+from ..plans.loop import PowerIterationFailedConvergence, SuperstepLoop
+
+
+def _vector_df(graph: LinkGraph, vec, name: str) -> DataFrame:
+    """dict{id: value} | DataFrame(id, value) -> normalized (id, name).
+
+    Normalization by the vector's own sum, ZeroDivisionError on zero
+    sum — verbatim pagerank_alg.py:139-154 semantics.
+    """
+    spark = graph.spark
+    if isinstance(vec, dict):
+        df = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in vec.items()], "id long, value double"
+        )
+    else:
+        df = vec.select(F.col(vec.columns[0]).alias("id"), F.col(vec.columns[1]).alias("value"))
+    s = df.agg(F.sum("value")).first()[0]
+    if s is None or s == 0:
+        raise ZeroDivisionError(f"sum of {name} vector is zero")
+    return df.select("id", (F.col("value") / F.lit(float(s))).alias(name))
+
+
+def pagerank(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    personalization=None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    nstart=None,
+    weight: bool = True,
+    dangling=None,
+    num_partitions: int | None = None,
+    hub_chunk: int = 65536,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    lineage: bool = False,
+) -> DataFrame:
+    """Returns ranks(id BIGINT, rank DOUBLE), one row per vertex."""
+    spark = graph.spark
+    nodes = graph.vertices.select("id")
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # --- static structures (built once, persisted across supersteps) ---
+    base_edges = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
+    if not weight:
+        base_edges = base_edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    coalesced = base_edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    out_strength = coalesced.groupBy("src").agg(F.sum("weight").alias("s"))
+    norm_edges = (
+        coalesced.join(out_strength, "src")
+        .select("src", "dst", (F.col("weight") / F.col("s")).alias("weight"))
+    )
+    adj = build_adjacency(norm_edges, num_partitions=num_partitions, hub_chunk=hub_chunk)
+    adj = adj.persist()
+
+    # personalization vector p (uniform 1/N default)
+    if personalization is None:
+        p = nodes.select("id", F.lit(1.0 / n).alias("p"))
+    else:
+        pv = _vector_df(graph, personalization, "p")
+        p = nodes.join(pv, "id", "left").select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
+
+    # dangling weights (default: p) restricted to dangling nodes
+    dangling_nodes = nodes.join(out_strength, nodes.id == out_strength.src, "left_anti")
+    if dangling is None:
+        dw = p.select("id", F.col("p").alias("dw"))
+    else:
+        dv = _vector_df(graph, dangling, "dw")
+        dw = nodes.join(dv, "id", "left").select("id", F.coalesce("dw", F.lit(0.0)).alias("dw"))
+    is_dangling = dangling_nodes.select("id", F.lit(1.0).alias("is_dangling"))
+    static = (
+        p.join(dw, "id")
+        .join(is_dangling, "id", "left")
+        .select("id", "p", "dw", F.coalesce("is_dangling", F.lit(0.0)).alias("is_dangling"))
+        .repartition(num_partitions, "id")
+        .persist()
+    )
+    static.count()  # materialize once
+
+    # initial vector x0
+    if nstart is None:
+        x = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    else:
+        nv = _vector_df(graph, nstart, "rank")
+        x = nodes.join(nv, "id", "left").select(
+            "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
+        )
+
+    loop = SuperstepLoop(
+        spark,
+        "pagerank",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+        lineage=lineage,
+    )
+    x = loop.start(x.repartition(num_partitions, "id"))
+
+    threshold = n * tol
+    try:
+        for _ in range(max_iter):
+            # danglesum as a broadcast one-row aggregate — rides the plan,
+            # no separate driver action (pagerank_alg.py:161).
+            danglesum = (
+                x.join(static.where(F.col("is_dangling") == 1.0).select("id"), "id", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("danglesum"))
+            )
+            contribs = (
+                adj.join(x.withColumnRenamed("id", "src"), "src")
+                .select(
+                    F.col("rank"),
+                    F.explode(F.arrays_zip(F.col("dsts"), F.col("wts"))).alias("z"),
+                )
+                .select(
+                    F.col("z.dsts").alias("id"),
+                    (F.col("rank") * F.col("z.wts")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("gathered"))
+            )
+            xnew = (
+                static.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(danglesum))
+                .select(
+                    "id",
+                    (
+                        alpha * (F.coalesce(F.col("gathered"), F.lit(0.0))
+                                 + F.col("danglesum") * F.col("dw"))
+                        + (1.0 - alpha) * F.col("p")
+                    ).alias("rank"),
+                )
+            )
+
+            def l1_err(prev: DataFrame, new: DataFrame) -> dict:
+                err = (
+                    new.join(prev.withColumnRenamed("rank", "rank_prev"), "id")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))))
+                    .first()[0]
+                )
+                return {"l1_error": err}
+
+            x, m = loop.advance(xnew, metrics_fn=l1_err)
+            if m["l1_error"] < threshold:
+                return x
+        raise PowerIterationFailedConvergence(max_iter)
+    finally:
+        adj.unpersist()
+        static.unpersist()

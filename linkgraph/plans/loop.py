@@ -1,0 +1,161 @@
+"""Superstep harness: persist/unpersist, checkpointing, ledger, resume.
+
+Spark has no fixpoint operator; every iterative algorithm in this
+engine (pagerank / connected components / LPA) drives a Python loop
+where each superstep is one Catalyst-planned job. Without lineage
+truncation the logical plan grows linearly per iteration and planning
+time dominates by ~iteration 20 — so every ``checkpoint_every``
+supersteps the frontier is snapshotted to Parquet (durable, resumable)
+and re-read, and a JSON-lines ledger records per-partition lineage +
+convergence metrics (the north rule's "checkpointed every k supersteps
+with per-partition lineage and convergence metrics so runs resume
+mid-algorithm").
+
+The reference has no analog (eager single-process library); the
+closest devices are its conversion caches
+(networkx/utils/backends.py:690-695) and cached properties
+(networkx/classes/graph.py:23-68) — here replaced by explicit
+persist()/unpersist() of per-superstep DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class PowerIterationFailedConvergence(RuntimeError):
+    """Mirror of networkx.PowerIterationFailedConvergence
+    (raised at networkx/algorithms/link_analysis/pagerank_alg.py:172,498)."""
+
+    def __init__(self, num_iterations: int):
+        super().__init__(f"power iteration failed to converge within {num_iterations} iterations")
+        self.num_iterations = num_iterations
+
+
+def partition_lineage(df: DataFrame, value_col: str | None = None) -> list[dict]:
+    """Per-partition row counts + content checksum, one extra job.
+
+    Checksum = sum of xxhash64 over all columns — order-insensitive,
+    so it is stable across task retries and resumes.
+    """
+    cols = [F.col(c) for c in df.columns]
+    agg = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        # decimal accumulator: sum of 64-bit hashes overflows long under ANSI
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )
+    return [r.asDict() for r in agg.orderBy("pid").collect()]
+
+
+class SuperstepLoop:
+    """Manages one iterative frontier DataFrame across supersteps."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        lineage: bool = False,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ):
+        self.spark = spark
+        self.name = name
+        self.dir = checkpoint_dir
+        self.every = max(1, checkpoint_every)
+        self.lineage = lineage
+        self.level = storage_level
+        self.iteration = 0
+        self._current: DataFrame | None = None
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+
+    # -- ledger --------------------------------------------------------
+    @property
+    def ledger_path(self) -> str:
+        return os.path.join(self.dir, f"{self.name}.ledger.jsonl")
+
+    def _log(self, record: dict) -> None:
+        if not self.dir:
+            return
+        with open(self.ledger_path, "a") as f:
+            f.write(json.dumps(record, sort_keys=True) + "\n")
+
+    def _snap_path(self, iteration: int) -> str:
+        return os.path.join(self.dir, f"{self.name}.superstep={iteration:05d}")
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self, frontier: DataFrame) -> DataFrame:
+        self._current = frontier.persist(self.level)
+        return self._current
+
+    def advance(self, new_frontier: DataFrame, metrics_fn=None) -> tuple[DataFrame, dict]:
+        """Install the next superstep's frontier.
+
+        Truncates lineage (Parquet snapshot on checkpoint boundaries,
+        ``localCheckpoint`` otherwise), evaluates ``metrics_fn(prev,
+        new)`` — the per-superstep convergence action(s) — THEN
+        unpersists the previous frontier. Returns (frontier, metrics).
+        """
+        self.iteration += 1
+        prev = self._current
+        t0 = time.monotonic()
+        checkpointed = False
+        if self.dir and self.iteration % self.every == 0:
+            path = self._snap_path(self.iteration)
+            new_frontier.write.mode("overwrite").parquet(path)
+            new_frontier = self.spark.read.parquet(path).persist(self.level)
+            checkpointed = True
+        else:
+            # localCheckpoint persists the RDD; eager=False defers
+            # materialization to the metrics action below.
+            new_frontier = new_frontier.localCheckpoint(eager=False)
+        self._current = new_frontier
+        metrics = dict(metrics_fn(prev, new_frontier)) if metrics_fn else {}
+        rec = {
+            "algo": self.name,
+            "iteration": self.iteration,
+            "checkpointed": checkpointed,
+            **metrics,
+        }
+        if checkpointed and self.lineage:
+            rec["partitions"] = partition_lineage(self._current)
+        rec["wall_s"] = round(time.monotonic() - t0, 4)
+        self._log(rec)
+        if prev is not None:
+            prev.unpersist()
+        return self._current, metrics
+
+    def stop(self) -> None:
+        if self._current is not None:
+            self._current.unpersist()
+
+    # -- resume ----------------------------------------------------------
+    @classmethod
+    def resume(
+        cls, spark: SparkSession, name: str, checkpoint_dir: str, **kwargs
+    ) -> tuple["SuperstepLoop", DataFrame | None]:
+        """Reload the latest valid snapshot + iteration counter.
+
+        Returns (loop, frontier) — frontier None if no snapshot exists.
+        """
+        loop = cls(spark, name, checkpoint_dir=checkpoint_dir, **kwargs)
+        snaps = sorted(
+            d
+            for d in os.listdir(checkpoint_dir)
+            if d.startswith(f"{name}.superstep=")
+            and os.path.exists(os.path.join(checkpoint_dir, d, "_SUCCESS"))
+        )
+        if not snaps:
+            return loop, None
+        last = snaps[-1]
+        loop.iteration = int(last.rsplit("=", 1)[1])
+        frontier = spark.read.parquet(os.path.join(checkpoint_dir, last))
+        loop._current = frontier.persist(loop.level)
+        return loop, frontier

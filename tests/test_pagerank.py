@@ -1,0 +1,141 @@
+"""Ported pagerank suite (networkx/algorithms/link_analysis/tests/
+test_pagerank.py) — fixtures P1-P4 of FIXTURES.md, run through the FULL
+engine path: fixture graph -> HTML pages -> extraction UDF -> edge
+table -> pagerank supersteps.
+"""
+
+import pytest
+
+from linkgraph.graph import graph_from_edge_names, graph_from_pages
+from linkgraph.operators.pagerank import pagerank
+from linkgraph.plans.loop import PowerIterationFailedConvergence
+from linkgraph.sources import corpus
+
+from nx_oracle import nx_graph, oracle_pagerank, ranks_by_name
+
+# P1: Langville–Meyer 6-node web graph (test_pagerank.py:24-39)
+P1_EDGES = [(1, 2), (1, 3), (3, 1), (3, 2), (3, 5), (4, 5), (4, 6), (5, 4), (5, 6), (6, 4)]
+P1_GOLDEN = {
+    "1": 0.03721197,
+    "2": 0.05395735,
+    "3": 0.04150565,
+    "4": 0.37508082,
+    "5": 0.20599833,
+    "6": 0.28624589,
+}
+
+
+def p1_graph(spark):
+    pages = corpus.pages_df(spark, "p1", P1_EDGES)
+    return graph_from_pages(pages, directed=True)
+
+
+def test_p1_golden_full_ingest_path(spark):
+    g = p1_graph(spark)
+    ranks = pagerank(g, alpha=0.9, tol=1e-8)
+    got = ranks_by_name(g, ranks)
+    assert got.keys() == P1_GOLDEN.keys()
+    for k, v in P1_GOLDEN.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
+def test_p1_vs_live_oracle(spark):
+    g = p1_graph(spark)
+    got = ranks_by_name(g, pagerank(g, alpha=0.9, tol=1e-8))
+    ref = oracle_pagerank(nx_graph(P1_EDGES, directed=True), alpha=0.9, tol=1e-8)
+    for k, v in ref.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-6)
+
+
+def test_p1_dangling_variant(spark):
+    # test_pagerank.py:54-60,160-164
+    g = p1_graph(spark)
+    name_to_id = {r["url"].rsplit("/", 1)[-1]: r["id"] for r in g.vertices.collect()}
+    dangling = {name_to_id["1"]: 2.0, name_to_id["2"]: 3.0, name_to_id["3"]: 0.0,
+                name_to_id["4"]: 0.0, name_to_id["5"]: 0.0, name_to_id["6"]: 0.0}
+    got = ranks_by_name(g, pagerank(g, dangling=dangling))
+    golden = {
+        "1": 0.10844518, "2": 0.18618601, "3": 0.0710892,
+        "4": 0.2683668, "5": 0.15919783, "6": 0.20671497,
+    }
+    for k, v in golden.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
+def test_max_iter_zero_raises(spark):
+    g = p1_graph(spark)
+    with pytest.raises(PowerIterationFailedConvergence):
+        pagerank(g, max_iter=0)
+
+
+def test_k4_personalization(spark):
+    # P2: complete_graph(4) goldens (test_pagerank.py:93-105)
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_to_id = {r["url"]: r["id"] for r in g.vertices.collect()}
+    pers = {name_to_id["0"]: 1.0, name_to_id["1"]: 1.0, name_to_id["2"]: 4.0, name_to_id["3"]: 4.0}
+    got = ranks_by_name(g, pagerank(g, alpha=0.85, personalization=pers))
+    golden = {"0": 0.23246732, "1": 0.23246732, "2": 0.26753267, "3": 0.26753267}
+    for k, v in golden.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
+def test_k4_incomplete_personalization(spark):
+    # test_pagerank.py:113-139
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_to_id = {r["url"]: r["id"] for r in g.vertices.collect()}
+    got = ranks_by_name(g, pagerank(g, personalization={name_to_id["3"]: 1.0}))
+    golden = {"0": 0.22077931, "1": 0.22077931, "2": 0.22077931, "3": 0.33766205}
+    for k, v in golden.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
+def test_zero_personalization_raises(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    with pytest.raises(ZeroDivisionError):
+        pagerank(g, personalization={0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0})
+
+
+def test_multigraph_parallel_edges(spark):
+    # P3 (test_pagerank.py:173-185): nodes 1,2,3,'3' -> urls m/1 m/2 m/3 m/3s
+    edges = [("1", "2")] * 3 + [("2", "3")] * 2 + [("3s", "3")] * 2
+    pages = corpus.pages_df(spark, "m", edges)
+    g = graph_from_pages(pages, directed=False)
+    got = ranks_by_name(g, pagerank(g))
+    golden = {"1": 0.21066048, "2": 0.33953086, "3": 0.28933952, "3s": 0.16046914}
+    for k, v in golden.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+
+
+def test_weighted_karate_vs_oracle(spark):
+    import networkx as nx
+
+    kg = nx.karate_club_graph()
+    edges = [(u, v, d["weight"]) for u, v, d in kg.edges(data=True)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    got = ranks_by_name(g, pagerank(g))
+    ref = oracle_pagerank(kg)
+    for k, v in ref.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-6)
+
+
+def test_nstart_and_checkpoint_ledger(spark, tmp_ckpt):
+    import json
+    import os
+
+    g = p1_graph(spark)
+    name_to_id = {r["url"].rsplit("/", 1)[-1]: r["id"] for r in g.vertices.collect()}
+    nstart = {i: 1.0 + (i % 2) for i in name_to_id.values()}
+    got = ranks_by_name(
+        g,
+        pagerank(g, alpha=0.9, tol=1e-8, nstart=nstart,
+                 checkpoint_dir=tmp_ckpt, checkpoint_every=3, lineage=True),
+    )
+    for k, v in P1_GOLDEN.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+    ledger = os.path.join(tmp_ckpt, "pagerank.ledger.jsonl")
+    recs = [json.loads(l) for l in open(ledger)]
+    assert recs and all("l1_error" in r for r in recs)
+    assert any(r["checkpointed"] and "partitions" in r for r in recs)
