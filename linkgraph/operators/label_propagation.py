@@ -1,0 +1,211 @@
+"""Semi-synchronous label propagation communities.
+
+Reference semantics (networkx/algorithms/community/label_propagation.py
+:238-279, the only variant named by the north rule):
+
+1. color the graph so adjacent nodes get distinct colors
+   (``_color_network`` :282-294 via greedy coloring),
+2. initial labels = a unique int per node in node order (:269) —
+   here: the dense vertex id (lexicographic url order; any unique
+   initial labeling is equivalent up to label renaming, and the
+   ported tests compare community *sets*),
+3. repeatedly, for each color class, synchronously set every node of
+   that class to its most frequent neighbor label; ties broken
+   **Prec-Max**: keep the current label if it is in the argmax set,
+   else take ``max(argmax set)`` (:326-338); isolated nodes keep
+   their own label (:318),
+4. stop when every node's label is in its neighborhood argmax set
+   (``_labeling_complete`` :297-307),
+5. undirected only — directed input raises (:236).
+
+Physical strategy: the reference's sequential ``largest_first``
+greedy coloring cannot be reproduced distributively, but the coloring
+only gates *which nodes update together*, never the converged
+community sets the tests assert — so colors come from
+**Jones–Plassmann rounds expressed as DataFrame ops** (deterministic
+hash priorities; each round colors every node whose uncolored
+higher-priority neighborhood is empty with its smallest free color;
+expected O(log n) rounds).  The per-color update itself is one join
+(labels against the color class's edges) + ``max_by`` argmax with the
+(freq DESC, label DESC) ordering encoding Prec-Max exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def greedy_coloring(edges_sym: DataFrame, vertices: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Proper coloring via Jones–Plassmann rounds; (id, color INT).
+
+    ``edges_sym`` must hold both directions of every edge, no self
+    loops. Deterministic: priority = (xxhash64(id), id) total order.
+    """
+    colored = vertices.select("id", F.lit(None).cast("int").alias("color"))
+    remaining = edges_sym
+    for _ in range(max_rounds):
+        uncolored = colored.where(F.col("color").isNull()).select("id")
+        if uncolored.isEmpty():
+            break
+        uncolored = uncolored.persist()
+        # edges among still-uncolored nodes only
+        live = (
+            remaining.join(uncolored.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(uncolored.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .persist()
+        )
+        pri = lambda c: F.struct(F.xxhash64(c).alias("h"), F.col(c).alias("i"))  # noqa: E731
+        # a node wins this round iff no live neighbor has higher priority
+        blocked = (
+            live.where(pri("dst") > pri("src")).select(F.col("src").alias("id")).distinct()
+        )
+        winners = uncolored.join(blocked, "id", "left_anti")
+        # smallest color not used by already-colored neighbors
+        nbr_colors = (
+            remaining.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(
+                colored.where(F.col("color").isNotNull()).withColumnRenamed("id", "dst"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.collect_set("color").alias("used"))
+        )
+        assigned = (
+            winners.join(nbr_colors, "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    # first gap in the sorted used-color set
+                    F.expr(
+                        "filter(sequence(0, size(used)), "
+                        "x -> NOT array_contains(used, x))[0]"
+                    ),
+                    F.lit(0),
+                ).cast("int").alias("color"),
+            )
+        )
+        colored = (
+            colored.join(assigned.withColumnRenamed("color", "c_new"), "id", "left")
+            .select("id", F.coalesce("color", "c_new").alias("color"))
+            .localCheckpoint()
+        )
+        uncolored.unpersist()
+        live.unpersist()
+    return colored
+
+
+def label_propagation_communities(
+    graph: LinkGraph,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Returns (id BIGINT, label BIGINT); communities = groups of equal
+    label. Raises ValueError on directed graphs (parity with
+    label_propagation.py:236 ``@not_implemented_for("directed")``)."""
+    if graph.directed:
+        raise ValueError(
+            "label_propagation_communities is not defined for directed "
+            "graphs (reference parity: label_propagation.py:236)"
+        )
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        graph.symmetrized_edges()
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "src")
+        .persist()
+    )
+    edges.count()
+    vertices = graph.vertices.select("id")
+
+    colors = greedy_coloring(edges, vertices).persist()
+    color_values = sorted(
+        r["color"] for r in colors.select("color").distinct().collect()
+    )
+
+    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+
+    def neighbor_mode(labels_df: DataFrame, targets: DataFrame | None = None) -> DataFrame:
+        """(id, best_label, cur_in_argmax) per non-isolated node.
+
+        Prec-Max ordering: max_by over (freq, label) picks the
+        largest-frequency label, ties → largest label — exactly
+        ``max(high_labels)`` of label_propagation.py:326-338.
+        ``targets`` restricts the gather to one color class *before*
+        the shuffle (semi-join pushdown), so a sweep costs O(m) total
+        across all classes rather than O(m·#colors).
+        """
+        e = edges
+        if targets is not None:
+            e = e.join(targets.withColumnRenamed("id", "src"), "src", "left_semi")
+        freq = (
+            e.join(
+                labels_df.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        cur = labels_df.select("id", F.col("label").alias("cur"))
+        return (
+            freq.join(cur, "id")
+            .groupBy("id")
+            .agg(
+                F.max("freq").alias("best_freq"),
+                F.max_by("nl", F.struct(F.col("freq"), F.col("nl"))).alias("best_label"),
+                F.max(
+                    F.when(F.col("nl") == F.col("cur"), F.col("freq")).otherwise(F.lit(0))
+                ).alias("cur_freq"),
+            )
+            .select(
+                "id",
+                "best_label",
+                (F.col("cur_freq") == F.col("best_freq")).alias("cur_in_argmax"),
+            )
+        )
+
+    for _ in range(max_rounds):
+        # completion check: every node's label in its argmax set
+        # (isolated nodes vacuously complete — label_propagation.py:303-305)
+        mode = neighbor_mode(labels).persist()
+        incomplete = mode.where(~F.col("cur_in_argmax")).count()
+        if incomplete == 0:
+            mode.unpersist()
+            break
+        mode.unpersist()
+        # one full sweep: per color class, synchronous update
+        for cv in color_values:
+            cls = colors.where(F.col("color") == cv).select("id")
+            mode_cls = neighbor_mode(labels, targets=cls)
+            updated = mode_cls.select(
+                "id",
+                F.when(F.col("cur_in_argmax"), None)
+                .otherwise(F.col("best_label"))
+                .alias("new_label"),
+            ).where(F.col("new_label").isNotNull())
+            labels = (
+                labels.join(updated, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint()
+            )
+    edges.unpersist()
+    colors.unpersist()
+    return labels
+
+
+def communities(graph: LinkGraph, **kwargs) -> list[frozenset]:
+    """Driver-side community sets (pytest boundary): list of frozensets
+    of vertex ids, parity with the reference's ``groups`` inversion
+    (networkx/utils/misc.py:249)."""
+    rows = (
+        label_propagation_communities(graph, **kwargs)
+        .groupBy("label")
+        .agg(F.collect_set("id").alias("members"))
+        .collect()
+    )
+    return [frozenset(r["members"]) for r in rows]

@@ -1,0 +1,101 @@
+"""Ported triangle suite (networkx/algorithms/tests/test_cluster.py) —
+fixtures T1-T5 of FIXTURES.md."""
+
+import networkx as nx
+import pytest
+
+from linkgraph.graph import graph_from_edge_names, graph_from_pages
+from linkgraph.operators.triangles import (
+    all_triangles,
+    average_clustering,
+    clustering,
+    transitivity,
+    triangle_count,
+    triangles,
+)
+from linkgraph.sources import corpus
+
+
+def by_name(graph, df, col):
+    id_to_name = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in graph.vertices.collect()}
+    return {id_to_name[r["id"]]: r[col] for r in df.collect()}
+
+
+def test_t1_path_graph_zeros(spark):
+    edges = [(str(i), str(i + 1)) for i in range(9)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    got = by_name(g, triangles(g), "triangles")
+    assert got == {str(i): 0 for i in range(10)}
+    assert transitivity(g) == 0.0
+
+
+def test_t3_k5_and_variants_full_ingest(spark):
+    # K5: every node 6 triangles, 10 total (test_cluster.py:67-77)
+    k5_edges = [(str(a), str(b)) for a in range(5) for b in range(a + 1, 5)]
+    pages = corpus.pages_df(spark, "k5", k5_edges)
+    g = graph_from_pages(pages, directed=False)
+    got = by_name(g, triangles(g), "triangles")
+    assert got == {str(i): 6 for i in range(5)}
+    assert triangle_count(g) == 10
+    assert transitivity(g) == 1.0
+
+    # K5 minus edge (1,2): counts [5,3,3,5,5]
+    g2 = graph_from_edge_names(
+        spark, [e for e in k5_edges if e != ("1", "2")], directed=False
+    )
+    got2 = by_name(g2, triangles(g2), "triangles")
+    assert got2 == {"0": 5, "1": 3, "2": 3, "3": 5, "4": 5}
+
+    # + self-loop (3,3): unchanged — self-loops ignored (cluster.py:62)
+    g3 = graph_from_edge_names(
+        spark, [e for e in k5_edges if e != ("1", "2")] + [("3", "3")], directed=False
+    )
+    got3 = by_name(g3, triangles(g3), "triangles")
+    assert got3 == got2
+
+
+def test_t4_all_triangles_enumeration(spark):
+    # triangle abc (test_cluster.py:80-123)
+    g = graph_from_edge_names(spark, [("a", "b"), ("b", "c"), ("c", "a")], directed=False)
+    names = {r["id"]: r["url"] for r in g.vertices.collect()}
+    tris = {
+        tuple(sorted(names[x] for x in (r["a"], r["b"], r["c"])))
+        for r in all_triangles(g).collect()
+    }
+    assert tris == {("a", "b", "c")}
+
+    # two overlapping triangles {0,1,2},{0,2,3}
+    g2 = graph_from_edge_names(
+        spark, [("0", "1"), ("1", "2"), ("2", "0"), ("2", "3"), ("3", "0")], directed=False
+    )
+    names2 = {r["id"]: r["url"] for r in g2.vertices.collect()}
+    tris2 = {
+        tuple(sorted(names2[x] for x in (r["a"], r["b"], r["c"])))
+        for r in all_triangles(g2).collect()
+    }
+    assert tris2 == {("0", "1", "2"), ("0", "2", "3")}
+
+
+def test_clustering_vs_oracle(spark):
+    kg = nx.karate_club_graph()
+    edges = [(f"{u:02d}", f"{v:02d}") for u, v in kg.edges()]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    got_t = by_name(g, triangles(g), "triangles")
+    ref_t = nx.triangles(kg)
+    assert got_t == {f"{k:02d}": v for k, v in ref_t.items()}
+    got_c = by_name(g, clustering(g), "clustering")
+    ref_c = nx.clustering(kg)
+    for k, v in ref_c.items():
+        assert got_c[f"{k:02d}"] == pytest.approx(v, abs=1e-12)
+    assert transitivity(g) == pytest.approx(nx.transitivity(kg), abs=1e-12)
+    assert average_clustering(g) == pytest.approx(nx.average_clustering(kg), abs=1e-12)
+
+
+def test_multigraph_parallel_edges_ignored(spark):
+    # parallel edges don't create extra triangles (simple-graph semantics)
+    g = graph_from_edge_names(
+        spark,
+        [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a")],
+        directed=False,
+    )
+    assert triangle_count(g) == 1
