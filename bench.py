@@ -1,0 +1,98 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The BASELINE.json metric is PageRank throughput (edges/sec per
+superstep) — measured here on the full mandated pipeline: synthetic
+Common-Crawl-style pages -> vectorized extraction UDF -> edge table ->
+fixed-superstep PageRank. Per-query wall times for the broader
+operator surface ride along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages_n = int(os.environ.get("LINKGRAPH_BENCH_PAGES", "50000"))
+    pr_iters = int(os.environ.get("LINKGRAPH_BENCH_PR_ITERS", "5"))
+
+    import __spark_entry__ as entry
+    from linkgraph.graph import graph_from_pages
+    from linkgraph.operators.pagerank import pagerank
+    from linkgraph.session import get_spark
+    from linkgraph.sources.corpus import zipf_pages
+
+    spark = get_spark(
+        "linkgraph-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.range(1).count()  # JVM warmup outside timings
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    qs = entry.queries()
+    for name in [
+        "pagerank_orders",
+        "cc_nation_chains",
+        "triangles_parts",
+        "out_degree_orders",
+        "doc_stats",
+        "doc_lsh_bands",
+        "doc_simhash",
+        "embedding_topk",
+    ]:
+        run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # --- headline: pages -> extraction -> edges -> PageRank supersteps ---
+    t0 = time.monotonic()
+    pages = zipf_pages(spark, n=pages_n, avg_out=10, partitions=cpus)
+    g = graph_from_pages(pages, directed=True)
+    g = type(g)(
+        vertices=g.vertices.persist(), edges=g.edges.persist(), directed=True
+    )
+    n_edges = g.edges.count()
+    g.vertices.count()
+    t_ingest = time.monotonic() - t0
+    timings["pages_ingest_extract"] = round(t_ingest, 3)
+
+    t0 = time.monotonic()
+    ranks = pagerank(g, alpha=0.85, fixed_iter=pr_iters)
+    ranks.write.format("noop").mode("overwrite").save()
+    t_pr = time.monotonic() - t0
+    timings["pages_pagerank"] = round(t_pr, 3)
+    edges_per_sec = n_edges * pr_iters / t_pr
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total wall time, headline queries + pages->extract->edges->pagerank pipeline",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "pagerank_edges_per_sec_per_superstep": round(edges_per_sec, 1),
+                "pages_n": pages_n,
+                "n_edges": n_edges,
+                "pr_iters": pr_iters,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Deduplication operators for corpus pipelines.
+
+Exact (hash-groupBy), fingerprint (token-set), MinHash+LSH banded
+near-dup, SimHash radius, and n-gram Jaccard verification. All
+hashing is md5 (engine-portable; the scale path may swap to xxhash64
+JVM-side without changing shapes). No Python UDFs anywhere.
+
+Scale notes (100 TB): exact/fingerprint dedup is one shuffle on the
+hash key — partial aggregation makes the map side emit one row per
+distinct hash per partition. LSH banding turns the quadratic
+candidate problem into a per-band shuffle join on ``(band, key)``;
+band keys are high-entropy md5s, so the shuffle is skew-free by
+construction except for pathological all-identical corpora, which AQE
+skew-join splitting absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import hamming64, minhash_bands, simhash64, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_hash, keep_id, n_dups): one row per distinct text;
+    keep_id = min id of the group (deterministic survivor)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keep_id"), (F.count(F.lit(1)) - 1).alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated corpus: keep the min-id row per distinct text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def fingerprint_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-set fingerprint groups — catches reorderings/repeats."""
+    from .textops import fingerprint
+
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("id"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), (F.count(F.lit(1)) - 1).alias("n_dups"))
+    )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, key) — one row per (doc, band); join key for LSH."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(minhash_bands(F.col(text_col), num_bands, rows_per_band, shingle_n)).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b: docs sharing ≥1 LSH band."""
+    bt = lsh_band_table(df, text_col, id_col, num_bands, rows_per_band, shingle_n)
+    a = bt.select("band", "key", F.col("id").alias("id_a"))
+    b = bt.select("band", "key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs:
+    (id_a, id_b, jaccard DOUBLE). Verification stage after LSH."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "ta"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / F.greatest(F.size(F.array_union("ta", "tb")), F.lit(1))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, **lsh_kwargs)
+    return jaccard_pairs(df, cand, text_col, id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dups: (id_a, id_b, hamming). Blocking: candidate
+    pairs must share one of the 4 16-bit simhash quadrants (any pair
+    within hamming ≤3 of a 64-bit hash shares ≥1 exact quadrant —
+    pigeonhole), so the join is an equi-join, never a cross join."""
+    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    quads = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.q").alias("q"), F.col("b.v").alias("v"))
+    a = quads.select("q", "v", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = quads.select("q", "v", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["q", "v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a deterministic
+random-hyperplane LSH bucketed variant as the scale path. All math is
+JVM-side higher-order functions (zip_with/aggregate) — no Python UDFs.
+
+Scale notes: brute force is queries × corpus — fine when the query
+side broadcasts (|Q| small). The LSH path buckets the corpus once
+(one narrow scan + write), then probes only matching buckets:
+candidate set shrinks by ~2^bits, turning the cross join into an
+equi-join on ``bucket``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-300))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine:
+    (query_id, neighbor_id, score [, rank]). Excludes self-pairs.
+
+    The query side is broadcast (it must be small); scoring is one
+    pass over the corpus; top-k is a per-query window on
+    (score DESC, neighbor_id ASC) — deterministic under ties when
+    ``round_to`` quantizes the score first.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score_raw"),
+        )
+    )
+    score = (
+        F.round(F.col("score_raw"), round_to) if round_to is not None else F.col("score_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane: component j =
+    sin(1e4 * (plane * dim + j + 1)) — seedless, reproducible across
+    engines and cluster sizes."""
+    v = [math.sin(1e4 * (plane * dim + j + 1)) for j in range(dim)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^bits-1) for a vector."""
+    acc = F.lit(0)
+    for p in range(bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    LSH bucket (plus Hamming-1 neighbor buckets for recall)."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    probe_buckets = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            lsh_bucket(F.col(vec_col), dim, bits).alias("b0"),
+        )
+        .select("query_id", "qv", F.explode(probe_buckets).alias("bucket"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,209 @@
+"""Text analysis for web-corpus pipelines: tokenization, quality
+scoring, language-ID, fingerprinting, minhash shingling.
+
+Not present in the reference (networkx has no text surface) — mandated
+by the web-corpus domain: these run on the ``pages.text`` /
+``documents.text`` columns at corpus scale, so everything here is
+built-in JVM column expressions (whole-stage codegen, zero Python in
+the hot path).  Each helper returns Columns/DataFrames so callers
+compose them into one scan.
+
+Determinism contract: every function here has a line-for-line ANSI-SQL
+equivalent (used by the DuckDB oracle in ``__spark_entry__``), so
+results are exact-matchable cross-engine: hashing uses md5 (identical
+hex in Spark/DuckDB), never engine-private hash functions. The scale
+path may swap md5 → xxhash64 (cheaper, JVM-side) without changing
+shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# languages scored by the n-gram/stopword heuristic, with their most
+# frequent function words; deterministic tie-break = language name asc
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; [] for empty/blank."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_class_count(text: Column, pattern: str) -> Column:
+    """#chars NOT removed by stripping ``pattern``-complement —
+    i.e. how many chars match the class."""
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / alpha-ratio / digit-ratio / mean-token-length features
+    for corpus quality filtering. Ratios are 0.0 on empty text."""
+    n = F.length(text)
+    nz = F.greatest(n, F.lit(1))
+    alpha = char_class_count(text, "[a-zA-Z]")
+    digit = char_class_count(text, "[0-9]")
+    space = char_class_count(text, r"\s")
+    ntok = token_count(text)
+    return {
+        "n_chars": n.cast("long"),
+        "n_tokens": ntok.cast("long"),
+        "alpha_ratio": (alpha / nz).cast("double"),
+        "digit_ratio": (digit / nz).cast("double"),
+        "space_ratio": (space / nz).cast("double"),
+        "mean_token_len": ((n - space) / F.greatest(ntok, F.lit(1))).cast("double"),
+    }
+
+
+def stopword_hits(text: Column, word: str) -> Column:
+    """Occurrences of `` word `` (space-delimited) in lowercased text,
+    counted by the length-difference trick — identical semantics in
+    any SQL dialect."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum(stopword_hits(text, w) for w in words)
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: argmax stopword score, ties → lexicographic
+    language code, 'und' when all scores are zero."""
+    scores = lang_scores(text)
+    pairs = [
+        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items())
+    ]
+    # max over (score, inverted-lang) would break lexicographic ties the
+    # wrong way; fold explicitly: keep first-seen on equal score
+    best = pairs[0]
+    for p in pairs[1:]:
+        best = F.when(p["score"] > best["score"], p).otherwise(best)
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set — the classic 'fingerprint clustering' key for
+    near-identical docs that differ only in token order/duplication."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; [] when fewer than n tokens."""
+    t = tokens(text)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` min-md5 values over the shingle set.
+
+    Seed s is mixed in by prefixing the shingle — md5 is identical
+    across engines, so signatures are oracle-exact. Empty shingle set →
+    array of nulls (doc too short to minhash)."""
+    sh = shingles(text, shingle_n)
+
+    # NB: factory, not default-arg lambda — a 2-param lambda would make
+    # F.transform pass (element, index) and clobber the seed
+    def _minhash(seed: int) -> Column:
+        prefix = f"{seed}|"
+        return F.array_min(
+            F.transform(sh, lambda x: F.md5(F.concat(F.lit(prefix), x)))
+        )
+
+    return F.array(*[_minhash(s) for s in range(num_hashes)])
+
+
+def minhash_bands(
+    text: Column, num_bands: int = 4, rows_per_band: int = 2, shingle_n: int = 3
+) -> Column:
+    """LSH band keys: array of num_bands structs (band, key) where
+    key = md5 of the band's concatenated minhash rows. Docs sharing any
+    band key are near-duplicate candidates."""
+    sig = minhash_signature(text, num_bands * rows_per_band, shingle_n)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, md5-derived bit planes.
+
+    Each token contributes +1/−1 per bit position; bit b of the token
+    hash comes from hex digit b//4 of md5(token) (4 bits per digit,
+    engine-portable via instr over the hex alphabet). Returns BIGINT
+    whose bit b is set iff the summed contribution is positive."""
+    toks = tokens(text)
+
+    def _votes(b: int) -> Column:
+        # factory (not default-arg lambdas): F.aggregate's merge lambda
+        # must stay exactly 2-ary or PySpark reinterprets the signature
+        d, shift = divmod(b, 4)
+
+        def bit(x: Column) -> Column:
+            digit = F.instr(
+                F.lit("0123456789abcdef"), F.substring(F.md5(x), d + 1, 1)
+            ) - 1
+            return F.shiftright(digit, shift) % 2
+
+        return F.aggregate(
+            toks, F.lit(0), lambda a, x: a + F.when(bit(x) == 1, 1).otherwise(-1)
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(
+            _votes(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-scan per-document feature table."""
+    feats = quality_features(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[c.alias(k) for k, c in feats.items()],
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+    )

@@ -70,6 +70,7 @@ def pagerank(
     nstart=None,
     weight: bool = True,
     dangling=None,
+    fixed_iter: int | None = None,
     num_partitions: int | None = None,
     hub_chunk: int = 65536,
     checkpoint_dir: str | None = None,
@@ -141,8 +142,9 @@ def pagerank(
     x = loop.start(x.repartition(num_partitions, "id"))
 
     threshold = n * tol
+    niter = fixed_iter if fixed_iter is not None else max_iter
     try:
-        for _ in range(max_iter):
+        for _ in range(niter):
             # danglesum as a broadcast one-row aggregate — rides the plan,
             # no separate driver action (pagerank_alg.py:161).
             danglesum = (
@@ -175,6 +177,14 @@ def pagerank(
                 )
             )
 
+            if fixed_iter is not None:
+                # fixed-iteration mode (oracle parity / benchmarking):
+                # no L1 action — materialize with a bare count instead
+                x, _ = loop.advance(
+                    xnew, metrics_fn=lambda prev, new: {"rows": new.count()}
+                )
+                continue
+
             def l1_err(prev: DataFrame, new: DataFrame) -> dict:
                 err = (
                     new.join(prev.withColumnRenamed("rank", "rank_prev"), "id")
@@ -186,6 +196,8 @@ def pagerank(
             x, m = loop.advance(xnew, metrics_fn=l1_err)
             if m["l1_error"] < threshold:
                 return x
+        if fixed_iter is not None:
+            return x
         raise PowerIterationFailedConvergence(max_iter)
     finally:
         adj.unpersist()

@@ -1,0 +1,85 @@
+"""setops / degrees / subgraph operator tests vs networkx oracle."""
+
+import networkx as nx
+from pyspark.sql import functions as F
+
+from linkgraph.graph import graph_from_edge_names
+from linkgraph.operators import degrees as deg
+from linkgraph.operators import setops
+from linkgraph.operators.subgraph import (
+    edge_subgraph,
+    induced_subgraph,
+    restricted_view,
+    subgraph_view,
+)
+
+
+def g_of(spark, edges, nodes=(), directed=True):
+    return graph_from_edge_names(spark, edges, nodes=nodes, directed=directed)
+
+
+def edge_names(g):
+    names = {r["id"]: r["url"] for r in g.vertices.collect()}
+    return {(names[r["src"]], names[r["dst"]]) for r in g.edges.select("src", "dst").collect()}
+
+
+def test_degrees_match_nx(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "c")]
+    g = g_of(spark, edges, nodes=["z"], directed=False)
+    names = {r["id"]: r["url"] for r in g.vertices.collect()}
+    got = {names[r["id"]]: r["degree"] for r in deg.degrees(g).collect()}
+    ref = nx.MultiGraph(edges)
+    ref.add_node("z")
+    assert got == {n: float(d) for n, d in ref.degree()}
+    # self-loop counts twice: c has b,a,self*2 = 4
+    assert got["c"] == 4.0
+    hist = {r["degree"]: r["num_nodes"] for r in deg.degree_histogram(g).collect()}
+    assert hist == {0: 1, 2: 2, 4: 1}
+    assert deg.number_of_selfloops(g) == 1
+    assert {names[r["id"]] for r in deg.isolates(g).collect()} == {"z"}
+
+
+def test_density(spark):
+    g = g_of(spark, [("a", "b"), ("b", "c")], directed=True)
+    assert deg.density(g) == 2 / (3 * 2)
+    gu = g_of(spark, [("a", "b"), ("b", "c")], directed=False)
+    assert deg.density(gu) == 2 * 2 / (3 * 2)
+
+
+def test_setops_match_nx(spark):
+    e1 = [("a", "b"), ("b", "c"), ("c", "d")]
+    e2 = [("b", "c"), ("c", "d"), ("d", "a")]
+    g1, g2 = g_of(spark, e1, nodes=["d", "a"]), g_of(spark, e2, nodes=["a", "b"])
+    # same id space: both graphs built over the same url set
+    assert edge_names(setops.intersection(g1, g2)) == {("b", "c"), ("c", "d")}
+    assert edge_names(setops.difference(g1, g2)) == {("a", "b")}
+    assert edge_names(setops.symmetric_difference(g1, g2)) == {("a", "b"), ("d", "a")}
+    assert edge_names(setops.compose(g1, g2)) == set(e1) | set(e2)
+
+
+def test_union_disjoint(spark):
+    g1 = g_of(spark, [("a", "b")])
+    g2 = g_of(spark, [("a", "b")])
+    try:
+        setops.union(g1, g2)
+        raise AssertionError("union of overlapping node sets must raise")
+    except ValueError:
+        pass
+    du = setops.disjoint_union(g1, g2)
+    assert du.vertices.count() == 4 and du.edges.count() == 2
+    assert du.vertices.select("id").distinct().count() == 4
+
+
+def test_subgraph_forms(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    g = g_of(spark, edges, directed=True)
+    ids = {r["url"]: r["id"] for r in g.vertices.collect()}
+    sub = induced_subgraph(g, [ids["a"], ids["b"], ids["c"]])
+    assert edge_names(sub) == {("a", "b"), ("b", "c")}
+    es = edge_subgraph(g, [(ids["a"], ids["b"])])
+    assert edge_names(es) == {("a", "b")}
+    assert es.vertices.count() == 2
+    rv = restricted_view(g, hide_nodes=[ids["d"]])
+    assert edge_names(rv) == {("a", "b"), ("b", "c")}
+    sv = subgraph_view(g, filter_edge=F.col("src") < F.col("dst"))
+    assert len(edge_names(sv)) == 3  # drops exactly the one back-edge
