@@ -203,35 +203,66 @@ def build_adjacency(
     edges: DataFrame,
     num_partitions: int = 32,
     hub_chunk: int = 4096,
+    coalesce_parallel: bool = True,
+    normalize: bool = False,
 ) -> DataFrame:
     """Degree-annotated, salted, per-partition CSR-block adjacency.
 
     The distributed analog of the reference's CSR substrate
     (``to_scipy_sparse_array``, networkx/convert_matrix.py:490):
 
-        adj(src BIGINT, salt INT, dsts ARRAY<BIGINT>, wts ARRAY<DOUBLE>, deg BIGINT)
+        adj(src BIGINT, salt INT, dsts ARRAY<BIGINT>, wts ARRAY<DOUBLE>,
+            deg BIGINT, strength DOUBLE)
 
-    * parallel edges pre-summed (CSR duplicate coalescing),
-    * rows hash-partitioned by src so the per-superstep rank join
-      co-locates without re-shuffling the (persisted) adjacency,
-    * HUB SALTING: a vertex with out-degree > ``hub_chunk`` is split
-      into ceil(deg/hub_chunk) rows (salt = chunk index); the rank
-      join then replicates that vertex's rank once per chunk instead
-      of funnelling one giant array through a single task.
+    Exactly TWO shuffles: (1) parallel-edge coalescing groupBy(src,dst)
+    — CSR duplicate summing — and (2) groupBy(src) collecting the CSR
+    arrays; out-strength normalization (``stochastic_graph``,
+    networkx/generators/stochastic.py:17-54) happens *inside* the
+    arrays via ``transform`` (no join), and HUB SALTING slices the
+    arrays into ceil(deg/hub_chunk) rows (salt = chunk index) so the
+    per-superstep rank join replicates a hub's rank once per chunk
+    instead of funnelling one giant array through a single task.
+
+    Out-degree is bounded by page size in the web domain (a page holds
+    ~10-10^3 links), so collecting a per-src array is safe; the real
+    skew — hub *in*-degree — never materializes as an array here, it
+    is absorbed by map-side partial aggregation in the gather's
+    groupBy(dst). Final layout is hash-partitioned by src and meant to
+    be persisted across all supersteps.
     """
-    coalesced = edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
-    deg = coalesced.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nchunks = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(hub_chunk)))
-    salted = coalesced.join(deg, "src").withColumn(
-        "salt", F.pmod(F.xxhash64("dst"), nchunks).cast("int")
+    e = edges
+    if coalesce_parallel:
+        e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    grouped = e.groupBy("src").agg(
+        F.collect_list("dst").alias("dsts"),
+        F.collect_list("weight").alias("wts"),
+        F.count(F.lit(1)).alias("deg"),
+        F.sum("weight").alias("strength"),
     )
-    adj = (
-        salted.groupBy("src", "salt")
-        .agg(
-            F.collect_list("dst").alias("dsts"),
-            F.collect_list("weight").alias("wts"),
-            F.first("deg").alias("deg"),
+    if normalize:
+        grouped = grouped.withColumn(
+            "wts", F.transform("wts", lambda w: w / F.col("strength"))
         )
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.col("deg") / F.lit(hub_chunk))
+    ).cast("int")
+    adj = (
+        grouped.select(
+            "src",
+            "deg",
+            "strength",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("salt"),
+                        F.slice(F.col("dsts"), i * hub_chunk + 1, hub_chunk).alias("dsts"),
+                        F.slice(F.col("wts"), i * hub_chunk + 1, hub_chunk).alias("wts"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select("src", "ch.salt", "ch.dsts", "ch.wts", "deg", "strength")
         .repartition(num_partitions, "src")
     )
     return adj

@@ -87,17 +87,18 @@ def pagerank(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # --- static structures (built once, persisted across supersteps) ---
+    # fused build: coalesce parallel edges + collect CSR arrays +
+    # out-strength normalization + hub salting in two shuffles total
     base_edges = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
     if not weight:
         base_edges = base_edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    coalesced = base_edges.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
-    out_strength = coalesced.groupBy("src").agg(F.sum("weight").alias("s"))
-    norm_edges = (
-        coalesced.join(out_strength, "src")
-        .select("src", "dst", (F.col("weight") / F.col("s")).alias("weight"))
-    )
-    adj = build_adjacency(norm_edges, num_partitions=num_partitions, hub_chunk=hub_chunk)
-    adj = adj.persist()
+    adj = build_adjacency(
+        base_edges,
+        num_partitions=num_partitions,
+        hub_chunk=hub_chunk,
+        coalesce_parallel=True,
+        normalize=True,
+    ).persist()
 
     # personalization vector p (uniform 1/N default)
     if personalization is None:
@@ -107,7 +108,10 @@ def pagerank(
         p = nodes.join(pv, "id", "left").select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
 
     # dangling weights (default: p) restricted to dangling nodes
-    dangling_nodes = nodes.join(out_strength, nodes.id == out_strength.src, "left_anti")
+    # (dangling = zero out-strength = absent from the adjacency srcs)
+    dangling_nodes = nodes.join(
+        adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
     if dangling is None:
         dw = p.select("id", F.col("p").alias("dw"))
     else:
@@ -143,14 +147,11 @@ def pagerank(
 
     threshold = n * tol
     niter = fixed_iter if fixed_iter is not None else max_iter
+    # graphs without dangling nodes skip the per-superstep dangle
+    # aggregate entirely (one cheap check against the persisted static)
+    has_dangling = static.where(F.col("is_dangling") == 1.0).limit(1).count() > 0
     try:
         for _ in range(niter):
-            # danglesum as a broadcast one-row aggregate — rides the plan,
-            # no separate driver action (pagerank_alg.py:161).
-            danglesum = (
-                x.join(static.where(F.col("is_dangling") == 1.0).select("id"), "id", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("danglesum"))
-            )
             contribs = (
                 adj.join(x.withColumnRenamed("id", "src"), "src")
                 .select(
@@ -164,10 +165,19 @@ def pagerank(
                 .groupBy("id")
                 .agg(F.sum("c").alias("gathered"))
             )
-            xnew = (
-                static.join(contribs, "id", "left")
-                .crossJoin(F.broadcast(danglesum))
-                .select(
+            joined = static.join(contribs, "id", "left")
+            if has_dangling:
+                # danglesum as a broadcast one-row aggregate — rides the
+                # plan, no separate driver action (pagerank_alg.py:161)
+                danglesum = (
+                    x.join(
+                        static.where(F.col("is_dangling") == 1.0).select("id"),
+                        "id",
+                        "left_semi",
+                    )
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("danglesum"))
+                )
+                xnew = joined.crossJoin(F.broadcast(danglesum)).select(
                     "id",
                     (
                         alpha * (F.coalesce(F.col("gathered"), F.lit(0.0))
@@ -175,7 +185,14 @@ def pagerank(
                         + (1.0 - alpha) * F.col("p")
                     ).alias("rank"),
                 )
-            )
+            else:
+                xnew = joined.select(
+                    "id",
+                    (
+                        alpha * F.coalesce(F.col("gathered"), F.lit(0.0))
+                        + (1.0 - alpha) * F.col("p")
+                    ).alias("rank"),
+                )
 
             if fixed_iter is not None:
                 # fixed-iteration mode (oracle parity / benchmarking):
