@@ -35,8 +35,11 @@ from linkgraph.operators import setops
 from linkgraph.operators.components import connected_components
 from linkgraph.operators.label_propagation import label_propagation_communities
 from linkgraph.operators.pagerank import pagerank
+from linkgraph.operators.core import core_number, k_core
+from linkgraph.operators.hits import hits
 from linkgraph.operators.subgraph import induced_subgraph
-from linkgraph.operators.triangles import all_triangles, transitivity, triangles
+from linkgraph.operators.traversal import bfs_layers
+from linkgraph.operators.triangles import all_triangles, clustering, transitivity, triangles
 
 PR_ITERS = 12
 PR_ALPHA = 0.85
@@ -182,6 +185,24 @@ def q_subgraph_high_balance(spark, sf_dir):
     return induced_subgraph(g, rich).edges.select("src", "dst")
 
 
+def q_hits_orders(spark, sf_dir):
+    g = order_graph(spark, sf_dir)
+    out = hits(g, fixed_iter=8)
+    return out.select(
+        "id", F.round("hub", 8).alias("hub_r"), F.round("authority", 8).alias("auth_r")
+    )
+
+
+def q_clustering_parts(spark, sf_dir):
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return clustering(g).select("id", F.round("clustering", 8).alias("clustering_r"))
+
+
+def q_bfs_layers_orders(spark, sf_dir):
+    g = order_graph(spark, sf_dir)
+    return bfs_layers(g, [1]).select("id", F.col("layer").cast("long").alias("layer"))
+
+
 # ------------------------------------------------------- documents / text
 def q_doc_exact_dedup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
@@ -276,6 +297,16 @@ def q_pages_pipeline_pagerank(spark, sf_dir):
     return ranks.select("id", F.round("rank", 8).alias("rank_r"))
 
 
+def q_kcore_parts(spark, sf_dir):
+    sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
+    return sub.edges.select("src", "dst")
+
+
+def q_core_number_parts(spark, sf_dir):
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return core_number(g).select("id", F.col("core").cast("long").alias("core"))
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -306,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_edges_orders": q_mutual_edges_orders,
         "oneway_edges_orders": q_oneway_edges_orders,
         "subgraph_high_balance": q_subgraph_high_balance,
+        "hits_orders": q_hits_orders,
+        "clustering_parts": q_clustering_parts,
+        "bfs_layers_orders": q_bfs_layers_orders,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_lang_counts": q_doc_lang_counts,
@@ -318,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation_chains": q_lpa_nation_chains,
         "pages_pipeline_pagerank": q_pages_pipeline_pagerank,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "kcore_parts": q_kcore_parts,
+        "core_number_parts": q_core_number_parts,
     }
 
 
@@ -377,6 +413,51 @@ x{i + 1} AS MATERIALIZED (
     return (
         head + "," + ",".join(steps)
         + f"\nSELECT id, round(r, 8) AS rank_r FROM x{iters}"
+    )
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Mirror of _hits_python (networkx hits_alg.py:104-152) at fixed
+    iterations: a = A^T h, h = A a, both max-normalized per iteration,
+    sum-normalized at the end. Weights = parallel-edge counts."""
+    head = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+ar{i} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(g.v, 0) AS r FROM nodes LEFT JOIN (
+    SELECT ec.dst AS id, sum(h.r * ec.w) AS v
+    FROM h{i} h JOIN ec ON ec.src = h.id GROUP BY ec.dst
+  ) g ON g.id = nodes.id
+),
+a{i + 1} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT max(abs(r)) FROM ar{i}) > 0
+    THEN r / (SELECT max(abs(r)) FROM ar{i}) ELSE r END AS r FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(g.v, 0) AS r FROM nodes LEFT JOIN (
+    SELECT ec.src AS id, sum(a.r * ec.w) AS v
+    FROM a{i + 1} a JOIN ec ON ec.dst = a.id GROUP BY ec.src
+  ) g ON g.id = nodes.id
+),
+h{i + 1} AS MATERIALIZED (
+  SELECT id, CASE WHEN (SELECT max(abs(r)) FROM hr{i}) > 0
+    THEN r / (SELECT max(abs(r)) FROM hr{i}) ELSE r END AS r FROM hr{i}
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT h.id,
+  round(CASE WHEN (SELECT sum(r) FROM h{iters}) <> 0
+    THEN h.r / (SELECT sum(r) FROM h{iters}) ELSE h.r END, 8) AS hub_r,
+  round(CASE WHEN (SELECT sum(r) FROM a{iters}) <> 0
+    THEN a.r / (SELECT sum(r) FROM a{iters}) ELSE a.r END, 8) AS auth_r
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
     )
 
 
@@ -552,6 +633,35 @@ rich AS (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000)
 SELECT e.src, e.dst FROM e
 JOIN rich r1 ON r1.id = e.src
 JOIN rich r2 ON r2.id = e.dst""",
+        "hits_orders": _hits_sql(8),
+        "clustering_parts": f"""
+WITH {_TRI_CTE},
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+degs AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs
+  ) GROUP BY id
+)
+SELECT p.p_partkey AS id,
+  round(CASE WHEN COALESCE(degs.d, 0) < 2 THEN 0.0
+    ELSE 2.0 * COALESCE(cnt.t, 0) / (degs.d * (degs.d - 1)) END, 8) AS clustering_r
+FROM part p
+LEFT JOIN degs ON degs.id = p.p_partkey
+LEFT JOIN cnt ON cnt.id = p.p_partkey""",
+        "bfs_layers_orders": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+r(id, layer) AS (
+  SELECT CAST(1 AS BIGINT) AS id, 0 AS layer
+  UNION
+  SELECT e.dst, r.layer + 1 FROM r JOIN e ON e.src = r.id WHERE r.layer < 40
+)
+SELECT r.id, CAST(min(r.layer) AS BIGINT) AS layer
+FROM r JOIN customer c ON c.c_custkey = r.id
+GROUP BY r.id""",
         "doc_exact_dedup": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
 FROM documents GROUP BY md5(text)""",

@@ -1,0 +1,229 @@
+"""Multimodal (image/audio/video) columns as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The reference (a pure-Python graph library) has no media surface; this
+module is the training-data-pipeline extension mandated by the build
+brief: large corpora carry media payloads next to text, and the engine
+must move them through Spark without ever row-looping in Python.
+
+Design for 100 TB:
+
+* payloads stay an opaque ``BINARY`` column end-to-end — Spark never
+  decodes them JVM-side; Parquet stores them as byte arrays with page
+  compression, and column pruning means scans that don't touch
+  ``payload`` never read those pages;
+* every transform is ``mapInPandas`` (Arrow record batches, zero-copy
+  into pandas) — NOT a per-row Python UDF; batch size is governed by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+  multi-MB blobs streams through bounded memory;
+* decode itself is STUBBED: the container has no PIL/librosa/ffmpeg.
+  ``set_decoder`` swaps in a real decoder unchanged; the default
+  :func:`fake_decode` is a deterministic pure function of the bytes so
+  tests pin exact outputs. The Spark-side plumbing (schemas, UDF
+  signatures, batch iteration, partitioning) is real and tested.
+
+Media table shape (Iceberg-compatible, like the pages table):
+
+    media(media_id BIGINT, kind STRING, payload BINARY,
+          meta MAP<STRING,STRING>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _u32(digest: bytes, i: int) -> int:
+    return int.from_bytes(digest[4 * i : 4 * i + 4], "big")
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image decoder (no PIL in this
+    container). Pure function of the bytes: dimensions and a 16-dim
+    "embedding" derived from sha256. A real decoder returns the same
+    dict shape from actual pixel data."""
+    d = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 16 + _u32(d, 0) % 4096,
+        "height": 16 + _u32(d, 1) % 4096,
+        "channels": 1 + _u32(d, 2) % 4,
+        "sha256": d.hex(),
+        "embedding": [((_u32(d, i % 8) >> (i // 8)) % 1000) / 1000.0 for i in range(16)],
+    }
+
+
+_DECODER: Callable[[bytes], dict] = fake_decode
+
+
+def set_decoder(fn: Callable[[bytes], dict]) -> None:
+    """Swap in a real decoder (e.g. PIL-backed) without touching the
+    Spark plumbing. Must be called before the transform is *executed*
+    (the callable is captured into the UDF closure at call time)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def real_decode(payload: bytes) -> dict:  # pragma: no cover - no lib here
+    """Where a real decoder would go; kept as an explicit marked stub."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv, not present in this container; "
+        "use set_decoder() with a real implementation on a real cluster"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """payload BINARY -> typed feature rows, one Arrow batch at a time.
+
+    The iterator-of-batches form means one in-flight pandas frame per
+    task regardless of partition size — blobs never accumulate."""
+    decoder = _DECODER
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decoder(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "sha256": [f["sha256"] for f in feats],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "embedding": [f["embedding"] for f in feats],
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        batches, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    MEDIA_SCHEMA.fields[:3]
+    + [
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize transform: payload -> payload', meta gains resized_w/h.
+
+    Stub semantics (deterministic, no codec): payload' is a sha256-seeded
+    byte string of length width*height — standing in for re-encoded
+    pixels; swap the inner function for a real resampler on a cluster."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                d = hashlib.sha256((p or b"") + b"|resize").digest()
+                reps = (width * height) // len(d) + 1
+                out_payloads.append((d * reps)[: width * height])
+                m = dict(m or {})
+                m["resized_w"], m["resized_h"] = str(width), str(height)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "payload": out_payloads,
+                    "meta": metas,
+                    "target_w": width,
+                    "target_h": height,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (a 1->N
+    mapInPandas, the UDTF shape). Duration comes from typed metadata
+    (``meta['duration_ms']``); frame extraction is the deterministic
+    stub (hash of payload+index) — the row explosion, schema, and
+    batch shape are the real pipeline."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, shas = [], [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = int((m or {}).get("duration_ms", "0"))
+                n = max(1, dur // every_ms)
+                for i in range(n):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    shas.append(
+                        hashlib.sha256((p or b"") + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "ts_ms": pd.Series(tss, dtype="int64"),
+                 "frame_sha256": shas}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fixture table in MEDIA_SCHEMA (no external data):
+    payload bytes are a pure function of media_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                seed = hashlib.sha256(str(i).encode()).digest()
+                payload = seed * (1 + i % 7)
+                meta = {"source": f"synth/{i}"}
+                if kind == "video":
+                    meta["duration_ms"] = str(500 * (1 + i % 8))
+                rows.append((i, kind, payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).repartition(partitions).mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -151,7 +151,7 @@ def pagerank(
     # aggregate entirely (one cheap check against the persisted static)
     has_dangling = static.where(F.col("is_dangling") == 1.0).limit(1).count() > 0
     try:
-        for _ in range(niter):
+        for it in range(niter):
             contribs = (
                 adj.join(x.withColumnRenamed("id", "src"), "src")
                 .select(
@@ -196,9 +196,22 @@ def pagerank(
 
             if fixed_iter is not None:
                 # fixed-iteration mode (oracle parity / benchmarking):
-                # no L1 action — materialize with a bare count instead
+                # no L1 action. Without dangling nodes x is referenced
+                # exactly once per superstep, so supersteps compose
+                # lazily (defer) and run as ONE multi-stage job per
+                # checkpoint_every block — no per-superstep driver
+                # round-trip. With dangling nodes x is referenced twice
+                # (gather + danglesum) → defer would double the plan
+                # per iteration, so every step materializes.
+                defer = (
+                    not has_dangling
+                    and (it + 1) % checkpoint_every != 0
+                    and (it + 1) != niter
+                )
                 x, _ = loop.advance(
-                    xnew, metrics_fn=lambda prev, new: {"rows": new.count()}
+                    xnew,
+                    metrics_fn=None if defer else (lambda prev, new: {"rows": new.count()}),
+                    defer=defer,
                 )
                 continue
 

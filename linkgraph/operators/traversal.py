@@ -1,0 +1,99 @@
+"""BFS as frontier-expansion DataFrame supersteps.
+
+Reference: ``bfs_layers`` (networkx/algorithms/traversal/
+breadth_first_search.py) yields lists of nodes at each depth from the
+sources; ``descendants_at_distance`` (networkx/algorithms/distance_
+measures.py area) is the single-layer form. The reference's queue BFS
+(``_plain_bfs``, networkx/algorithms/components/connected.py:267-282)
+is sequential; the distributed form expands a whole frontier per
+superstep: O(diameter) joins, each a frontier-edges join + anti-join
+against the visited set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def bfs_layers(
+    graph: LinkGraph,
+    sources: Iterable[int] | DataFrame,
+    max_depth: int = 10_000,
+    directed: bool | None = None,
+) -> DataFrame:
+    """(id BIGINT, layer INT) — shortest hop distance from the source
+    set; unreachable nodes are absent (matching the reference, which
+    only yields reached nodes)."""
+    spark = graph.spark
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed is None:
+        directed = graph.directed
+    # restrict endpoints to graph vertices: BFS yields nodes of G only
+    # (edge rows may reference ids outside the vertex table, e.g.
+    # links to uncrawled urls in a derived edge table)
+    verts = graph.vertices.select("id")
+    edges = (
+        (graph.weighted_edges() if directed else graph.symmetrized_edges())
+        .select("src", "dst")
+        .distinct()
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edges.count()
+
+    if isinstance(sources, DataFrame):
+        frontier = sources.select("id").distinct()
+    else:
+        frontier = spark.createDataFrame([(int(s),) for s in sources], "id long")
+    # only sources that exist in the graph (nbunch_iter membership
+    # semantics, networkx/classes/graph.py:2013)
+    frontier = frontier.join(graph.vertices.select("id"), "id", "left_semi").persist()
+
+    visited = frontier.select("id", F.lit(0).alias("layer")).persist()
+    visited.count()
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                edges.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .persist()
+            )
+            n = nxt.count()
+            frontier.unpersist()
+            frontier = nxt
+            if n == 0:
+                break
+            new_visited = visited.unionByName(
+                nxt.select("id", F.lit(depth).alias("layer"))
+            ).localCheckpoint(eager=True)
+            visited.unpersist()
+            visited = new_visited
+        return visited
+    finally:
+        edges.unpersist()
+        frontier.unpersist()
+
+
+def descendants_at_distance(graph: LinkGraph, source: int, distance: int) -> DataFrame:
+    """Nodes exactly ``distance`` hops from source
+    (networkx/algorithms/traversal/breadth_first_search.py
+    ``descendants_at_distance``)."""
+    layers = bfs_layers(graph, [source], max_depth=distance)
+    return layers.where(F.col("layer") == distance).select("id")
+
+
+def single_source_shortest_path_length(
+    graph: LinkGraph, source: int, cutoff: int | None = None
+) -> DataFrame:
+    """(id, layer) — unweighted shortest path lengths
+    (networkx/algorithms/shortest_paths/unweighted.py
+    ``single_source_shortest_path_length``)."""
+    return bfs_layers(graph, [source], max_depth=cutoff if cutoff is not None else 10_000)

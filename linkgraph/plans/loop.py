@@ -73,6 +73,7 @@ class SuperstepLoop:
         self.level = storage_level
         self.iteration = 0
         self._current: DataFrame | None = None
+        self._pending: list[DataFrame] = []
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
 
@@ -95,16 +96,34 @@ class SuperstepLoop:
         self._current = frontier.persist(self.level)
         return self._current
 
-    def advance(self, new_frontier: DataFrame, metrics_fn=None) -> tuple[DataFrame, dict]:
+    def advance(
+        self, new_frontier: DataFrame, metrics_fn=None, defer: bool = False
+    ) -> tuple[DataFrame, dict]:
         """Install the next superstep's frontier.
 
         Truncates lineage (Parquet snapshot on checkpoint boundaries,
         ``localCheckpoint`` otherwise), evaluates ``metrics_fn(prev,
         new)`` — the per-superstep convergence action(s) — THEN
         unpersists the previous frontier. Returns (frontier, metrics).
+
+        ``defer=True`` (fixed-iteration mode only): NO action, NO
+        lineage truncation — the superstep is composed lazily and the
+        whole chain executes as ONE multi-stage job at the next
+        non-deferred advance. This removes the per-superstep driver
+        round-trip + cache write (the dominant fixed cost at high
+        parallelism). ONLY valid when the frontier is referenced once
+        per superstep (a second reference would double the deferred
+        subtree per iteration → exponential plan growth); convergence
+        mode can never defer because the L1 metric is a per-step
+        action by definition.
         """
         self.iteration += 1
         prev = self._current
+        if defer:
+            if prev is not None:
+                self._pending.append(prev)
+            self._current = new_frontier
+            return self._current, {}
         t0 = time.monotonic()
         checkpointed = False
         if self.dir and self.iteration % self.every == 0:
@@ -130,6 +149,9 @@ class SuperstepLoop:
         self._log(rec)
         if prev is not None:
             prev.unpersist()
+        for p in self._pending:
+            p.unpersist()
+        self._pending.clear()
         return self._current, metrics
 
     def stop(self) -> None:
