@@ -175,6 +175,16 @@ def q_oneway_edges_orders(spark, sf_dir):
     return setops.difference(g, g.reverse()).edges.select("src", "dst")
 
 
+def q_compose_orders(spark, sf_dir):
+    g = order_graph(spark, sf_dir)
+    gd = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select("src", "dst").distinct().withColumn("weight", F.lit(1.0)),
+        directed=True,
+    )
+    return setops.compose(gd, gd.reverse()).edges.select("src", "dst")
+
+
 def q_subgraph_high_balance(spark, sf_dir):
     g = order_graph(spark, sf_dir)
     rich = (
@@ -297,6 +307,13 @@ def q_pages_pipeline_pagerank(spark, sf_dir):
     return ranks.select("id", F.round("rank", 8).alias("rank_r"))
 
 
+def q_scc_orders(spark, sf_dir):
+    from linkgraph.operators.strongly_connected import strongly_connected_components
+
+    g = order_graph(spark, sf_dir)
+    return strongly_connected_components(g).select("id", "component")
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -336,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_orders": q_density_orders,
         "mutual_edges_orders": q_mutual_edges_orders,
         "oneway_edges_orders": q_oneway_edges_orders,
+        "compose_orders": q_compose_orders,
         "subgraph_high_balance": q_subgraph_high_balance,
         "hits_orders": q_hits_orders,
         "clustering_parts": q_clustering_parts,
@@ -354,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
+        "scc_orders": q_scc_orders,
     }
 
 
@@ -627,6 +646,9 @@ JOIN e2k b ON a.src = b.dst AND a.dst = b.src""",
 WITH {_EDGES_CTE}
 SELECT a.src, a.dst FROM e2k a
 WHERE NOT EXISTS (SELECT 1 FROM e2k b WHERE b.src = a.dst AND b.dst = a.src)""",
+        "compose_orders": f"""
+WITH {_EDGES_CTE}
+SELECT src, dst FROM e2k UNION SELECT dst AS src, src AS dst FROM e2k""",
         "subgraph_high_balance": f"""
 WITH {_EDGES_CTE},
 rich AS (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000)

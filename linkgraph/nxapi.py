@@ -1,0 +1,136 @@
+"""NetworkX-compatible facade: reference signatures over the engine.
+
+The reference exposes a backend seam (``@nx._dispatchable``,
+networkx/utils/backends.py:215) through which third-party engines
+serve the same function signatures; this module is that surface for
+the linkgraph engine — nx-shaped inputs (edge iterables / node names)
+and nx-shaped outputs (dicts, sets, ints) with all computation in
+Spark. It exists for API parity and ported-test readability; heavy
+pipelines should use the DataFrame operators directly (these helpers
+collect results to the driver, which is a test-scale boundary by
+design — SURVEY.md §1.4 "per-node score dicts").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import SparkSession
+
+from .graph import LinkGraph, graph_from_edge_names
+from .operators import triangles as tri
+from .operators.components import connected_components as _cc
+from .operators.hits import hits as _hits
+from .operators.label_propagation import label_propagation_communities as _lpa
+from .operators.pagerank import pagerank as _pagerank
+
+
+def _as_graph(spark: SparkSession, edges, nodes=(), directed=False) -> LinkGraph:
+    return graph_from_edge_names(spark, list(edges), list(nodes), directed=directed)
+
+
+def _name_map(g: LinkGraph) -> dict[int, str]:
+    return {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: Iterable,
+    nodes: Iterable = (),
+    directed: bool = True,
+    alpha: float = 0.85,
+    personalization: dict | None = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    nstart: dict | None = None,
+    weight: str | None = "weight",
+    dangling: dict | None = None,
+) -> dict:
+    """``nx.pagerank`` signature (pagerank_alg.py:12-110) -> {name: rank}.
+    Name-keyed dict vectors are translated to id-keyed internally."""
+    g = _as_graph(spark, edges, nodes, directed)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+
+    def to_ids(d):
+        return None if d is None else {rev[str(k)]: v for k, v in d.items()}
+
+    ranks = _pagerank(
+        g,
+        alpha=alpha,
+        personalization=to_ids(personalization),
+        max_iter=max_iter,
+        tol=tol,
+        nstart=to_ids(nstart),
+        # nx takes an attr name ("weight") or None; the engine keeps
+        # weight a typed column, so this reduces to use-it-or-not
+        weight=weight is not None,
+        dangling=to_ids(dangling),
+    )
+    return {nm[r["id"]]: r["rank"] for r in ranks.collect()}
+
+
+def connected_components(
+    spark: SparkSession, edges: Iterable, nodes: Iterable = ()
+) -> list[set]:
+    """``nx.connected_components`` (connected.py:17-90) -> list of
+    name-sets, largest first (the reference's common sorted idiom)."""
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    comps: dict[int, set] = {}
+    for r in _cc(g).collect():
+        comps.setdefault(r["component"], set()).add(nm[r["id"]])
+    return sorted(comps.values(), key=len, reverse=True)
+
+
+def number_connected_components(spark, edges, nodes=()) -> int:
+    return len(connected_components(spark, edges, nodes))
+
+
+def label_propagation_communities(spark, edges, nodes=()) -> list[set]:
+    """``nx.community.label_propagation_communities``
+    (label_propagation.py:238-279) -> communities as name-sets."""
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    comms: dict[int, set] = {}
+    for r in _lpa(g).collect():
+        comms.setdefault(r["label"], set()).add(nm[r["id"]])
+    return list(comms.values())
+
+
+def triangles(spark, edges, nodes=(), nbunch=None) -> dict | int:
+    """``nx.triangles`` (cluster.py:25-97): full dict, or a single
+    count when ``nbunch`` is one node name."""
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    out = {nm[r["id"]]: r["triangles"] for r in tri.triangles(g).collect()}
+    if nbunch is not None and not isinstance(nbunch, (list, set, tuple)):
+        return out[str(nbunch)]
+    if nbunch is not None:
+        return {str(n): out[str(n)] for n in nbunch}
+    return out
+
+
+def transitivity(spark, edges, nodes=()) -> float:
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return tri.transitivity(g)
+
+
+def clustering(spark, edges, nodes=()) -> dict:
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["clustering"] for r in tri.clustering(g).collect()}
+
+
+def hits(
+    spark, edges, nodes=(), directed: bool = True,
+    max_iter: int = 100, tol: float = 1.0e-8, normalized: bool = True,
+) -> tuple[dict, dict]:
+    """``nx.hits`` signature -> ({name: hub}, {name: authority})."""
+    g = _as_graph(spark, edges, nodes, directed)
+    nm = _name_map(g)
+    rows = _hits(g, max_iter=max_iter, tol=tol, normalized=normalized).collect()
+    return (
+        {nm[r["id"]]: r["hub"] for r in rows},
+        {nm[r["id"]]: r["authority"] for r in rows},
+    )

@@ -125,6 +125,14 @@ def connected_components(
         edges.unpersist()
 
 
+def weakly_connected_components(graph: LinkGraph, **kwargs) -> DataFrame:
+    """Weakly connected components of a directed graph
+    (networkx/algorithms/components/weakly_connected.py:15): identical
+    to components of the symmetrized edge set, which is exactly what
+    :func:`connected_components` computes (it always symmetrizes)."""
+    return connected_components(graph, **kwargs)
+
+
 def number_connected_components(graph: LinkGraph, **kwargs) -> int:
     """Component count (networkx/algorithms/components/connected.py:103)."""
     return (

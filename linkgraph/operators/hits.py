@@ -95,7 +95,7 @@ def hits(
             .select(
                 "src",
                 F.col("hub"),
-                F.explode(F.arrays_zip(F.col("dsts"), F.col("wts"))).alias("z"),
+                F.explode(F.col("pairs")).alias("z"),
             )
         )
         a_raw = (
@@ -117,7 +117,7 @@ def hits(
         # h = A·a : out-edges gather authority of their dst back to src
         h_raw = (
             adj.select(
-                "src", F.explode(F.arrays_zip(F.col("dsts"), F.col("wts"))).alias("z")
+                "src", F.explode(F.col("pairs")).alias("z")
             )
             .select("src", F.col("z.dsts").alias("id"), F.col("z.wts").alias("w"))
             .join(a_norm, "id")

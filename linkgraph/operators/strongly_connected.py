@@ -1,0 +1,185 @@
+"""Strongly connected components — distributed coloring algorithm.
+
+Reference semantics: ``strongly_connected_components``
+(networkx/algorithms/components/strongly_connected.py:17) — Tarjan-
+style sequential DFS, inherently serial. The distributed re-expression
+is the classic trim+forward-color+backward-reach algorithm (Orzan; the
+same scheme GraphX ships): per outer round,
+
+1. TRIM: vertices with no in-edges or no out-edges among active
+   vertices are trivial single-node SCCs — peel repeatedly,
+2. COLOR: propagate ``max id that can reach v`` along forward edges to
+   fixpoint (monotone max-aggregation, O(diameter) supersteps),
+3. BACKWARD REACH: every color class's root (the vertex whose id ==
+   its color) backward-BFSes inside its color class; reached vertices
+   form the root's SCC — ALL colors resolved simultaneously,
+4. remove resolved vertices, repeat.
+
+Each phase is join + groupBy-max / semi-join supersteps with lineage
+truncation; worst case (one long cycle chain) needs many rounds, but
+web graphs resolve in a handful (the giant SCC gets color = max id of
+its reach-set and absorbs most vertices in round 1).
+
+Outputs match the reference exactly as SET PARTITIONS (component
+representative = max vertex id in the SCC; the reference yields sets
+in DFS order, so tests compare frozenset-of-frozensets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+
+def strongly_connected_components(
+    graph: LinkGraph, max_outer_rounds: int = 64, max_iters: int = 10_000
+) -> DataFrame:
+    """(id BIGINT, component BIGINT) — component = max vertex id in the
+    SCC (deterministic representative)."""
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(nparts, "src")
+        .localCheckpoint(eager=True)
+    )
+    verts = graph.vertices.select("id").localCheckpoint(eager=True)
+    done_parts: list[DataFrame] = []
+
+    for _round in range(max_outer_rounds):
+        if verts.limit(1).count() == 0:
+            break
+
+        # --- 1. trim trivial SCCs (no in- or no out-edge) repeatedly
+        while True:
+            has_out = edges.select("src").distinct()
+            has_in = edges.select("dst").distinct()
+            trivial = verts.join(
+                has_out.withColumnRenamed("src", "id"), "id", "left_anti"
+            ).unionByName(
+                verts.join(has_in.withColumnRenamed("dst", "id"), "id", "left_anti")
+            ).distinct().localCheckpoint(eager=True)
+            n_triv = trivial.count()
+            if n_triv == 0:
+                break
+            done_parts.append(trivial.select("id", F.col("id").alias("component")))
+            verts = verts.join(trivial, "id", "left_anti").localCheckpoint(eager=True)
+            edges = (
+                edges.join(trivial.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(trivial.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if verts.limit(1).count() == 0:
+            break
+
+        # --- 2. forward max-coloring to fixpoint
+        colors = verts.select("id", F.col("id").alias("color"))
+        for _ in range(max_iters):
+            inbound = (
+                edges.join(
+                    colors.select(F.col("id").alias("src"), F.col("color").alias("c_src")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("c_src").alias("c_in"))
+            )
+            stepped = (
+                colors.join(inbound, "id", "left")
+                .select(
+                    "id",
+                    F.greatest("color", F.coalesce("c_in", F.col("color"))).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                stepped.withColumnRenamed("color", "c_new")
+                .join(colors.withColumnRenamed("color", "c_old"), "id")
+                .where(F.col("c_new") != F.col("c_old"))
+                .limit(1)
+                .count()
+            )
+            colors = stepped
+            if changed == 0:
+                break
+
+        # --- 3. backward reach from each color root within its class
+        colored_edges = (
+            edges.join(colors.select(F.col("id").alias("src"), F.col("color").alias("cs")), "src")
+            .join(colors.select(F.col("id").alias("dst"), F.col("color").alias("cd")), "dst")
+            .where(F.col("cs") == F.col("cd"))
+            .select("src", "dst", F.col("cs").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        reached = colors.where(F.col("id") == F.col("color")).select("id", "color")
+        reached = reached.localCheckpoint(eager=True)
+        frontier = reached
+        for _ in range(max_iters):
+            nxt = (
+                colored_edges.join(
+                    frontier.select(F.col("id").alias("dst"), F.col("color").alias("fc")),
+                    "dst",
+                )
+                .where(F.col("color") == F.col("fc"))
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(reached.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+
+        done_parts.append(reached.select("id", F.col("color").alias("component")))
+        verts = verts.join(reached.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        edges = (
+            edges.join(reached.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(reached.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    out = done_parts[0] if done_parts else verts.select(
+        "id", F.col("id").alias("component")
+    )
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def number_strongly_connected_components(graph: LinkGraph, **kw) -> int:
+    return (
+        strongly_connected_components(graph, **kw)
+        .agg(F.countDistinct("component"))
+        .first()[0]
+    )
+
+
+def is_strongly_connected(graph: LinkGraph, **kw) -> bool:
+    """Parity with NetworkXPointlessConcept on the null graph
+    (strongly_connected.py:116 area)."""
+    if graph.num_vertices() == 0:
+        raise ValueError(
+            "Connectivity is undefined for the null graph "
+            "(NetworkXPointlessConcept parity)"
+        )
+    return number_strongly_connected_components(graph, **kw) == 1
+
+
+def condensation_edges(graph: LinkGraph) -> DataFrame:
+    """Edges of the condensation DAG (component -> component, deduped;
+    networkx/algorithms/components/strongly_connected.py:279)."""
+    scc = strongly_connected_components(graph)
+    e = (
+        graph.edges.select("src", "dst")
+        .join(scc.select(F.col("id").alias("src"), F.col("component").alias("c_src")), "src")
+        .join(scc.select(F.col("id").alias("dst"), F.col("component").alias("c_dst")), "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    return e

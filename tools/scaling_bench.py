@@ -74,9 +74,13 @@ def main() -> None:
 
     # warm the pagerank codepath once (2 iters), then measure
     pagerank(g, fixed_iter=2).write.format("noop").mode("overwrite").save()
+    stats: dict = {}
     t0 = time.monotonic()
-    pagerank(g, fixed_iter=pr_iters).write.format("noop").mode("overwrite").save()
+    pagerank(g, fixed_iter=pr_iters, stats_out=stats).write.format("noop").mode(
+        "overwrite"
+    ).save()
     t_pr = time.monotonic() - t0
+    t_loop = stats.get("loop_s", t_pr)
 
     ingest_s = t_corpus + t_extract + t_build
     print(
@@ -92,7 +96,9 @@ def main() -> None:
                 "build_s": round(t_build, 2),
                 "ingest_s": round(ingest_s, 2),
                 "pagerank_s": round(t_pr, 2),
-                "edges_per_sec_per_superstep": round(n_edges * pr_iters / t_pr, 1),
+                "pagerank_prep_s": stats.get("prep_s"),
+                "pagerank_loop_s": round(t_loop, 2),
+                "edges_per_sec_per_superstep": round(n_edges * pr_iters / t_loop, 1),
                 "ingest_pages_per_sec": round(n_pages / ingest_s, 1),
             }
         )
