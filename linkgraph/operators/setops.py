@@ -85,9 +85,10 @@ def compose(g: LinkGraph, h: LinkGraph) -> LinkGraph:
         ge.join(he, ["src", "dst"], "full_outer")
         .select("src", "dst", F.coalesce("weight_h", "weight").alias("weight"))
     )
-    v = (
-        g.vertices.unionByName(h.vertices, allowMissingColumns=True)
-        .groupBy("id")
-        .agg(*[F.max(c).alias(c) for c in g.vertices.columns if c != "id"])
-    )
+    attr_cols = [c for c in g.vertices.columns if c != "id"]
+    vu = g.vertices.unionByName(h.vertices, allowMissingColumns=True)
+    if attr_cols:
+        v = vu.groupBy("id").agg(*[F.max(c).alias(c) for c in attr_cols])
+    else:
+        v = vu.distinct()
     return LinkGraph(vertices=v, edges=merged, directed=g.directed)
