@@ -261,7 +261,7 @@ def q_doc_near_dup_jaccard(spark, sf_dir):
 
 def q_doc_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", tx.simhash64(F.col("text")).alias("sh"))
+    sh = tx.simhash_table(docs).withColumnRenamed("simhash", "sh")
     mask = F.lit(0xFFFFFFFF).cast("long")
     return sh.select(
         "doc_id",
@@ -366,13 +366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "embedding_topk": q_embedding_topk,
         "event_type_stats": q_event_type_stats,
-        # rows-only (iterative / pipeline ops with no tractable SQL form)
-        "lpa_nation_chains": q_lpa_nation_chains,
-        "pages_pipeline_pagerank": q_pages_pipeline_pagerank,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
         "scc_orders": q_scc_orders,
+        # rows-only: LPA's converged labels depend on the JP-coloring
+        # update schedule (xxhash64 priorities — not SQL-expressible);
+        # the pages pipeline's link structure derives from xxhash64 too.
+        # Both are exact/1e-6-verified vs live networkx in pytest.
+        "lpa_nation_chains": q_lpa_nation_chains,
+        "pages_pipeline_pagerank": q_pages_pipeline_pagerank,
     }
 
 
@@ -553,13 +556,21 @@ FROM bits"""
 
 
 def _jaccard_pairs_sql() -> str:
+    # bt built from documents LEFT JOIN mh (not mh alone) so <3-token
+    # docs get band keys (md5 of empty concat) exactly as the engine's
+    # minhash_candidate_pairs does — keeps this oracle consistent with
+    # _bands_sql on short-doc corpora
     return f"""
 WITH {_minhash_cte(8)},
 bt AS (
-  SELECT doc_id AS id, 0 AS band, md5(concat_ws('|', h0, h1)) AS key FROM mh
-  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h2, h3)) FROM mh
-  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h4, h5)) FROM mh
-  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h6, h7)) FROM mh
+  SELECT d.doc_id AS id, 0 AS band, md5(concat_ws('|', mh.h0, mh.h1)) AS key
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 1, md5(concat_ws('|', mh.h2, mh.h3))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 2, md5(concat_ws('|', mh.h4, mh.h5))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 3, md5(concat_ws('|', mh.h6, mh.h7))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -575,6 +586,118 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled iterative peeling (same generator device as
+    ``_pagerank_sql``): each round keeps edges whose endpoints have
+    degree >= k among the previous round's edges. Peeling is monotone
+    and idempotent at the fixpoint, so unrolling more rounds than the
+    data needs (measured: 1 round at sf0.01) is harmless."""
+    head = f"WITH {_PAIRS_CTE}, p0 AS MATERIALIZED (SELECT src, dst FROM pairs)"
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+k{i + 1} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id FROM p{i} UNION ALL SELECT dst FROM p{i}
+  ) GROUP BY id HAVING count(*) >= {k}
+),
+p{i + 1} AS MATERIALIZED (
+  SELECT p.src, p.dst FROM p{i} p
+  JOIN k{i + 1} a ON a.id = p.src
+  JOIN k{i + 1} b ON b.id = p.dst
+)""")
+    return head + "," + ",".join(steps) + f"\nSELECT src, dst FROM p{rounds}"
+
+
+def _core_number_sql(iters: int = 30) -> str:
+    """Unrolled Montresor h-index iteration — the exact mirror of the
+    engine's ``core_number``: c0 = degree; c_{{t+1}}(v) = h-index of
+    neighbors' c_t. Monotone non-increasing with fixpoint = core
+    number, so extra unrolled iterations (measured: 19 to fixpoint at
+    sf0.01) are idempotent."""
+    head = f"""
+WITH {_PAIRS_CTE},
+e AS MATERIALIZED (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+c0 AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM e GROUP BY src)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+c{i + 1} AS MATERIALIZED (
+  SELECT src AS id, max(least(cd, rn)) AS c FROM (
+    SELECT e.src, p.c AS cd,
+      row_number() OVER (PARTITION BY e.src ORDER BY p.c DESC) AS rn
+    FROM e JOIN c{i} p ON p.id = e.dst
+  ) GROUP BY src
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT p.p_partkey AS id, CAST(COALESCE(cn.c, 0) AS BIGINT) AS core
+FROM part p LEFT JOIN c{iters} cn ON cn.id = p.p_partkey"""
+    )
+
+
+def _scc_sql() -> str:
+    """SCC via mutual transitive reachability: reach(a,b) is the
+    reflexive-transitive closure (recursive CTE, UNION-deduped);
+    component(v) = max id mutually reachable with v — exactly the
+    engine's deterministic representative (max vertex id in the SCC).
+    Tractable at oracle scale because the closure is bounded by
+    n * |giant SCC|."""
+    return """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+nodes AS (SELECT c_custkey AS id FROM customer),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS id, max(r1.b) AS component
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a"""
+
+
+def _lsh_topk_sql(dim: int = 64, bits: int = 8, k: int = 10, n_queries: int = 8) -> str:
+    """Mirror of ``similarity.lsh_topk``: the hyperplanes are pure
+    ``sin`` functions of (plane, dim) computed in Python
+    (similarity._hyperplane) and embedded as DOUBLE[] literals, so
+    bucket assignment is bit-identical; scores are rounded to 6
+    decimals before ranking on both sides."""
+    planes = [sim._hyperplane(dim, p) for p in range(bits)]
+    plane_lits = [
+        "[" + ", ".join(repr(x) for x in pl) + "]::DOUBLE[]" for pl in planes
+    ]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ed, {plane_lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(bits)
+    )
+    probes = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(bits)])
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT vec_id, ed, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, ed AS qv, bucket AS b0 FROM c WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT DISTINCT query_id, qv, unnest([{probes}]) AS bucket FROM q
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(p.qv, c.ed)
+      / greatest(sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.ed, c.ed)), 1e-300),
+      6) AS score
+  FROM probe p JOIN c ON c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -737,4 +860,8 @@ SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10""",
 SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value_r,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
+        "kcore_parts": _kcore_sql(k=3, rounds=8),
+        "core_number_parts": _core_number_sql(iters=30),
+        "scc_orders": _scc_sql(),
+        "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
     }

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textops import hamming64, minhash_bands, simhash64, tokens
+from .textops import hamming64, minhash_bands, simhash_table, tokens
 
 
 def exact_dedup_groups(
@@ -140,7 +140,11 @@ def simhash_near_dup_pairs(
     pairs must share one of the 4 16-bit simhash quadrants (any pair
     within hamming ≤3 of a 64-bit hash shares ≥1 exact quadrant —
     pigeonhole), so the join is an equi-join, never a cross join."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    # simhash_table hashes each token once (vs 64× in the Column form)
+    sh = (
+        simhash_table(df, text_col, id_col, out_col="sh")
+        .withColumnRenamed(id_col, "id")
+    )
     quads = sh.select(
         "id",
         "sh",

@@ -113,9 +113,13 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
-    LSH bucket (plus Hamming-1 neighbor buckets for recall)."""
+    LSH bucket (plus Hamming-1 neighbor buckets for recall).
+    ``round_to`` quantizes scores before ranking so the (score DESC,
+    neighbor_id ASC) order is deterministic cross-engine (same device
+    as :func:`cosine_topk`; the DuckDB oracle mirrors it)."""
     from pyspark.sql.window import Window
 
     c = corpus.select(
@@ -134,12 +138,13 @@ def lsh_topk(
         )
         .select("query_id", "qv", F.explode(probe_buckets).alias("bucket"))
     )
+    score = cosine(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
-        )
+        .select("query_id", "neighbor_id", score.alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -193,6 +193,46 @@ def simhash64(text: Column) -> Column:
     return acc
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash BIGINT) — identical bits to :func:`simhash64`, but
+    each token is md5-hashed ONCE (vs once per bit in the Column form):
+    explode tokens → one md5 per token → a single groupBy with 64
+    bit-vote sums (map-side partial agg, one shuffle on ``id_col``).
+    This is the corpus-scale path; ``simhash64`` remains for
+    single-expression composition. Docs with no tokens get simhash 0
+    (all vote sums are 0, no bit set) — same as the Column form."""
+    tk = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    hx = tk.select(id_col, F.md5(F.col("_tok")).alias("_hx"))
+    votes = []
+    for b in range(64):
+        d, shift = divmod(b, 4)
+        digit = F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.col("_hx"), d + 1, 1)
+        ) - 1
+        bit = F.shiftright(digit, shift) % 2
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{b}"))
+    agg = hx.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(
+            F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    sh = agg.select(F.col(id_col), acc.alias(out_col))
+    return (
+        df.select(id_col)
+        .join(sh, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(out_col), F.lit(0).cast("long")).alias(out_col),
+        )
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -98,12 +98,16 @@ class LinkGraph:
         return replace(self, edges=rev)
 
     def symmetrized_edges(self) -> DataFrame:
-        """Both directions of every edge; identity for self-loops handled
-        by union (undirected -> directed conversion of
-        networkx/algorithms/link_analysis/pagerank_alg.py:128)."""
+        """Both directions of every edge. Self-loops appear ONCE (only
+        in the forward half): the reference's undirected→directed
+        conversion (pagerank_alg.py:128 ``D = G.to_directed()``) keeps
+        a self-loop as a single directed edge, so emitting it from both
+        union sides would double its transition weight."""
         we = self.weighted_edges()
         return we.unionByName(
-            we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+            we.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
         )
 
     def undirected_edges(self) -> DataFrame:

@@ -35,6 +35,14 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
     canonical undirected edges."""
     spark = graph.spark
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if k <= 0:
+        # nx.k_core(G, 0) is the whole graph — including isolates
+        # (networkx/algorithms/core.py k_core with k=0 filters nothing)
+        return LinkGraph(
+            vertices=graph.vertices,
+            edges=_simple_undirected_edges(graph).withColumn("weight", F.lit(1.0)),
+            directed=False,
+        )
     edges = _simple_undirected_edges(graph).repartition(num_partitions, "src").persist()
     n_edges = edges.count()
 
@@ -79,32 +87,82 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
     )
 
 
-def core_number(graph: LinkGraph, max_k: int = 64) -> DataFrame:
+def core_number(graph: LinkGraph, max_iters: int = 500) -> DataFrame:
     """(id, core) — the largest k such that id is in the k-core
     (networkx/algorithms/core.py ``core_number``).
 
-    Distributed form: repeated peeling with increasing k; each node's
-    core number is the last k at which it survived. O(k_max) peels —
-    fine for web graphs (k_max is small); a single-pass distributed
-    core-number algorithm is the documented upgrade path.
+    Single-superstep-loop distributed form (Montresor et al.,
+    "Distributed k-Core Decomposition", IEEE TPDS 2013): every node
+    starts at c = degree and repeatedly sets c to the h-index of its
+    neighbors' current estimates (largest h with ≥ h neighbors whose
+    estimate is ≥ h). The sequence is monotone non-increasing and its
+    fixpoint is exactly the core number — ONE loop for all k, job
+    count independent of k_max (vs the O(k_max) full-peeling runs this
+    replaces).
+
+    Per iteration: one equi-join of edges against estimates (shuffle on
+    dst, map-side combine in the window's sort) + a per-src window
+    computing the h-index as max(min(rank, c)) over neighbors ordered
+    by c desc. A hub's neighborhood sorts in one task — acceptable
+    because the sort key is a BIGINT and spills; at extreme hub degree
+    the groupBy-histogram variant (count per estimate value) is the
+    documented upgrade.
+
+    Converges in rounds proportional to graph "locality" — small for
+    dense web cores; worst case (long induced paths) is O(path length),
+    so ``max_iters`` is generous and exhaustion raises rather than
+    returning a silently-wrong labeling.
     """
+    from pyspark.sql.window import Window
+
     spark = graph.spark
-    result = graph.vertices.select("id", F.lit(0).alias("core"))
-    g = graph
-    for k in range(1, max_k + 1):
-        sub = k_core(g, k)
-        surv = sub.vertices.select("id").persist()
-        if surv.count() == 0:
-            surv.unpersist()
-            break
-        result = (
-            result.join(surv.withColumn("in_core", F.lit(k)), "id", "left")
-            .select(
-                "id", F.coalesce("in_core", F.col("core")).alias("core")
-            )
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    canon = _simple_undirected_edges(graph)
+    edges = (
+        canon.unionByName(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # persist result each round to keep lineage bounded
-        result = result.localCheckpoint(eager=True)
-        surv.unpersist()
-        g = sub
-    return result
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    edges.count()
+
+    c = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("core"))
+        .localCheckpoint(eager=True)
+    )
+
+    w = Window.partitionBy("src").orderBy(F.desc("c_dst"), F.asc("dst"))
+    converged = False
+    for _ in range(max_iters):
+        h = (
+            edges.join(
+                c.select(F.col("id").alias("dst"), F.col("core").alias("c_dst")),
+                "dst",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.least(F.col("c_dst"), F.col("rn"))).alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            h.withColumnRenamed("core", "c_new")
+            .join(c.withColumnRenamed("core", "c_old"), "id")
+            .where(F.col("c_new") != F.col("c_old"))
+            .limit(1)
+            .count()
+        )
+        c = h
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"core_number did not converge within max_iters={max_iters}"
+        )
+    # isolated vertices (and self-loop-only vertices) have core 0
+    return graph.vertices.select("id").join(c, "id", "left").select(
+        "id", F.coalesce("core", F.lit(0)).cast("long").alias("core")
+    )

@@ -75,20 +75,50 @@ def symmetric_difference(g: LinkGraph, h: LinkGraph) -> LinkGraph:
 
 
 def compose(g: LinkGraph, h: LinkGraph) -> LinkGraph:
-    """Union of nodes and edges; on conflict H's edge attrs win
-    (binary.py:301) — last-write-wins via coalesce of H over G."""
-    ge = g.edges.select("src", "dst", "weight")
-    he = h.edges.select(
-        "src", "dst", F.col("weight").alias("weight_h")
+    """Union of nodes and edges; on conflict H's attrs win
+    (binary.py:301) — last-write-wins via coalesce of H over G.
+
+    Each side is first coalesced per (src, dst) (parallel rows summed,
+    the engine's multigraph→simple convention, see
+    ``LinkGraph.coalesced_edges``) so multigraph input cannot M×N-blow
+    up the full_outer join. Vertex attributes merge per column with
+    ``coalesce(h_attr, g_attr)`` — H takes precedence, exactly the
+    reference's ``G.nodes.update(H.nodes)`` ordering."""
+    ge = g.edges.groupBy("src", "dst").agg(
+        F.sum(F.coalesce("weight", F.lit(1.0))).alias("weight")
+    )
+    he = h.edges.groupBy("src", "dst").agg(
+        F.sum(F.coalesce("weight", F.lit(1.0))).alias("weight_h")
     )
     merged = (
         ge.join(he, ["src", "dst"], "full_outer")
         .select("src", "dst", F.coalesce("weight_h", "weight").alias("weight"))
     )
-    attr_cols = [c for c in g.vertices.columns if c != "id"]
-    vu = g.vertices.unionByName(h.vertices, allowMissingColumns=True)
-    if attr_cols:
-        v = vu.groupBy("id").agg(*[F.max(c).alias(c) for c in attr_cols])
+    g_attrs = [c for c in g.vertices.columns if c != "id"]
+    h_attrs = [c for c in h.vertices.columns if c != "id"]
+    all_attrs = list(dict.fromkeys(g_attrs + h_attrs))
+    if all_attrs:
+        gv = g.vertices.select(
+            "id",
+            *[
+                (F.col(c) if c in g_attrs else F.lit(None)).alias(f"_g_{c}")
+                for c in all_attrs
+            ],
+        )
+        hv = h.vertices.select(
+            "id",
+            *[
+                (F.col(c) if c in h_attrs else F.lit(None)).alias(f"_h_{c}")
+                for c in all_attrs
+            ],
+        )
+        v = gv.join(hv, "id", "full_outer").select(
+            "id",
+            *[
+                F.coalesce(F.col(f"_h_{c}"), F.col(f"_g_{c}")).alias(c)
+                for c in all_attrs
+            ],
+        )
     else:
-        v = vu.distinct()
+        v = g.vertices.unionByName(h.vertices).distinct()
     return LinkGraph(vertices=v, edges=merged, directed=g.directed)

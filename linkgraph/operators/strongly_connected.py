@@ -143,6 +143,15 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
 
+    if verts.limit(1).count() != 0:
+        # mirror PowerIterationFailedConvergence: never return a silent
+        # partial labeling (long chains of small SCCs can exceed the
+        # round budget — the caller must raise it explicitly)
+        raise RuntimeError(
+            f"strongly_connected_components did not resolve all vertices "
+            f"within max_outer_rounds={max_outer_rounds}; "
+            "raise max_outer_rounds"
+        )
     out = done_parts[0] if done_parts else verts.select(
         "id", F.col("id").alias("component")
     )

