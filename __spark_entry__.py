@@ -333,6 +333,30 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def q_assortativity_parts(spark, sf_dir):
+    from linkgraph.operators.assortativity import degree_assortativity_coefficient
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    r = degree_assortativity_coefficient(g)
+    return spark.createDataFrame([(round(r, 6),)], "assortativity_r double")
+
+
+def q_link_embeddedness_parts(spark, sf_dir):
+    from linkgraph.operators import links
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return links.common_neighbor_counts(g, adjacent_only=True).select(
+        "u", "v", "cn"
+    )
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.lsh_self_join(emb, dim=64, bits=8, round_to=6).select(
+        "id_a", "id_b", F.col("score").alias("score_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -370,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
         "scc_orders": q_scc_orders,
+        "assortativity_parts": q_assortativity_parts,
+        "link_embeddedness_parts": q_link_embeddedness_parts,
+        "embedding_near_pairs": q_embedding_near_pairs,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -660,12 +687,10 @@ FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
 GROUP BY r1.a"""
 
 
-def _lsh_topk_sql(dim: int = 64, bits: int = 8, k: int = 10, n_queries: int = 8) -> str:
-    """Mirror of ``similarity.lsh_topk``: the hyperplanes are pure
-    ``sin`` functions of (plane, dim) computed in Python
-    (similarity._hyperplane) and embedded as DOUBLE[] literals, so
-    bucket assignment is bit-identical; scores are rounded to 6
-    decimals before ranking on both sides."""
+def _emb_bucket_cte(dim: int, bits: int) -> str:
+    """Shared CTE: embeddings bucketed by the deterministic
+    hyperplanes (similarity._hyperplane sin values embedded as
+    DOUBLE[] literals — bit-identical to the engine's lsh_bucket)."""
     planes = [sim._hyperplane(dim, p) for p in range(bits)]
     plane_lits = [
         "[" + ", ".join(repr(x) for x in pl) + "]::DOUBLE[]" for pl in planes
@@ -674,12 +699,19 @@ def _lsh_topk_sql(dim: int = 64, bits: int = 8, k: int = 10, n_queries: int = 8)
         f"(CASE WHEN list_dot_product(ed, {plane_lits[p]}) > 0 THEN {1 << p} ELSE 0 END)"
         for p in range(bits)
     )
-    probes = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(bits)])
-    return f"""
-WITH c AS MATERIALIZED (
+    return f"""c AS MATERIALIZED (
   SELECT vec_id, ed, {bucket_terms} AS bucket
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
-),
+)"""
+
+
+def _lsh_topk_sql(dim: int = 64, bits: int = 8, k: int = 10, n_queries: int = 8) -> str:
+    """Mirror of ``similarity.lsh_topk``: deterministic-hyperplane
+    buckets (see ``_emb_bucket_cte``); scores rounded to 6 decimals
+    before ranking on both sides."""
+    probes = ", ".join(["b0"] + [f"xor(b0, {1 << i})" for i in range(bits)])
+    return f"""
+WITH {_emb_bucket_cte(dim, bits)},
 q AS (SELECT vec_id AS query_id, ed AS qv, bucket AS b0 FROM c WHERE vec_id < {n_queries}),
 probe AS (
   SELECT DISTINCT query_id, qv, unnest([{probes}]) AS bucket FROM q
@@ -698,6 +730,42 @@ r AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= {k}"""
+
+
+def _near_pairs_sql(dim: int = 64, bits: int = 8) -> str:
+    """Mirror of ``similarity.lsh_self_join``: side A = owner buckets,
+    side B = owner + Hamming-1 probe buckets, equi-join on bucket with
+    id_a < id_b, DISTINCT collapsing the same-bucket double-count."""
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(bits)])
+    return f"""
+WITH {_emb_bucket_cte(dim, bits)},
+b AS (SELECT vec_id, ed, unnest([{probes}]) AS bucket FROM c)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.ed, b.ed)
+    / greatest(sqrt(list_dot_product(a.ed, a.ed)) * sqrt(list_dot_product(b.ed, b.ed)), 1e-300),
+    6) AS score_r
+FROM c a JOIN b ON b.bucket = a.bucket AND a.vec_id < b.vec_id"""
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE},
+sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+SELECT round(corr(a.d, b.d), 6) AS assortativity_r
+FROM sym JOIN deg a ON a.id = sym.src JOIN deg b ON b.id = sym.dst"""
+
+
+def _link_embeddedness_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE},
+sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+w AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT w.u, w.v, w.cn FROM w JOIN pairs p ON p.src = w.u AND p.dst = w.v"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -864,4 +932,7 @@ FROM events GROUP BY event_type""",
         "core_number_parts": _core_number_sql(iters=30),
         "scc_orders": _scc_sql(),
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
+        "assortativity_parts": _assortativity_sql(),
+        "link_embeddedness_parts": _link_embeddedness_sql(),
+        "embedding_near_pairs": _near_pairs_sql(dim=64, bits=8),
     }

@@ -148,3 +148,58 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_self_join(
+    corpus: DataFrame,
+    dim: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Corpus-vs-corpus ANN candidate pairs — the embedding-dedup shape
+    a 100 TB pipeline actually runs: (id_a, id_b, score) with
+    id_a < id_b, scored only for pairs whose buckets match exactly or
+    at Hamming distance 1.
+
+    Physical plan: the corpus is bucketed ONCE (one narrow scan); side
+    A carries each vector under its own bucket, side B replicates each
+    vector to its bucket + the ``bits`` Hamming-1 probe buckets
+    (write amplification = bits+1, NOT corpus²); the join is an
+    equi-join on ``bucket``. Every qualifying pair is found exactly
+    once from the A-side owner bucket: (a,b) with buckets at distance
+    1 matches when B's probe of b lands in a's bucket, and distinct()
+    collapses the symmetric double-count of same-bucket pairs.
+    Bucket ids are md5-free integer hashes of deterministic
+    hyperplanes, so the pair table is reproducible across runs and
+    cluster sizes (and DuckDB-oracle-able)."""
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("b0"),
+    )
+    a = base.select("id", "v", F.col("b0").alias("bucket"))
+    probe_buckets = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+    )
+    b = base.select(
+        "id", "v", F.explode(probe_buckets).alias("bucket")
+    )
+    score = cosine(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    pairs = (
+        a.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        .join(
+            b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"),
+            "bucket",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("score"))
+        .distinct()
+    )
+    if threshold is not None:
+        pairs = pairs.where(F.col("score") >= threshold)
+    return pairs

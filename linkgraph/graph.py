@@ -145,6 +145,48 @@ class LinkGraph:
     def num_vertices(self) -> int:
         return self.vertices.count()
 
+    # -- point predicates / lookups (driver-boundary scalars; parity
+    # with graph.py:891 has_node, :1303 has_edge, :509 neighbors,
+    # :1468 nbunch_iter) --------------------------------------------
+    def has_node(self, node_id: int) -> bool:
+        return (
+            self.vertices.where(F.col("id") == node_id).limit(1).count() == 1
+        )
+
+    def has_edge(self, src: int, dst: int) -> bool:
+        e = self.edges
+        cond = (F.col("src") == src) & (F.col("dst") == dst)
+        if not self.directed:
+            cond = cond | ((F.col("src") == dst) & (F.col("dst") == src))
+        return e.where(cond).limit(1).count() == 1
+
+    def neighbors(self, node_id: int) -> DataFrame:
+        """(id) successors of ``node_id`` (nx ``G.neighbors`` ==
+        successors for DiGraph, graph.py:509); undirected graphs use
+        both endpoints. Distinct — parallel edges collapse."""
+        e = self.edges if self.directed else self.symmetrized_edges()
+        return (
+            e.where(F.col("src") == node_id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+
+    def nbunch_iter(self, nbunch=None) -> DataFrame:
+        """(id) membership-filtered node set (graph.py:1468): None →
+        all vertices; an iterable of ids → those present in the graph,
+        silently dropping unknowns (reference semantics)."""
+        ids = self.vertices.select("id")
+        if nbunch is None:
+            return ids
+        if not isinstance(nbunch, (list, tuple, set, frozenset)):
+            nbunch = [nbunch]
+        want = self.spark.createDataFrame(
+            [(int(n),) for n in nbunch] or [(None,)], "id long"
+        )
+        if not nbunch:
+            want = want.where(F.lit(False))
+        return ids.join(want.distinct(), "id", "left_semi")
+
 
 def graph_from_pages(pages: DataFrame, directed: bool = True) -> LinkGraph:
     """Full ingest: pages -> extraction UDF -> edges + id dictionary.

@@ -76,6 +76,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     lineage: bool = False,
+    resume: bool = False,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns ranks(id BIGINT, rank DOUBLE), one row per vertex.
@@ -147,14 +148,33 @@ def pagerank(
             "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
         )
 
-    loop = SuperstepLoop(
-        spark,
-        "pagerank",
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=checkpoint_every,
-        lineage=lineage,
-    )
-    x = loop.start(x.repartition(num_partitions, "id"))
+    if resume and checkpoint_dir:
+        # mid-algorithm restart (north rule: "resumable from
+        # checkpoint"): reload the newest Parquet snapshot + iteration
+        # counter; static structures (adjacency, p/dw vectors) are
+        # deterministic functions of the input graph, so the resumed
+        # trajectory is identical to an uninterrupted run. max_iter
+        # still counts TOTAL iterations across both runs.
+        loop, x_resumed = SuperstepLoop.resume(
+            spark,
+            "pagerank",
+            checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            lineage=lineage,
+        )
+        if x_resumed is not None:
+            x = x_resumed
+        else:
+            x = loop.start(x.repartition(num_partitions, "id"))
+    else:
+        loop = SuperstepLoop(
+            spark,
+            "pagerank",
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            lineage=lineage,
+        )
+        x = loop.start(x.repartition(num_partitions, "id"))
 
     threshold = n * tol
     niter = fixed_iter if fixed_iter is not None else max_iter
@@ -176,7 +196,7 @@ def pagerank(
         stats_out["prep_s"] = round(_time.monotonic() - _t0, 3)
     _t_loop = _time.monotonic()
     try:
-        for it in range(niter):
+        for it in range(loop.iteration, niter):
             contribs = (
                 adj.join(x.withColumnRenamed("id", "src"), "src")
                 .select(

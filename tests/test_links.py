@@ -1,0 +1,110 @@
+"""Link-prediction / common-neighbors / assortativity vs nx oracles."""
+
+import math
+
+import networkx as nx
+import pytest
+
+from linkgraph.graph import graph_from_edge_names
+from linkgraph.operators import links
+from linkgraph.operators.assortativity import degree_assortativity_coefficient
+
+from nx_oracle import nx_graph
+
+KARATE = list(nx.karate_club_graph().edges())
+
+
+def _g(spark, edges, directed=False, nodes=()):
+    return graph_from_edge_names(spark, edges, nodes=nodes, directed=directed)
+
+
+def names(g):
+    return {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+
+
+def test_common_neighbors_vs_nx(spark):
+    g = _g(spark, KARATE)
+    nm = names(g)
+    rev = {v: k for k, v in nm.items()}
+    ref = sorted(nx.common_neighbors(nx_graph(KARATE), 0, 1))
+    got = sorted(
+        nm[r["id"]] for r in links.common_neighbors(g, rev["0"], rev["1"]).collect()
+    )
+    assert got == [str(n) for n in sorted(ref, key=str)]
+
+
+def test_common_neighbors_directed_raises(spark):
+    g = _g(spark, [(0, 1)], directed=True)
+    with pytest.raises(ValueError):
+        links.common_neighbors(g, 0, 1)
+
+
+def test_jaccard_adamic_ra_pa_vs_nx(spark):
+    g = _g(spark, KARATE)
+    nm = names(g)
+    G = nx_graph(KARATE)
+    # engine emits all wedge pairs; nx ebunch=None means non-edges only,
+    # so feed nx exactly the engine's pair set for value comparison
+    jc = {
+        (nm[r["u"]], nm[r["v"]]): r["jaccard"]
+        for r in links.jaccard_coefficient(g).collect()
+    }
+    pairs = [(int(a), int(b)) for a, b in jc]
+    ref = {(str(u), str(v)): p for u, v, p in nx.jaccard_coefficient(G, pairs)}
+    assert jc.keys() == ref.keys()
+    for k, v in ref.items():
+        assert jc[k] == pytest.approx(v, abs=1e-9)
+
+    aa = {
+        (nm[r["u"]], nm[r["v"]]): r["aa"]
+        for r in links.adamic_adar_index(g).collect()
+    }
+    ref_aa = {(str(u), str(v)): p for u, v, p in nx.adamic_adar_index(G, pairs)}
+    for k, v in ref_aa.items():
+        assert aa[k] == pytest.approx(v, abs=1e-9)
+
+    ra = {
+        (nm[r["u"]], nm[r["v"]]): r["ra"]
+        for r in links.resource_allocation_index(g).collect()
+    }
+    ref_ra = {
+        (str(u), str(v)): p for u, v, p in nx.resource_allocation_index(G, pairs)
+    }
+    for k, v in ref_ra.items():
+        assert ra[k] == pytest.approx(v, abs=1e-9)
+
+    pa = {
+        (nm[r["u"]], nm[r["v"]]): r["pa"]
+        for r in links.preferential_attachment(g).collect()
+    }
+    ref_pa = {
+        (str(u), str(v)): p for u, v, p in nx.preferential_attachment(G, pairs)
+    }
+    for k, v in ref_pa.items():
+        assert pa[k] == v
+
+
+def test_common_neighbor_counts_adjacent(spark):
+    g = _g(spark, KARATE)
+    nm = names(g)
+    G = nx_graph(KARATE)
+    got = {
+        (nm[r["u"]], nm[r["v"]]): r["cn"]
+        for r in links.common_neighbor_counts(g, adjacent_only=True).collect()
+    }
+    for (u, v), cn in got.items():
+        assert G.has_edge(int(u), int(v))
+        assert cn == len(list(nx.common_neighbors(G, int(u), int(v))))
+
+
+def test_degree_assortativity_vs_nx(spark):
+    g = _g(spark, KARATE)
+    ref = nx.degree_assortativity_coefficient(nx_graph(KARATE))
+    assert degree_assortativity_coefficient(g) == pytest.approx(ref, abs=1e-9)
+
+
+def test_degree_assortativity_directed_vs_nx(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 1), (0, 3)]
+    g = _g(spark, edges, directed=True)
+    ref = nx.degree_assortativity_coefficient(nx_graph(edges, directed=True))
+    assert degree_assortativity_coefficient(g) == pytest.approx(ref, abs=1e-9)

@@ -139,3 +139,37 @@ def test_nstart_and_checkpoint_ledger(spark, tmp_ckpt):
     recs = [json.loads(l) for l in open(ledger)]
     assert recs and all("l1_error" in r for r in recs)
     assert any(r["checkpointed"] and "partitions" in r for r in recs)
+
+
+def test_resume_mid_algorithm(spark, tmp_ckpt):
+    """Kill a checkpointed run mid-flight, resume, get identical final
+    ranks + a continuous ledger (north rule: resumable from checkpoint
+    with per-partition lineage; SuperstepLoop.resume read-side)."""
+    import json
+    import os
+    g = p1_graph(spark)
+    # interrupted run: budget exhausts after 4 of the ~30 needed iters
+    with pytest.raises(PowerIterationFailedConvergence):
+        pagerank(g, alpha=0.9, tol=1e-8, max_iter=4,
+                 checkpoint_dir=tmp_ckpt, checkpoint_every=2, lineage=True)
+    ledger = os.path.join(tmp_ckpt, "pagerank.ledger.jsonl")
+    first_seg = [json.loads(l) for l in open(ledger)]
+    assert max(r["iteration"] for r in first_seg) == 4
+    snaps = [d for d in os.listdir(tmp_ckpt) if d.startswith("pagerank.superstep=")]
+    assert snaps, "interrupted run must leave snapshots"
+
+    resumed = pagerank(g, alpha=0.9, tol=1e-8, max_iter=100,
+                       checkpoint_dir=tmp_ckpt, checkpoint_every=2,
+                       lineage=True, resume=True)
+    got = ranks_by_name(g, resumed)
+    for k, v in P1_GOLDEN.items():
+        assert got[k] == pytest.approx(v, abs=1e-4)
+    # uninterrupted reference run — identical trajectory
+    clean = ranks_by_name(g, pagerank(g, alpha=0.9, tol=1e-8))
+    for k, v in clean.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+    # ledger continuity: second segment picks up after iteration 4
+    recs = [json.loads(l) for l in open(ledger)]
+    second_seg = recs[len(first_seg):]
+    assert second_seg and min(r["iteration"] for r in second_seg) == 5
+    assert all("l1_error" in r for r in second_seg)
