@@ -26,6 +26,7 @@ def main() -> None:
     pr_iters = int(os.environ.get("LINKGRAPH_BENCH_PR_ITERS", "5"))
 
     import __spark_entry__ as entry
+    from pyspark.sql import functions as F
     from linkgraph.graph import graph_from_pages
     from linkgraph.operators.pagerank import pagerank
     from linkgraph.session import get_spark
@@ -83,6 +84,52 @@ def main() -> None:
         "overwrite"
     ).save()
     timings["pages_pagerank_converge"] = round(time.monotonic() - t0, 3)
+
+    # --- reference-scale rows (BASELINE.md: gnm 1e5 n / 1e6 e seed=42,
+    # CC 0.30 s / triangles 4.0 s; karate LPA 1.5 ms) -------------------
+    import networkx as nxlib
+    import pandas as pd
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.components import connected_components
+    from linkgraph.operators.label_propagation import label_propagation_communities
+    from linkgraph.operators.triangles import all_triangles
+
+    G = nxlib.gnm_random_graph(100_000, 1_000_000, seed=42)
+    epd = pd.DataFrame(list(G.edges()), columns=["src", "dst"])
+    gnm = LinkGraph(
+        vertices=spark.range(100_000).select("id").persist(),
+        edges=spark.createDataFrame(epd)
+        .select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.lit(1.0).alias("weight"),
+        )
+        .persist(),
+        directed=False,
+    )
+    gnm.edges.count()
+    run(
+        "gnm1e6_connected_components",
+        lambda: connected_components(gnm).agg(F.countDistinct("component")).collect(),
+    )
+    run("gnm1e6_triangles_total", lambda: all_triangles(gnm).count())
+    kar = nxlib.karate_club_graph()
+    kg = LinkGraph(
+        vertices=spark.range(34).select("id"),
+        edges=spark.createDataFrame(
+            pd.DataFrame(list(kar.edges()), columns=["src", "dst"])
+        ).select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.lit(1.0).alias("weight"),
+        ),
+        directed=False,
+    )
+    run(
+        "lpa_karate",
+        lambda: label_propagation_communities(kg).select("label").distinct().count(),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

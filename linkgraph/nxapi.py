@@ -122,6 +122,38 @@ def clustering(spark, edges, nodes=()) -> dict:
     return {nm[r["id"]]: r["clustering"] for r in tri.clustering(g).collect()}
 
 
+def degree_assortativity_coefficient(
+    spark, edges, nodes=(), directed: bool = False
+) -> float:
+    """``nx.degree_assortativity_coefficient`` (assortativity/
+    correlation.py:15)."""
+    from .operators.assortativity import degree_assortativity_coefficient as _dac
+
+    return _dac(_as_graph(spark, edges, nodes, directed))
+
+
+def common_neighbors(spark, edges, u, v, nodes=()) -> set:
+    """``nx.common_neighbors`` (function.py:1064) -> set of names."""
+    from .operators.links import common_neighbors as _cn
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    rev = {n: i for i, n in nm.items()}
+    return {nm[r["id"]] for r in _cn(g, rev[str(u)], rev[str(v)]).collect()}
+
+
+def jaccard_coefficient(spark, edges, nodes=()) -> list[tuple]:
+    """``nx.jaccard_coefficient`` over all wedge pairs ->
+    [(u, v, p), ...] (link_prediction.py:217)."""
+    from .operators.links import jaccard_coefficient as _jc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return [
+        (nm[r["u"]], nm[r["v"]], r["jaccard"]) for r in _jc(g).collect()
+    ]
+
+
 def hits(
     spark, edges, nodes=(), directed: bool = True,
     max_iter: int = 100, tol: float = 1.0e-8, normalized: bool = True,

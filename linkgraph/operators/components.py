@@ -36,6 +36,60 @@ from ..graph import LinkGraph
 from ..plans.loop import SuperstepLoop
 
 
+# Below this many edge rows the whole problem fits one Arrow batch on
+# one executor core, where a vectorized numpy hash-to-min converges in
+# milliseconds — the per-superstep distributed loop would pay multiple
+# shuffle stages per iteration for data that is sub-task-sized. This is
+# an adaptive PHYSICAL strategy (same spirit as Catalyst's broadcast-
+# vs-shuffle join choice): identical output, size-based plan selection.
+# The superstep loop below remains the at-scale path.
+LOCAL_CC_MAX_EDGES = 4_000_000
+
+
+def _local_components(graph: LinkGraph, ep: DataFrame) -> DataFrame:
+    """Single-task vectorized CC: edges stream into one ``mapInPandas``
+    task (Arrow batches, never the driver), labels converge by
+    min-propagation + pointer jumping in numpy; isolated vertices
+    rejoin as their own singleton component. ``ep`` is the (already
+    materialized) (src, dst) projection."""
+    ep = ep.coalesce(1)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b["src"].to_numpy(dtype="int64"))
+            dsts.append(b["dst"].to_numpy(dtype="int64"))
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        m = len(src)
+        s, d = inv[:m], inv[m:]
+        lab = np.arange(len(ids))
+        while True:
+            old = lab
+            lab = lab.copy()
+            np.minimum.at(lab, d, lab[s])
+            np.minimum.at(lab, s, lab[d])
+            while True:
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, old):
+                break
+        # ids is ascending, so min internal index == min original id:
+        # component representative matches the distributed path exactly
+        yield pd.DataFrame({"id": ids, "component": ids[lab]})
+
+    labels = ep.mapInPandas(fn, "id long, component long")
+    return graph.vertices.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def connected_components(
     graph: LinkGraph,
     max_iter: int = 64,
@@ -43,6 +97,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     lineage: bool = False,
+    local_max_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Returns labels(id BIGINT, component BIGINT) — component is the
     minimum vertex id in the component (deterministic representative).
@@ -51,16 +106,39 @@ def connected_components(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # static: symmetrized simple edge set (self-loops are no-ops for CC)
-    edges = (
-        graph.symmetrized_edges()
-        .select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(num_partitions, "dst")
-        .persist()
-    )
-    edges.count()
+    # local path never engages when the caller asked for checkpointed /
+    # resumable execution — that contract belongs to the superstep
+    # loop. The (src, dst) projection is persisted before counting so a
+    # derived edge plan is computed once, whichever path runs.
+    if local_max_edges and checkpoint_dir is None:
+        ep = graph.edges.select(
+            F.col("src").cast("long"), F.col("dst").cast("long")
+        ).persist()
+        if ep.count() <= local_max_edges:
+            return _local_components(graph, ep)
+        ep.unpersist()
+
+    # Static structure: the same salted CSR-block adjacency pagerank
+    # gathers over (build_adjacency) — built ONCE from the symmetrized
+    # edge set and persisted. Each superstep then shuffles only the
+    # LABEL table (n rows) to the adjacency partitioning; the edges
+    # never move again. The previous formulation joined the raw edge
+    # table on src every superstep — an O(m) shuffle per iteration
+    # that dominated at 40M+ edges. Self-loops are no-ops for CC and
+    # parallel-edge duplicates cannot change a min, so the arrays skip
+    # the (src,dst) coalescing shuffle entirely.
+    sym = graph.symmetrized_edges().select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    ).where(F.col("src") != F.col("dst"))
+    from ..graph import build_adjacency
+
+    adj = build_adjacency(
+        sym,
+        num_partitions=num_partitions,
+        coalesce_parallel=False,
+        normalize=False,
+    ).persist()
+    adj.count()
 
     labels = graph.vertices.select("id", F.col("id").alias("component"))
     loop = SuperstepLoop(
@@ -72,23 +150,28 @@ def connected_components(
     )
     labels = loop.start(labels.repartition(num_partitions, "id"))
 
-    def changed_count(prev: DataFrame, new: DataFrame) -> dict:
-        changed = (
-            new.withColumnRenamed("component", "c_new")
-            .join(prev.withColumnRenamed("component", "c_old"), "id")
-            .where(F.col("c_new") != F.col("c_old"))
-            .count()
-        )
-        return {"changed": changed}
+    # Termination metric: labels are monotone non-increasing, so the
+    # global sum strictly decreases until the fixpoint — comparing one
+    # scalar per superstep replaces the old full prev⋈new changed-count
+    # join (an extra O(n) shuffle + action per iteration). Decimal
+    # accumulator: Σ id can overflow BIGINT under ANSI at web scale.
+    def label_sum(prev: DataFrame, new: DataFrame) -> dict:
+        s = new.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        return {"label_sum": str(s)}
 
+    prev_sum = None
     try:
         for _ in range(max_iter):
             nbr_min = (
-                edges.join(
-                    labels.select(F.col("id").alias("src"), "component"), "src"
+                adj.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(
+                    F.explode(F.col("pairs")).alias("z"), F.col("component")
                 )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("component").alias("nbr_comp"))
+                .select(F.col("z.dsts").alias("id"), F.col("component").alias("c"))
+                .groupBy("id")
+                .agg(F.min("c").alias("nbr_comp"))
             )
             stepped = (
                 labels.join(nbr_min, "id", "left")
@@ -99,7 +182,10 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-            # pointer jumping: component <- component(component)
+            # pointer jumping: component <- component(component) —
+            # halves the rounds; the representative side is n rows
+            # (not m) and AQE's skew split absorbs the giant
+            # component's hot key
             jumped = (
                 stepped.alias("a")
                 .join(
@@ -117,12 +203,13 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-            labels, m = loop.advance(jumped, metrics_fn=changed_count)
-            if m["changed"] == 0:
+            labels, m = loop.advance(jumped, metrics_fn=label_sum)
+            if m["label_sum"] == prev_sum:
                 return labels
+            prev_sum = m["label_sum"]
         return labels
     finally:
-        edges.unpersist()
+        adj.unpersist()
 
 
 def weakly_connected_components(graph: LinkGraph, **kwargs) -> DataFrame:

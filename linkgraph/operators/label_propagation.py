@@ -38,12 +38,24 @@ from pyspark.sql import functions as F
 from ..graph import LinkGraph
 
 
-def greedy_coloring(edges_sym: DataFrame, vertices: DataFrame, max_rounds: int = 64) -> DataFrame:
+def greedy_coloring(
+    edges_sym: DataFrame,
+    vertices: DataFrame,
+    max_rounds: int = 64,
+    priority=None,
+) -> DataFrame:
     """Proper coloring via Jones–Plassmann rounds; (id, color INT).
 
     ``edges_sym`` must hold both directions of every edge, no self
     loops. Deterministic: priority = (xxhash64(id), id) total order.
-    """
+
+    ``priority`` makes the strategy pluggable (the reference's
+    ``greedy_color(strategy=...)`` seam, networkx/algorithms/coloring/
+    greedy_coloring.py): a callable mapping a column name to an
+    orderable Column; higher sorts first. Default is the hashed total
+    order above; e.g. ``lambda c: F.struct(F.col(f"deg_{c}"), F.col(c))``
+    reproduces a largest-first-style order if degree columns are
+    present on the edge table."""
     colored = vertices.select("id", F.lit(None).cast("int").alias("color"))
     remaining = edges_sym
     for _ in range(max_rounds):
@@ -57,7 +69,9 @@ def greedy_coloring(edges_sym: DataFrame, vertices: DataFrame, max_rounds: int =
             .join(uncolored.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .persist()
         )
-        pri = lambda c: F.struct(F.xxhash64(c).alias("h"), F.col(c).alias("i"))  # noqa: E731
+        pri = priority or (
+            lambda c: F.struct(F.xxhash64(c).alias("h"), F.col(c).alias("i"))
+        )
         # a node wins this round iff no live neighbor has higher priority
         blocked = (
             live.where(pri("dst") > pri("src")).select(F.col("src").alias("id")).distinct()
@@ -97,9 +111,91 @@ def greedy_coloring(edges_sym: DataFrame, vertices: DataFrame, max_rounds: int =
     return colored
 
 
+# Below this many edge rows the sweep runs in ONE Arrow task as the
+# reference's literal sequential algorithm (greedy largest-first
+# coloring + semi-synchronous Prec-Max sweeps) — the distributed loop
+# pays O(colors) chained joins per sweep for data that is sub-task-
+# sized. Same adaptive-physical-strategy rationale as
+# connected_components._local_components; results differ from the
+# distributed path only in which VALID labeling they converge to
+# (update schedule is implementation-defined in the reference too).
+LOCAL_LPA_MAX_EDGES = 500_000
+
+
+def _local_lpa(graph: LinkGraph) -> DataFrame:
+    """Single-task reference-exact LPA (label_propagation.py:238-338):
+    greedy coloring in degree order, unique initial labels, per-color
+    synchronous updates with Prec-Max tie-breaking, until every node's
+    label is in its neighborhood argmax set."""
+    ep = graph.edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).coalesce(1)
+
+    def fn(batches):
+        import pandas as pd
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for b in batches:
+            for u, v in zip(b["src"], b["dst"]):
+                u, v = int(u), int(v)
+                if u != v:
+                    adj[u].add(v)
+                    adj[v].add(u)
+        nodes = sorted(adj)
+        # greedy coloring, largest-first (reference _color_network uses
+        # nx.coloring.greedy_color 'largest_first'); ties by id
+        color = {}
+        for n in sorted(nodes, key=lambda x: (-len(adj[x]), x)):
+            used = {color[u] for u in adj[n] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[n] = c
+        classes = defaultdict(list)
+        for n, c in color.items():
+            classes[c].append(n)
+        labels = {n: n for n in nodes}
+
+        def complete():
+            for n in nodes:
+                freq = Counter(labels[u] for u in adj[n])
+                if not freq:
+                    continue
+                best = max(freq.values())
+                if freq.get(labels[n], 0) != best:
+                    return False
+            return True
+
+        for _ in range(1000):
+            if complete():
+                break
+            for c in sorted(classes):
+                updates = {}
+                for n in classes[c]:
+                    freq = Counter(labels[u] for u in adj[n])
+                    if not freq:
+                        continue
+                    best = max(freq.values())
+                    if freq.get(labels[n], 0) == best:
+                        continue  # Prec-Max: keep current if in argmax
+                    updates[n] = max(l for l, f in freq.items() if f == best)
+                labels.update(updates)
+        yield pd.DataFrame(
+            {"id": nodes, "label": [labels[n] for n in nodes]},
+            dtype="int64",
+        )
+
+    out = ep.mapInPandas(fn, "id long, label long")
+    return graph.vertices.select("id").join(out, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+
+
 def label_propagation_communities(
     graph: LinkGraph,
     max_rounds: int = 100,
+    local_max_edges: int = LOCAL_LPA_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT); communities = groups of equal
     label. Raises ValueError on directed graphs (parity with
@@ -110,6 +206,8 @@ def label_propagation_communities(
             "graphs (reference parity: label_propagation.py:236)"
         )
     spark = graph.spark
+    if local_max_edges and graph.edges.count() <= local_max_edges:
+        return _local_lpa(graph)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     edges = (

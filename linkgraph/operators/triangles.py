@@ -45,36 +45,138 @@ def _simple_undirected(graph: LinkGraph) -> DataFrame:
     )
 
 
-def _oriented(graph: LinkGraph) -> DataFrame:
-    """Orient edges low→high under (degree, id); columns (lo, hi)."""
-    simple = _simple_undirected(graph)
+def _oriented(graph: LinkGraph, simple: DataFrame | None = None) -> DataFrame:
+    """Orient edges low→high under (degree, id); columns (lo, hi).
+
+    Degrees join onto the CANONICAL edge set (one row per undirected
+    edge, not the 2× symmetrized table) — two equi-joins on an edge
+    table half the size, orientation decided per-row. ``simple``
+    (optional) is a pre-materialized canonical edge set — callers
+    persist it once so derived edge plans (e.g. a co-occurrence
+    self-join) are not recomputed per downstream action."""
+    if simple is None:
+        simple = _simple_undirected(graph)
     both = simple.unionByName(
         simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranked = (
-        both.join(deg.withColumnRenamed("src", "_u").withColumnRenamed("deg", "du"),
-                  F.col("src") == F.col("_u")).drop("_u")
+        simple.join(deg.withColumnRenamed("src", "_u").withColumnRenamed("deg", "du"),
+                    F.col("src") == F.col("_u")).drop("_u")
         .join(deg.withColumnRenamed("src", "_v").withColumnRenamed("deg", "dv"),
               F.col("dst") == F.col("_v")).drop("_v")
     )
-    keep = (F.col("du") < F.col("dv")) | (
+    src_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
     )
-    return ranked.where(keep).select(
-        F.col("src").alias("lo"), F.col("dst").alias("hi"),
-        F.col("du").alias("deg_lo"), F.col("dv").alias("deg_hi"),
+    return ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        F.when(src_first, F.col("du")).otherwise(F.col("dv")).alias("deg_lo"),
+        F.when(src_first, F.col("dv")).otherwise(F.col("du")).alias("deg_hi"),
     )
 
 
-def all_triangles(graph: LinkGraph) -> DataFrame:
+# below this many oriented edges the closing side broadcasts (~16 bytes
+# per edge → 160 MB at the threshold; executors are sized for that) so
+# the wedge stream never shuffles — it pipelines map-side from the
+# oriented scan straight into a broadcast-hash semi-join
+BROADCAST_CLOSING_MAX_EDGES = 10_000_000
+
+# The local single-task path engages only when BOTH hold: edge rows
+# under the edge cap AND the wedge-count upper bound Σ_v C(deg v, 2)
+# (one cheap aggregate; the oriented wedge table is a subset of it)
+# under the wedge cap — edge count alone is NOT a safe gate because a
+# dense co-occurrence graph can pack 10^8 wedges into 10^6 edges and
+# the in-task merge would dwarf the distributed plan. This is a
+# cost-model-driven physical choice (the same information Catalyst
+# lacks for UD logic, computed explicitly). Output stays a distributed
+# DataFrame (built on the executor, not the driver); the oriented-
+# wedge join below remains the at-scale path.
+LOCAL_TRI_MAX_EDGES = 2_000_000
+LOCAL_TRI_MAX_WEDGE_BOUND = 40_000_000
+
+
+def _local_all_triangles(simple: DataFrame) -> DataFrame:
+    """Single-task triangle enumeration over a canonical (src<dst,
+    deduped) edge set: one ``mapInPandas`` task does degree
+    orientation, wedge generation and the closing probe in vectorized
+    pandas/numpy. Emits each triangle once as (a, b, c), a<b<c —
+    identical rows to the distributed plan."""
+    ep = simple.coalesce(1)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        dfs = [b for b in batches]
+        if dfs:
+            e = pd.concat(dfs, ignore_index=True)
+        else:
+            e = pd.DataFrame({"src": pd.Series(dtype="int64"),
+                              "dst": pd.Series(dtype="int64")})
+        s = e["src"].to_numpy(dtype="int64")
+        t = e["dst"].to_numpy(dtype="int64")
+        deg = pd.concat([e["src"], e["dst"]]).value_counts()
+        du = e["src"].map(deg).to_numpy(dtype="int64")
+        dv = e["dst"].map(deg).to_numpy(dtype="int64")
+        first = (du < dv) | ((du == dv) & (s < t))
+        lo = np.where(first, s, t)
+        hi = np.where(first, t, s)
+        o = pd.DataFrame({"lo": lo, "hi": hi})
+        w = o.merge(o, on="lo")
+        w = w[w["hi_x"] < w["hi_y"]]
+        canon = pd.DataFrame({"hi_x": s, "hi_y": t})  # src<dst already
+        closed = w.merge(canon, on=["hi_x", "hi_y"])
+        tri = closed[["lo", "hi_x", "hi_y"]].to_numpy(dtype="int64")
+        if len(tri):
+            tri.sort(axis=1)
+        yield pd.DataFrame(
+            {"a": tri[:, 0] if len(tri) else np.empty(0, np.int64),
+             "b": tri[:, 1] if len(tri) else np.empty(0, np.int64),
+             "c": tri[:, 2] if len(tri) else np.empty(0, np.int64)}
+        )
+
+    return ep.mapInPandas(fn, "a long, b long, c long")
+
+
+def all_triangles(
+    graph: LinkGraph,
+    local_max_edges: int = LOCAL_TRI_MAX_EDGES,
+    _simple: DataFrame | None = None,
+) -> DataFrame:
     """Every triangle exactly once as (a, b, c) with a<b<c by id.
 
     Spark analog of ``nx.all_triangles`` (cluster.py:300-321); the
     internal orientation there is insertion order, here (degree,id) —
     the enumerated *set* of triangles is identical either way.
+
+    The oriented edge table is persisted for the duration of the plan
+    (it is read three times: both wedge sides + the closing probe);
+    when it is small enough the closing side is broadcast, so the
+    O(Σ deg²) wedge stream is generated and filtered inside one
+    map-side pipeline without ever shuffling.
     """
-    o = _oriented(graph).select("lo", "hi")
+    # materialize the canonical edge set ONCE — graph.edges may itself
+    # be an expensive derived plan (e.g. a co-occurrence self-join),
+    # and the size gate + orientation + wedge sides all read it
+    simple = _simple_undirected(graph).persist() if _simple is None else _simple
+    m = simple.count()
+    if local_max_edges and m <= local_max_edges:
+        ends = simple.select(F.col("src").alias("id")).unionByName(
+            simple.select(F.col("dst").alias("id"))
+        )
+        wedge_bound = (
+            ends.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
+            .first()[0]
+            or 0
+        )
+        if wedge_bound <= LOCAL_TRI_MAX_WEDGE_BOUND:
+            return _local_all_triangles(simple)
+    o = _oriented(graph, simple=simple).select("lo", "hi").persist()
+    n_oriented = o.count()
     w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     w2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
@@ -83,6 +185,8 @@ def all_triangles(graph: LinkGraph) -> DataFrame:
     closing = o.select(
         F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
     )
+    if n_oriented <= BROADCAST_CLOSING_MAX_EDGES:
+        closing = F.broadcast(closing)
     closed = wedges.join(closing, ["b", "c"], "left_semi")
     return closed.select(
         F.least("a", "b", "c").alias("a"),
@@ -91,11 +195,11 @@ def all_triangles(graph: LinkGraph) -> DataFrame:
     )
 
 
-def triangles(graph: LinkGraph) -> DataFrame:
+def triangles(graph: LinkGraph, _simple: DataFrame | None = None) -> DataFrame:
     """Per-node triangle counts, zeros included:
     (id BIGINT, triangles BIGINT) — parity with ``nx.triangles``
     (cluster.py:78-95)."""
-    tri = all_triangles(graph)
+    tri = all_triangles(graph, _simple=_simple)
     corners = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
@@ -113,15 +217,17 @@ def triangle_count(graph: LinkGraph) -> int:
 
 def _degrees_and_triangles(graph: LinkGraph) -> DataFrame:
     """(id, deg, triangles) with deg = #unique neighbors excl. self —
-    the d used by clustering/transitivity (cluster.py:99-116)."""
-    simple = _simple_undirected(graph)
+    the d used by clustering/transitivity (cluster.py:99-116). The
+    canonical edge set is materialized once and shared with the
+    triangle plan."""
+    simple = _simple_undirected(graph).persist()
     both = simple.unionByName(
         simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = both.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    t = triangles(graph)
+    t = triangles(graph, _simple=simple)
     return (
         t.join(deg, "id", "left")
         .select("id", F.coalesce("deg", F.lit(0)).alias("deg"), "triangles")

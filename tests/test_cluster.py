@@ -99,3 +99,27 @@ def test_multigraph_parallel_edges_ignored(spark):
         directed=False,
     )
     assert triangle_count(g) == 1
+
+
+def test_all_triangles_distributed_path(spark):
+    """Force the oriented wedge join (local_max_edges=0); triangle set
+    must equal the local fast path's and nx's."""
+    import networkx as nx
+
+    kg = nx.karate_club_graph()
+    edges = [(f"{u:02d}", f"{v:02d}") for u, v in kg.edges()]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    dist = {
+        tuple(sorted((nm[r["a"]], nm[r["b"]], nm[r["c"]])))
+        for r in all_triangles(g, local_max_edges=0).collect()
+    }
+    local = {
+        tuple(sorted((nm[r["a"]], nm[r["b"]], nm[r["c"]])))
+        for r in all_triangles(g).collect()
+    }
+    ref = {
+        tuple(sorted(f"{n:02d}" for n in t))
+        for t in nx.all_triangles(nx.karate_club_graph())
+    }
+    assert dist == local == ref

@@ -91,3 +91,20 @@ def test_long_path_log_convergence(spark, tmp_ckpt):
     recs = [json.loads(l) for l in open(ledger)]
     # O(log n): diameter 63 must close in ~log2(63)+slack supersteps
     assert len(recs) <= 12
+
+
+def test_distributed_path_matches_local(spark):
+    """Force the superstep loop (local_max_edges=0) and assert it gives
+    byte-identical labels to the local fast path on the same graph."""
+    import networkx as nx
+    from pyspark.sql import functions as F
+
+    kg = nx.karate_club_graph()
+    edges = [(f"{u:02d}", f"{v:02d}") for u, v in kg.edges()]
+    g = graph_from_edge_names(spark, edges, nodes=["zz"], directed=False)
+    local = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(g, local_max_edges=0).collect()
+    }
+    assert local == dist

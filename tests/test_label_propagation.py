@@ -96,3 +96,24 @@ def test_coloring_is_proper(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_l1_distributed_path(spark):
+    """Force the distributed JP-coloring sweep loop (local_max_edges=0)
+    on L1 — must converge to the same two-triangle split."""
+    edges = [("a", "c"), ("a", "d"), ("d", "c"), ("b", "e"), ("e", "f"), ("f", "b")]
+    pages = corpus.pages_df(spark, "l1d", edges)
+    g = graph_from_pages(pages, directed=False)
+    got = named_communities(g, local_max_edges=0)
+    assert got == {frozenset("acd"), frozenset("bef")}
+
+
+def test_l4_karate_distributed_path(spark):
+    kg = nx.karate_club_graph()
+    edges = [(f"{u:02d}", f"{v:02d}") for u, v in kg.edges()]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    got = named_communities(g, local_max_edges=0)
+    assert sum(len(c) for c in got) == 34
+    for c in got:
+        sub = kg.subgraph(int(n) for n in c)
+        assert nx.is_connected(sub)

@@ -66,3 +66,14 @@ def test_hits_facade(spark):
         assert got_h[str(k)] == pytest.approx(v, abs=1e-6)
     for k, v in ref_a.items():
         assert got_a[str(k)] == pytest.approx(v, abs=1e-6)
+
+
+def test_assortativity_and_links_facade(spark):
+    ref = nx.degree_assortativity_coefficient(nx_graph(P1, directed=False))
+    got = nxapi.degree_assortativity_coefficient(spark, P1, directed=False)
+    assert got == pytest.approx(ref, abs=1e-9)
+    cn = nxapi.common_neighbors(spark, P1, 4, 5)
+    ref_cn = {str(n) for n in nx.common_neighbors(nx_graph(P1), 4, 5)}
+    assert cn == ref_cn
+    jc = nxapi.jaccard_coefficient(spark, P1)
+    assert all(0.0 <= p <= 1.0 for _, _, p in jc) and jc
