@@ -333,6 +333,100 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def q_eigenvector_orders(spark, sf_dir):
+    from linkgraph.operators.centrality import eigenvector_centrality
+
+    g = order_graph(spark, sf_dir)
+    x = eigenvector_centrality(g, fixed_iter=8)
+    return x.select("id", F.round("centrality", 8).alias("centrality_r"))
+
+
+def q_ppr_orders(spark, sf_dir):
+    """Personalized PageRank: teleport ∝ max(c_acctbal, 1)."""
+    g = order_graph(spark, sf_dir)
+    pers = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.greatest(F.col("c_acctbal").cast("double"), F.lit(1.0)).alias("value"),
+    )
+    ranks = pagerank(g, alpha=PR_ALPHA, personalization=pers, fixed_iter=PR_ITERS)
+    return ranks.select("id", F.round("rank", 8).alias("rank_r"))
+
+
+def q_reciprocity_orders(spark, sf_dir):
+    from linkgraph.operators.reciprocity import reciprocity
+
+    g = order_graph(spark, sf_dir)
+    return reciprocity(g).select(
+        "id", F.round("reciprocity", 8).alias("reciprocity_r")
+    )
+
+
+def q_overall_reciprocity_orders(spark, sf_dir):
+    from linkgraph.operators.reciprocity import overall_reciprocity
+
+    g = order_graph(spark, sf_dir)
+    r = overall_reciprocity(g)
+    return spark.createDataFrame([(round(r, 8),)], "reciprocity_r double")
+
+
+def q_sssp_orders(spark, sf_dir):
+    """Weighted SSSP from node 1: weight = 1 + o_orderkey % 5 (min
+    over parallel edges), distributed Bellman–Ford relaxation."""
+    from linkgraph.operators.shortest_paths import (
+        single_source_bellman_ford_path_length,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("long").alias("dst"),
+        (1.0 + F.pmod(F.col("o_orderkey"), F.lit(5)).cast("double")).alias("weight"),
+    )
+    g = LinkGraph(
+        vertices=cust.select(F.col("c_custkey").cast("long").alias("id")),
+        edges=edges,
+        directed=True,
+    )
+    d = single_source_bellman_ford_path_length(g, source=1)
+    return d.select("id", F.round("dist", 6).alias("dist_r"))
+
+
+def q_topo_generations_orders(spark, sf_dir):
+    """Kahn generations on the DAG restriction (src < dst) of the
+    order graph — guaranteed acyclic."""
+    from linkgraph.operators.dag import topological_generations
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")),
+        directed=True,
+    )
+    return topological_generations(dag).select("id", "generation")
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    top = sim.ivf_topk(
+        emb, queries, k=10, n_centroids=8, kmeans_iters=2, nprobe=2
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        tx.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -397,6 +491,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "eigenvector_orders": q_eigenvector_orders,
+        "ppr_orders": q_ppr_orders,
+        "reciprocity_orders": q_reciprocity_orders,
+        "overall_reciprocity_orders": q_overall_reciprocity_orders,
+        "sssp_orders": q_sssp_orders,
+        "topo_generations_orders": q_topo_generations_orders,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "doc_fingerprints": q_doc_fingerprints,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -747,6 +849,272 @@ SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM c a JOIN b ON b.bucket = a.bucket AND a.vec_id < b.vec_id"""
 
 
+def _eigenvector_sql(iters: int = 8) -> str:
+    """Mirror of ``eigenvector_centrality`` (eigenvector.py:118-137)
+    at fixed iterations: x_new = (x + A^T x) / ||.||_2 each round.
+    Weights = parallel-edge counts (CSR coalescing)."""
+    head = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+xr{i} AS MATERIALIZED (
+  SELECT x.id, x.r + COALESCE(g.v, 0) AS r
+  FROM x{i} x LEFT JOIN (
+    SELECT ec.dst AS id, sum(x.r * ec.w) AS v
+    FROM x{i} x JOIN ec ON ec.src = x.id GROUP BY ec.dst
+  ) g ON g.id = x.id
+),
+x{i + 1} AS MATERIALIZED (
+  SELECT id, r / (CASE WHEN (SELECT sqrt(sum(r * r)) FROM xr{i}) > 0
+    THEN (SELECT sqrt(sum(r * r)) FROM xr{i}) ELSE 1 END) AS r
+  FROM xr{i}
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nSELECT id, round(r, 8) AS centrality_r FROM x{iters}"
+    )
+
+
+def _ppr_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA) -> str:
+    """Personalized variant of ``_pagerank_sql``: teleport AND
+    dangling-mass weights follow p ∝ greatest(c_acctbal, 1)
+    (the reference's dangling default = personalization,
+    pagerank_alg.py:156-160); x0 stays uniform 1/N
+    (pagerank_alg.py:134-137)."""
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+os AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec GROUP BY src),
+ne AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w / os.s AS w FROM ec JOIN os ON os.src = ec.src),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+praw AS MATERIALIZED (SELECT c_custkey AS id, greatest(CAST(c_acctbal AS DOUBLE), 1.0) AS v FROM customer),
+p AS MATERIALIZED (SELECT id, v / (SELECT sum(v) FROM praw) AS p FROM praw),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM os)),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT p.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM x{i} x JOIN dang d ON d.id = x.id)
+        * p.p)
+    + {1.0 - alpha} * p.p AS r
+  FROM p
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(x.r * ne.w) AS gathered
+    FROM x{i} x JOIN ne ON ne.src = x.id GROUP BY ne.dst
+  ) g ON g.id = p.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nSELECT id, round(r, 8) AS rank_r FROM x{iters}"
+    )
+
+
+def _reciprocity_sql(per_node: bool) -> str:
+    head = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e2k AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders)"""
+    if not per_node:
+        return head + """,
+a AS (SELECT count(*) AS n_all FROM e2k),
+r AS (
+  SELECT count(*) AS n_recip FROM e2k a
+  WHERE a.src <> a.dst
+    AND EXISTS (SELECT 1 FROM e2k b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT round(CAST(r.n_recip AS DOUBLE) / a.n_all, 8) AS reciprocity_r FROM a, r"""
+    return head + """,
+s AS (SELECT src AS id, count(*) AS ns FROM e2k GROUP BY src),
+pcnt AS (SELECT dst AS id, count(*) AS np FROM e2k GROUP BY dst),
+o AS (
+  SELECT a.src AS id, count(*) AS no FROM e2k a
+  JOIN e2k b ON b.src = a.dst AND b.dst = a.src
+  GROUP BY a.src
+)
+SELECT COALESCE(s.id, pcnt.id) AS id,
+  round(2.0 * COALESCE(o.no, 0)
+    / (COALESCE(s.ns, 0) + COALESCE(pcnt.np, 0)), 8) AS reciprocity_r
+FROM s FULL OUTER JOIN pcnt ON pcnt.id = s.id
+LEFT JOIN o ON o.id = COALESCE(s.id, pcnt.id)"""
+
+
+def _sssp_sql(rounds: int = 12) -> str:
+    """Unrolled min-plus relaxation (Bellman–Ford): d_{t+1} =
+    min(d_t, min over edges(d_t[src] + w)). Monotone non-increasing,
+    idempotent at the fixpoint (measured: 6 rounds at sf0.01), so
+    extra rounds are harmless."""
+    head = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+ew AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst,
+         min(1.0 + (o_orderkey % 5)) AS w
+  FROM orders GROUP BY 1, 2
+),
+d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS id, 0.0 AS dist)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{i}
+    UNION ALL
+    SELECT ew.dst AS id, d.dist + ew.w AS dist
+    FROM d{i} d JOIN ew ON ew.src = d.id
+  ) GROUP BY id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT d.id, round(d.dist, 6) AS dist_r
+FROM d{rounds} d JOIN customer c ON c.c_custkey = d.id"""
+    )
+
+
+def _topo_generations_sql() -> str:
+    """Max-plus longest-path layering on the DAG restriction
+    (src < dst): generation(v) = max path length ending at v —
+    identical to Kahn peeling rounds. Recursive CTE state space is
+    (id, gen) pairs, bounded by n * depth on a DAG."""
+    return """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders
+  WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+),
+g(id, gen) AS (
+  SELECT c_custkey, 0 FROM customer
+  UNION
+  SELECT e.dst, g.gen + 1 FROM g JOIN e ON e.src = g.id WHERE g.gen < 5000
+)
+SELECT id, CAST(max(gen) AS BIGINT) AS generation FROM g GROUP BY id"""
+
+
+def _sqdist_duck(vec_a: str, vec_b: str, dim: int) -> str:
+    """Sequential-fold squared distance between two DOUBLE[] exprs —
+    same summation order as the engine's F.aggregate left fold."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> ({vec_a}[i] - {vec_b}[i]) * ({vec_a}[i] - {vec_b}[i]))), "
+        "(a, b) -> a + b)"
+    )
+
+
+def _ivf_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 10,
+    n_queries: int = 8,
+) -> str:
+    """Mirror of ``similarity.ivf_topk``: deterministic Lloyd k-means
+    (init = lowest-id vectors; assignment by squared distance rounded
+    to 6, ties to lower cid; per-dim means rounded to 9; empty
+    clusters keep their centroid), then nprobe-nearest-cell probing
+    and cosine top-k with scores rounded to 6."""
+    d_expr = _sqdist_duck("e.ed", "c.c", dim)
+    parts = [f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS cid, ed AS c FROM emb WHERE vec_id < {n_centroids}
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, ed, cid FROM (
+    SELECT e.vec_id, e.ed, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({d_expr}, 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent{t - 1} c
+  ) WHERE rn = 1
+),
+m{t} AS MATERIALIZED (
+  SELECT cid, i AS pos, round(avg(ed[i]), 9) AS m
+  FROM asg{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+  GROUP BY cid, i
+),
+cent{t} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(lst.l, c.c) AS c
+  FROM cent{t - 1} c LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS l FROM m{t} GROUP BY cid
+  ) lst ON lst.cid = c.cid
+)""")
+    parts.append(f""",
+fa AS MATERIALIZED (
+  SELECT vec_id, ed, cid AS cluster FROM (
+    SELECT e.vec_id, e.ed, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({d_expr}, 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id AS query_id, ed AS qv, cid AS cluster FROM (
+    SELECT e.vec_id, e.ed, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({d_expr}, 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent{iters} c
+    WHERE e.vec_id < {n_queries}
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT qp.query_id, fa.vec_id AS neighbor_id,
+    round(list_dot_product(qp.qv, fa.ed)
+      / greatest(sqrt(list_dot_product(qp.qv, qp.qv))
+          * sqrt(list_dot_product(fa.ed, fa.ed)), 1e-300), 6) AS score
+  FROM qp JOIN fa ON fa.cluster = qp.cluster
+  WHERE fa.vec_id <> qp.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= {k}""")
+    return "".join(parts)
+
+
+def _hex8_duck(h: str) -> str:
+    """BIGINT value of the first 8 hex chars of md5 expr ``h``."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _doc_fingerprints_sql() -> str:
+    tok_hash = _hex8_duck("md5(tok)")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+hv AS (
+  SELECT doc_id, text,
+    list_transform(t, tok -> {tok_hash}) AS hs
+  FROM tk
+)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+    (acc, x) -> (acc * {tx.ROLLING_MULT} + x) % {tx.ROLLING_MOD}) AS rolling_fp,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM hv"""
+
+
 def _assortativity_sql() -> str:
     return f"""
 WITH {_PAIRS_CTE},
@@ -935,4 +1303,14 @@ FROM events GROUP BY event_type""",
         "assortativity_parts": _assortativity_sql(),
         "link_embeddedness_parts": _link_embeddedness_sql(),
         "embedding_near_pairs": _near_pairs_sql(dim=64, bits=8),
+        "eigenvector_orders": _eigenvector_sql(8),
+        "ppr_orders": _ppr_sql(),
+        "reciprocity_orders": _reciprocity_sql(per_node=True),
+        "overall_reciprocity_orders": _reciprocity_sql(per_node=False),
+        "sssp_orders": _sssp_sql(rounds=12),
+        "topo_generations_orders": _topo_generations_sql(),
+        "embedding_ivf_topk": _ivf_sql(
+            dim=64, n_centroids=8, iters=2, nprobe=2, k=10, n_queries=8
+        ),
+        "doc_fingerprints": _doc_fingerprints_sql(),
     }

@@ -150,6 +150,154 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _sqdist(vec: Column, lit_vec: list[float]) -> Column:
+    """Squared euclidean distance to a literal centroid, as a
+    sequential left fold (same summation order as the DuckDB oracle's
+    list_reduce)."""
+    c = F.array(*[F.lit(float(x)) for x in lit_vec])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmin cluster id over literal centroids. Distances are rounded
+    to 6 decimals before comparison and ties break on the lower
+    centroid id (array_min over (dist, cid) structs) — deterministic
+    cross-engine."""
+    structs = [
+        F.struct(
+            F.round(_sqdist(vec, c), 6).alias("d"), F.lit(int(cid)).alias("cid")
+        )
+        for cid, c in cents
+    ]
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means: init = the ``n_centroids``
+    lowest-id vectors; each iteration assigns by rounded squared
+    distance and recomputes per-dimension means (rounded to 9
+    decimals so the centroid table is bit-stable across shuffle
+    orders); an emptied cluster keeps its previous centroid.
+
+    The centroid table is O(K * dim) and lives on the driver between
+    iterations (the standard broadcast-k-means shape — the per-vector
+    assignment is a pure column expression, no join); everything
+    per-row stays JVM-side.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    init = base.orderBy("id").limit(n_centroids).collect()
+    cents = [(r["id"], [float(x) for x in r["v"]]) for r in init]
+    for _ in range(iters):
+        assigned = base.select(
+            "v", _nearest_centroid(F.col("v"), cents).alias("cid")
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r["cid"]: [float(x) for x in r["c"]] for r in means}
+        cents = [(cid, new.get(cid, c)) for cid, c in cents]
+    base.unpersist()
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    kmeans_iters: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF approximate nearest neighbors: partition the corpus into
+    ``n_centroids`` Voronoi cells (deterministic k-means above), then
+    score each query only against the ``nprobe`` nearest cells —
+    (query_id, neighbor_id, score, rank).
+
+    Physical plan: the centroid table is tiny and rides in the plan as
+    literals, so cell assignment is a narrow projection (whole-stage
+    codegen, no shuffle); the probe is an equi-join on ``cluster``
+    (candidate set ~ corpus * nprobe / n_centroids, never queries ×
+    corpus); top-k is a per-query window. At 100 TB the assigned
+    corpus would be written once, bucketed by ``cluster``, and probed
+    with partition pruning.
+    """
+    from pyspark.sql.window import Window
+
+    cents = kmeans_fit(
+        corpus,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_centroid(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents
+        ).alias("cluster"),
+    )
+    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.round(_sqdist(qv_d, cv), 6).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("pr"),
+        )
+        .select("query_id", "qv", F.col("pr.cid").alias("cluster"))
+    )
+    score = cosine(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_self_join(
     corpus: DataFrame,
     dim: int,

@@ -109,6 +109,40 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
 
 
+ROLLING_MOD = 2147483647  # 2^31 - 1: keeps acc*31 + tok < 2^63 exact
+ROLLING_MULT = 31
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-SENSITIVE Karp–Rabin fingerprint: a polynomial rolling
+    hash folded left-to-right over the token stream —
+    h = ((h * 31) + hash(tok)) mod (2^31 - 1), token hash = the first
+    8 hex digits of md5. Complements :func:`fingerprint` (order-
+    insensitive): two docs with the same words in a different order
+    collide there but not here. Pure column arithmetic, one scan."""
+    tok_hashes = F.transform(
+        tokens(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_MULT + x) % ROLLING_MOD,
+    )
+
+
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# punctuation marks — the GPT-2-style split shape without a merges
+# table (the merge table is a model artifact; counting pre-tokens is
+# the corpus-side statistic)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digits / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as strings; [] when fewer than n tokens."""
     t = tokens(text)

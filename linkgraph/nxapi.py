@@ -166,3 +166,76 @@ def hits(
         {nm[r["id"]]: r["hub"] for r in rows},
         {nm[r["id"]]: r["authority"] for r in rows},
     )
+
+
+def eigenvector_centrality(
+    spark, edges, nodes=(), directed: bool = True,
+    max_iter: int = 100, tol: float = 1.0e-6,
+) -> dict:
+    """``nx.eigenvector_centrality`` signature -> {name: centrality}
+    (centrality/eigenvector.py:18)."""
+    from .operators.centrality import eigenvector_centrality as _ev
+
+    g = _as_graph(spark, edges, nodes, directed)
+    nm = _name_map(g)
+    return {
+        nm[r["id"]]: r["centrality"]
+        for r in _ev(g, max_iter=max_iter, tol=tol).collect()
+    }
+
+
+def overall_reciprocity(spark, edges, nodes=()) -> float:
+    """``nx.overall_reciprocity`` (reciprocity.py:121)."""
+    from .operators.reciprocity import overall_reciprocity as _orec
+
+    return _orec(_as_graph(spark, edges, nodes, directed=True))
+
+
+def reciprocity(spark, edges, nodes=()) -> dict:
+    """``nx.reciprocity`` per node -> {name: r} (reciprocity.py:13);
+    isolated nodes absent instead of raising."""
+    from .operators.reciprocity import reciprocity as _rec
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["reciprocity"] for r in _rec(g).collect()}
+
+
+def single_source_dijkstra_path_length(
+    spark, edges, source, nodes=(), directed: bool = False
+) -> dict:
+    """``nx.single_source_dijkstra_path_length`` -> {name: dist}
+    (shortest_paths/weighted.py:733)."""
+    from .operators.shortest_paths import (
+        single_source_bellman_ford_path_length as _bf,
+    )
+
+    g = _as_graph(spark, edges, nodes, directed)
+    nm = _name_map(g)
+    rev = {n: i for i, n in nm.items()}
+    return {
+        nm[r["id"]]: r["dist"]
+        for r in _bf(g, rev[str(source)]).collect()
+    }
+
+
+def topological_generations(spark, edges, nodes=()) -> list[list]:
+    """``nx.topological_generations`` -> [[names]] sorted by name
+    within each generation (dag.py:282)."""
+    from .operators.dag import topological_generations as _tg
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    rows = _tg(g).collect()
+    ngen = max((r["generation"] for r in rows), default=-1) + 1
+    out = [[] for _ in range(ngen)]
+    for r in rows:
+        out[r["generation"]].append(nm[r["id"]])
+    return [sorted(layer) for layer in out]
+
+
+def is_directed_acyclic_graph(spark, edges, nodes=()) -> bool:
+    """``nx.is_directed_acyclic_graph`` (dag.py:123)."""
+    from .operators.dag import is_directed_acyclic_graph as _dag
+
+    return _dag(_as_graph(spark, edges, nodes, directed=True))

@@ -1,0 +1,227 @@
+"""Round-2 extension operators: eigenvector centrality, reciprocity,
+weighted SSSP (Bellman–Ford), topological generations, IVF ANN,
+rolling-hash fingerprint / BPE pre-token counts — each checked against
+the live networkx oracle or hand-computed values."""
+
+import networkx as nx
+import pytest
+
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, graph_from_edge_names
+from linkgraph.operators.centrality import eigenvector_centrality
+from linkgraph.operators.dag import (
+    GraphContainsCycle,
+    is_directed_acyclic_graph,
+    topological_generations,
+    topological_sort,
+)
+from linkgraph.operators.reciprocity import overall_reciprocity, reciprocity
+from linkgraph.operators.shortest_paths import (
+    NegativeCycleError,
+    single_source_bellman_ford_path_length,
+)
+
+from nx_oracle import nx_graph
+
+
+def names(g):
+    return {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+
+
+# ------------------------------------------------- eigenvector centrality
+EV_EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 5)]
+
+
+def test_eigenvector_directed_vs_nx(spark):
+    g = graph_from_edge_names(spark, EV_EDGES, directed=True)
+    got = eigenvector_centrality(g, tol=1e-8, max_iter=500)
+    nm = names(g)
+    vals = {nm[r["id"]]: r["centrality"] for r in got.collect()}
+    want = nx.eigenvector_centrality(
+        nx_graph(EV_EDGES, directed=True), tol=1e-8, max_iter=500
+    )
+    for k, v in want.items():
+        assert vals[str(k)] == pytest.approx(v, abs=1e-5)
+
+
+def test_eigenvector_undirected_karate_style(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 0)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    got = eigenvector_centrality(g, tol=1e-9, max_iter=500)
+    nm = names(g)
+    vals = {nm[r["id"]]: r["centrality"] for r in got.collect()}
+    want = nx.eigenvector_centrality(
+        nx_graph(edges, directed=False), tol=1e-9, max_iter=500
+    )
+    for k, v in want.items():
+        assert vals[str(k)] == pytest.approx(v, abs=1e-5)
+
+
+def test_eigenvector_weighted(spark):
+    edges = [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 0.5), (1, 3, 3.0)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    got = eigenvector_centrality(g, tol=1e-9, max_iter=500)
+    nm = names(g)
+    vals = {nm[r["id"]]: r["centrality"] for r in got.collect()}
+    want = nx.eigenvector_centrality(
+        nx_graph(edges, directed=True), tol=1e-9, max_iter=500, weight="weight"
+    )
+    for k, v in want.items():
+        assert vals[str(k)] == pytest.approx(v, abs=1e-5)
+
+
+# ------------------------------------------------------------ reciprocity
+R_EDGES = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 5)]
+
+
+def test_overall_reciprocity_vs_nx(spark):
+    g = graph_from_edge_names(spark, R_EDGES, directed=True)
+    want = nx.overall_reciprocity(nx_graph(R_EDGES, directed=True))
+    assert overall_reciprocity(g) == pytest.approx(want)
+
+
+def test_per_node_reciprocity_vs_nx(spark):
+    g = graph_from_edge_names(spark, R_EDGES, directed=True)
+    nm = names(g)
+    got = {nm[r["id"]]: r["reciprocity"] for r in reciprocity(g).collect()}
+    want = nx.reciprocity(nx_graph(R_EDGES, directed=True), nodes=[1, 2, 3, 4, 5])
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v), k
+
+
+# -------------------------------------------------------- weighted SSSP
+W_EDGES = [
+    (1, 2, 7.0),
+    (1, 3, 9.0),
+    (1, 6, 14.0),
+    (2, 3, 10.0),
+    (2, 4, 15.0),
+    (3, 4, 11.0),
+    (3, 6, 2.0),
+    (4, 5, 6.0),
+    (5, 6, 9.0),
+]
+
+
+def _dist_by_name(g, df):
+    nm = names(g)
+    return {nm[r["id"]]: r["dist"] for r in df.collect()}
+
+
+def test_sssp_undirected_dijkstra_graph(spark):
+    g = graph_from_edge_names(spark, W_EDGES, directed=False)
+    src = next(i for i, n in names(g).items() if n == "1")
+    got = _dist_by_name(g, single_source_bellman_ford_path_length(g, src))
+    want = nx.single_source_dijkstra_path_length(
+        nx_graph(W_EDGES, directed=False), 1
+    )
+    assert got == {str(k): pytest.approx(v) for k, v in want.items()}
+
+
+def test_sssp_directed_unreachable_absent(spark):
+    edges = [(1, 2, 3.0), (2, 3, 4.0), (4, 1, 1.0)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    src = next(i for i, n in names(g).items() if n == "1")
+    got = _dist_by_name(g, single_source_bellman_ford_path_length(g, src))
+    assert got == {"1": 0.0, "2": 3.0, "3": 7.0}  # node 4 absent
+
+
+def test_sssp_negative_edge_ok_negative_cycle_raises(spark):
+    edges = [(1, 2, 5.0), (2, 3, -2.0), (1, 3, 4.0)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    src = next(i for i, n in names(g).items() if n == "1")
+    got = _dist_by_name(g, single_source_bellman_ford_path_length(g, src))
+    assert got["3"] == pytest.approx(3.0)
+
+    cyc = [(1, 2, 1.0), (2, 3, -5.0), (3, 2, 1.0)]
+    gc = graph_from_edge_names(spark, cyc, directed=True)
+    src = next(i for i, n in names(gc).items() if n == "1")
+    with pytest.raises(NegativeCycleError):
+        single_source_bellman_ford_path_length(gc, src)
+
+
+# ------------------------------------------------- topological generations
+DAG_EDGES = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 5)]
+
+
+def test_topo_generations_vs_nx(spark):
+    g = graph_from_edge_names(spark, DAG_EDGES, directed=True)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["generation"]
+        for r in topological_generations(g).collect()
+    }
+    want = {}
+    for gen, layer in enumerate(
+        nx.topological_generations(nx_graph(DAG_EDGES, directed=True))
+    ):
+        for v in layer:
+            want[str(v)] = gen
+    assert got == want
+
+
+def test_topo_sort_is_valid_order(spark):
+    g = graph_from_edge_names(spark, DAG_EDGES, directed=True)
+    order = {r["id"]: r["topo_rank"] for r in topological_sort(g).collect()}
+    for r in g.edges.collect():
+        assert order[r["src"]] < order[r["dst"]]
+
+
+def test_cycle_detection(spark):
+    g = graph_from_edge_names(spark, [(1, 2), (2, 3), (3, 1)], directed=True)
+    assert not is_directed_acyclic_graph(g)
+    with pytest.raises(GraphContainsCycle):
+        topological_generations(g)
+    h = graph_from_edge_names(spark, [(1, 1)], directed=True)
+    assert not is_directed_acyclic_graph(h)
+    d = graph_from_edge_names(spark, DAG_EDGES, directed=True)
+    assert is_directed_acyclic_graph(d)
+
+
+# ------------------------------------------------------------------ IVF ANN
+def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
+    from linkgraph.functions import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4)
+    got = sim.ivf_topk(
+        emb, queries, k=5, n_centroids=4, kmeans_iters=2, nprobe=4
+    )
+    # nprobe == n_centroids → IVF degenerates to exact brute force
+    want = sim.cosine_topk(emb, queries, k=5)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert g == w
+
+
+def test_kmeans_fit_deterministic(spark):
+    from linkgraph.functions.similarity import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_fit(emb, n_centroids=4, iters=2)
+    b = kmeans_fit(emb, n_centroids=4, iters=2)
+    assert a == b
+
+
+# --------------------------------------------- text fingerprints / tokens
+def test_rolling_fingerprint_order_sensitive(spark):
+    from linkgraph.functions.textops import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",), ("",)], "text string"
+    ).select(rolling_fingerprint(F.col("text")).alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]  # order matters
+    assert fps[3] == 0
+
+
+def test_bpe_token_count_shapes(spark):
+    from linkgraph.functions.textops import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world! 42",), ("",), ("a.b",)], "text string"
+    ).select(bpe_token_count(F.col("text")).alias("n"))
+    # Hello , world ! 4 2 -> 6 ; "" -> 0 ; a . b -> 3
+    assert [r["n"] for r in df.collect()] == [6, 0, 3]

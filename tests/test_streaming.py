@@ -74,3 +74,52 @@ def test_crawl_rate_window(spark, tmp_path, page_drop):
         ).collect()
     }
     assert batch_counts == {("en", 6)}
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: first page per text hash survives;
+    duplicates arriving in LATER batches are swallowed."""
+    from linkgraph.streaming.dedup import first_seen_dedup_stream
+
+    src = str(tmp_path / "dd_drops")
+    ck = str(tmp_path / "dd_ck")
+    pages = corpus.pages_df(spark, "dd", P1)
+    a = pages.where(F.col("url").rlike("/[123]$"))
+    # second drop repeats page 1's content under a new url ts-shifted
+    dup = (
+        pages.where(F.col("url").rlike("/1$"))
+        .withColumn("url", F.concat(F.col("url"), F.lit("-copy")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    b = pages.where(~F.col("url").rlike("/[123]$")).unionByName(dup)
+    a.write.mode("append").parquet(src)
+
+    stream = ingest.read_page_stream(spark, src, max_files_per_trigger=1)
+    out = first_seen_dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_tbl")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_tbl").collect()
+    finally:
+        q.stop()
+    urls = {r["url"] for r in rows}
+    assert not any(u.endswith("-copy") for u in urls)  # dup swallowed
+    # every batch-side distinct text hash appears exactly once
+    want = {
+        r["url"]
+        for r in pages.select(
+            F.md5("text").alias("h"), "url", "warc_ts"
+        )
+        .groupBy("h")
+        .agg(F.min_by("url", F.struct("warc_ts", "url")).alias("url"))
+        .collect()
+    }
+    assert urls == want
