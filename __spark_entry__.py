@@ -427,6 +427,22 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_closeness_orders(spark, sf_dir):
+    """Closeness + harmonic centrality of node 1 (incoming-distance
+    BFS over the reversed order graph)."""
+    from linkgraph.operators.centrality import (
+        closeness_centrality,
+        harmonic_centrality,
+    )
+
+    g = order_graph(spark, sf_dir)
+    cc = closeness_centrality(g, 1)
+    hc = harmonic_centrality(g, 1)
+    return spark.createDataFrame(
+        [(round(cc, 8), round(hc, 8))], "closeness_r double, harmonic_r double"
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -499,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_generations_orders": q_topo_generations_orders,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
+        "closeness_orders": q_closeness_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1115,6 +1132,32 @@ SELECT doc_id,
 FROM hv"""
 
 
+def _closeness_sql() -> str:
+    """Incoming-distance BFS from node 1 (recursive CTE on reversed
+    edges), then the Wasserman–Faust-improved closeness and harmonic
+    sums — mirror of ``closeness_centrality`` / ``harmonic_centrality``."""
+    return """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+r(id, layer) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT e.src, r.layer + 1 FROM r JOIN e ON e.dst = r.id WHERE r.layer < 40
+),
+d AS (
+  SELECT r.id, min(r.layer) AS l
+  FROM r JOIN customer c ON c.c_custkey = r.id
+  GROUP BY r.id
+),
+s AS (SELECT count(*) AS rc, sum(l) AS tot, sum(CASE WHEN l > 0 THEN 1.0 / l END) AS harm FROM d)
+SELECT
+  round(CASE WHEN rc <= 1 OR tot = 0 THEN 0.0
+    ELSE (CAST(rc - 1 AS DOUBLE) / tot) * (CAST(rc - 1 AS DOUBLE) / ((SELECT n FROM nn) - 1))
+  END, 8) AS closeness_r,
+  round(COALESCE(harm, 0.0), 8) AS harmonic_r
+FROM s"""
+
+
 def _assortativity_sql() -> str:
     return f"""
 WITH {_PAIRS_CTE},
@@ -1313,4 +1356,5 @@ FROM events GROUP BY event_type""",
             dim=64, n_centroids=8, iters=2, nprobe=2, k=10, n_queries=8
         ),
         "doc_fingerprints": _doc_fingerprints_sql(),
+        "closeness_orders": _closeness_sql(),
     }

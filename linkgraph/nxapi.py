@@ -239,3 +239,48 @@ def is_directed_acyclic_graph(spark, edges, nodes=()) -> bool:
     from .operators.dag import is_directed_acyclic_graph as _dag
 
     return _dag(_as_graph(spark, edges, nodes, directed=True))
+
+
+def betweenness_centrality(
+    spark, edges, nodes=(), directed: bool = False,
+    k: int | None = None, normalized: bool = True,
+) -> dict:
+    """``nx.betweenness_centrality`` -> {name: bc}
+    (centrality/betweenness.py:13)."""
+    from .operators.centrality import betweenness_centrality as _bc
+
+    g = _as_graph(spark, edges, nodes, directed)
+    nm = _name_map(g)
+    return {
+        nm[r["id"]]: r["betweenness"]
+        for r in _bc(g, k=k, normalized=normalized).collect()
+    }
+
+
+def closeness_centrality(spark, edges, u, nodes=(), directed: bool = False) -> float:
+    """``nx.closeness_centrality(G, u)`` (centrality/closeness.py:20)."""
+    from .operators.centrality import closeness_centrality as _cl
+
+    g = _as_graph(spark, edges, nodes, directed)
+    rev = {n: i for i, n in _name_map(g).items()}
+    return _cl(g, rev[str(u)])
+
+
+def descendants(spark, edges, source, nodes=()) -> set:
+    """``nx.descendants`` (dag.py:42)."""
+    from .operators.traversal import descendants as _d
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    rev = {n: i for i, n in nm.items()}
+    return {nm[r["id"]] for r in _d(g, rev[str(source)]).collect()}
+
+
+def ancestors(spark, edges, source, nodes=()) -> set:
+    """``nx.ancestors`` (dag.py:72)."""
+    from .operators.traversal import ancestors as _a
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    rev = {n: i for i, n in nm.items()}
+    return {nm[r["id"]] for r in _a(g, rev[str(source)]).collect()}

@@ -28,6 +28,202 @@ from ..graph import LinkGraph, build_adjacency
 from ..plans.loop import PowerIterationFailedConvergence, SuperstepLoop
 
 
+def betweenness_centrality(
+    graph: LinkGraph,
+    k: int | None = None,
+    sources: list[int] | None = None,
+    normalized: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id BIGINT, betweenness DOUBLE) — Brandes' algorithm
+    (networkx/algorithms/centrality/betweenness.py:13-123 via
+    ``_single_source_shortest_path_basic`` :249 and
+    ``_accumulate_basic`` :300), unweighted.
+
+    Distributed form: one forward frontier sweep per source computes
+    (layer, sigma) — sigma(v) = Σ sigma(u) over predecessors one layer
+    closer — then a backward sweep per layer accumulates
+    delta(v) = Σ_{succ w} sigma(v)/sigma(w) · (1 + delta(w)).
+    Per-source cost is O(depth) joins each way; betweenness IS a
+    per-source algorithm, so the scale knob is source sampling:
+    ``k`` samples the ``k`` lowest-id vertices (deterministic) and
+    rescales by n/k — the standard estimator (betweenness.py:72
+    ``k`` parameter). ``sources`` overrides sampling explicitly.
+    The per-layer tables live as localCheckpoints (bounded lineage);
+    accumulation across sources is a union + groupBy sum, not a
+    driver-side merge.
+    """
+    spark = graph.spark
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    verts = graph.vertices.select("id").persist()
+    n = verts.count()
+    if n == 0:
+        verts.unpersist()
+        return spark.createDataFrame([], "id long, betweenness double")
+    edges = (
+        (graph.weighted_edges() if graph.directed else graph.symmetrized_edges())
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edges.count()
+
+    if sources is None:
+        if k is None:
+            src_ids = [r["id"] for r in verts.collect()]
+            scale_k = 1.0
+        else:
+            src_ids = [r["id"] for r in verts.orderBy("id").limit(k).collect()]
+            scale_k = n / float(len(src_ids))
+    else:
+        src_ids = [int(s) for s in sources]
+        scale_k = 1.0
+
+    deltas: list[DataFrame] = []
+    kept: list[DataFrame] = []
+    try:
+        for s in src_ids:
+            # ---- forward: (id, layer, sigma) --------------------------
+            layers: list[DataFrame] = [
+                spark.createDataFrame([(int(s), 1.0)], "id long, sigma double")
+                .join(verts, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            ]
+            seen = layers[0].select("id").localCheckpoint(eager=True)
+            while True:
+                nxt = (
+                    edges.join(
+                        layers[-1].withColumnRenamed("id", "src"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .join(seen, "id", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.limit(1).count() == 0:
+                    break
+                layers.append(nxt)
+                seen = seen.unionByName(nxt.select("id")).localCheckpoint(
+                    eager=True
+                )
+            # ---- backward: delta per layer ----------------------------
+            delta_next: DataFrame | None = None  # layer d+1 (id, sigma, delta)
+            for d in range(len(layers) - 1, -1, -1):
+                cur = layers[d]
+                if delta_next is None:
+                    delta_cur = cur.select(
+                        "id", "sigma", F.lit(0.0).alias("delta")
+                    )
+                else:
+                    contrib = (
+                        edges.join(
+                            delta_next.select(
+                                F.col("id").alias("dst"),
+                                (
+                                    (1.0 + F.col("delta")) / F.col("sigma")
+                                ).alias("wterm"),
+                            ),
+                            "dst",
+                        )
+                        .groupBy(F.col("src").alias("id"))
+                        .agg(F.sum("wterm").alias("wsum"))
+                    )
+                    delta_cur = (
+                        cur.join(contrib, "id", "left")
+                        .select(
+                            "id",
+                            "sigma",
+                            (
+                                F.col("sigma")
+                                * F.coalesce("wsum", F.lit(0.0))
+                            ).alias("delta"),
+                        )
+                    )
+                delta_cur = delta_cur.localCheckpoint(eager=True)
+                if d > 0:  # the source itself accumulates nothing
+                    deltas.append(delta_cur.select("id", "delta"))
+                kept.append(delta_cur)
+                delta_next = delta_cur
+
+        if deltas:
+            acc = deltas[0]
+            for d in deltas[1:]:
+                acc = acc.unionByName(d)
+            bc = acc.groupBy("id").agg(F.sum("delta").alias("b"))
+        else:
+            bc = spark.createDataFrame([], "id long, b double")
+        # rescale (betweenness.py:338 _rescale, mirrored exactly):
+        # normalized -> 1/((n-1)(n-2)) (undirected double-counting is
+        # folded into the same constant); unnormalized undirected ->
+        # 1/2; the n/k estimator factor applies only when a scale does
+        if normalized:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+        else:
+            scale = None if graph.directed else 0.5
+        factor = scale * scale_k if scale is not None else 1.0
+        out = (
+            verts.join(bc, "id", "left")
+            .select(
+                "id",
+                (F.coalesce("b", F.lit(0.0)) * F.lit(factor)).alias(
+                    "betweenness"
+                ),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
+        verts.unpersist()
+
+
+def closeness_centrality(
+    graph: LinkGraph, node_id: int, wf_improved: bool = True
+) -> float:
+    """Closeness of one node — (r-1)/Σd scaled by (r-1)/(n-1) when
+    ``wf_improved`` (networkx/algorithms/centrality/closeness.py:20-120:
+    uses INCOMING distances, hence BFS over the reversed view).
+    Per-node by nature: the distributed cost is one BFS; corpus-wide
+    closeness is the sampled/targeted form, not all-pairs."""
+    from .traversal import bfs_layers
+
+    g = graph.reverse() if graph.directed else graph
+    layers = bfs_layers(g, [node_id])
+    row = layers.agg(
+        F.count(F.lit(1)).alias("r"), F.sum("layer").alias("tot")
+    ).first()
+    r, tot = row["r"], row["tot"]
+    if r <= 1 or not tot:
+        return 0.0
+    cc = (r - 1) / float(tot)
+    if wf_improved:
+        n = graph.num_vertices()
+        cc *= (r - 1) / float(n - 1) if n > 1 else 0.0
+    return cc
+
+
+def harmonic_centrality(graph: LinkGraph, node_id: int) -> float:
+    """Harmonic centrality of one node — Σ 1/d(u, v) over incoming
+    distances (networkx/algorithms/centrality/harmonic.py:12-72)."""
+    from .traversal import bfs_layers
+
+    g = graph.reverse() if graph.directed else graph
+    layers = bfs_layers(g, [node_id])
+    val = (
+        layers.where(F.col("layer") > 0)
+        .agg(F.sum(1.0 / F.col("layer")))
+        .first()[0]
+    )
+    return float(val or 0.0)
+
+
 def eigenvector_centrality(
     graph: LinkGraph,
     max_iter: int = 100,

@@ -90,6 +90,21 @@ def descendants_at_distance(graph: LinkGraph, source: int, distance: int) -> Dat
     return layers.where(F.col("layer") == distance).select("id")
 
 
+def descendants(graph: LinkGraph, source: int) -> DataFrame:
+    """(id) all nodes reachable FROM source, source excluded
+    (networkx/algorithms/dag.py:42 ``descendants``)."""
+    layers = bfs_layers(graph, [source])
+    return layers.where(F.col("layer") > 0).select("id")
+
+
+def ancestors(graph: LinkGraph, source: int) -> DataFrame:
+    """(id) all nodes with a path TO source, source excluded
+    (networkx/algorithms/dag.py:72 ``ancestors``) — descendants on
+    the zero-cost reversed view."""
+    g = graph.reverse() if graph.directed else graph
+    return descendants(g, source)
+
+
 def single_source_shortest_path_length(
     graph: LinkGraph, source: int, cutoff: int | None = None
 ) -> DataFrame:

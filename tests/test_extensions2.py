@@ -225,3 +225,91 @@ def test_bpe_token_count_shapes(spark):
     ).select(bpe_token_count(F.col("text")).alias("n"))
     # Hello , world ! 4 2 -> 6 ; "" -> 0 ; a . b -> 3
     assert [r["n"] for r in df.collect()] == [6, 0, 3]
+
+
+# ------------------------------------------------- betweenness centrality
+BC_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)]
+
+
+def test_betweenness_undirected_vs_nx(spark):
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = graph_from_edge_names(spark, BC_EDGES, directed=False)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["betweenness"]
+        for r in betweenness_centrality(g).collect()
+    }
+    want = nx.betweenness_centrality(nx_graph(BC_EDGES, directed=False))
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-9), k
+
+
+def test_betweenness_directed_unnormalized_vs_nx(spark):
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 4), (0, 4)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["betweenness"]
+        for r in betweenness_centrality(g, normalized=False).collect()
+    }
+    want = nx.betweenness_centrality(
+        nx_graph(edges, directed=True), normalized=False
+    )
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-9), k
+
+
+def test_betweenness_sampled_sources_exactness(spark):
+    """sources=[all] must equal the default full run."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = graph_from_edge_names(spark, BC_EDGES, directed=False)
+    all_ids = [r["id"] for r in g.vertices.collect()]
+    a = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g, sources=all_ids).collect()
+    }
+    b = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(g).collect()
+    }
+    assert a == pytest.approx(b)
+
+
+# ------------------------------------------------ descendants / ancestors
+def test_descendants_ancestors_vs_nx(spark):
+    from linkgraph.operators.traversal import ancestors, descendants
+
+    edges = [(1, 2), (2, 3), (4, 2), (3, 5)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    rev = {v: k for k, v in nm.items()}
+    got_d = {nm[r["id"]] for r in descendants(g, rev["2"]).collect()}
+    got_a = {nm[r["id"]] for r in ancestors(g, rev["2"]).collect()}
+    G = nx_graph(edges, directed=True)
+    assert got_d == {str(x) for x in nx.descendants(G, 2)}
+    assert got_a == {str(x) for x in nx.ancestors(G, 2)}
+
+
+# --------------------------------------------- closeness / harmonic point
+def test_closeness_harmonic_vs_nx(spark):
+    from linkgraph.operators.centrality import (
+        closeness_centrality,
+        harmonic_centrality,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 1)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    rev = {v: k for k, v in nm.items()}
+    G = nx_graph(edges, directed=True)
+    for node in ["1", "4"]:
+        assert closeness_centrality(g, rev[node]) == pytest.approx(
+            nx.closeness_centrality(G, int(node))
+        ), node
+        assert harmonic_centrality(g, rev[node]) == pytest.approx(
+            nx.harmonic_centrality(G, nbunch=[int(node)])[int(node)]
+        ), node
