@@ -49,6 +49,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread across the session's partitions. The test tables
+    are single small parquet files (one input split), so a
+    compute-heavy narrow chain (md5 per token/shingle, per-dim vector
+    math) would otherwise run as ONE task no matter how many cores the
+    session has. At production scale the scan has many splits and this
+    is a no-op cost-wise; here the tiny shuffle (<1 MB) buys full
+    parallelism for the hash/vector work."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _read(spark, sf_dir, name).repartition(n)
+
+
 # ----------------------------------------------------------------- graphs
 def order_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     cust = _read(spark, sf_dir, "customer")
@@ -215,12 +227,12 @@ def q_bfs_layers_orders(spark, sf_dir):
 
 # ------------------------------------------------------- documents / text
 def q_doc_exact_dedup(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return ddp.exact_dedup_groups(docs).select("text_hash", "keep_id", "n_dups")
 
 
 def q_doc_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     s = tx.text_stats(docs)
     return s.select(
         "doc_id",
@@ -236,7 +248,7 @@ def q_doc_stats(spark, sf_dir):
 
 
 def q_doc_lang_counts(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return (
         docs.select(tx.lang_id(F.col("text")).alias("pred_lang"))
         .groupBy("pred_lang")
@@ -245,14 +257,14 @@ def q_doc_lang_counts(spark, sf_dir):
 
 
 def q_doc_lsh_bands(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return ddp.lsh_band_table(
         docs, num_bands=4, rows_per_band=2, shingle_n=3
     ).select("id", "band", "key")
 
 
 def q_doc_near_dup_jaccard(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     cand = ddp.minhash_candidate_pairs(docs, num_bands=4, rows_per_band=2, shingle_n=3)
     return ddp.jaccard_pairs(docs, cand).select(
         "id_a", "id_b", F.round("jaccard", 8).alias("jaccard_r")
@@ -260,7 +272,7 @@ def q_doc_near_dup_jaccard(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     sh = tx.simhash_table(docs).withColumnRenamed("simhash", "sh")
     mask = F.lit(0xFFFFFFFF).cast("long")
     return sh.select(
@@ -271,7 +283,7 @@ def q_doc_simhash(spark, sf_dir):
 
 
 def q_embedding_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     top = sim.cosine_topk(emb, queries, k=10, round_to=6)
     return top.select(
@@ -325,7 +337,7 @@ def q_core_number_parts(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     top = sim.lsh_topk(emb, queries, dim=64, k=10, bits=8)
     return top.select(
@@ -408,7 +420,7 @@ def q_topo_generations_orders(spark, sf_dir):
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     top = sim.ivf_topk(
         emb, queries, k=10, n_centroids=8, kmeans_iters=2, nprobe=2
@@ -419,7 +431,7 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
@@ -461,7 +473,7 @@ def q_link_embeddedness_parts(spark, sf_dir):
 
 
 def q_embedding_near_pairs(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return sim.lsh_self_join(emb, dim=64, bits=8, round_to=6).select(
         "id_a", "id_b", F.col("score").alias("score_r")
     )
