@@ -439,6 +439,41 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_ktruss_parts(spark, sf_dir):
+    from linkgraph.operators.core import k_truss
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return k_truss(g, k=4).edges.select("src", "dst")
+
+
+def q_nation_quotient_orders(spark, sf_dir):
+    """Quotient (block) graph: contract the order graph along the
+    customer -> nation partition; weight = cross-edge count."""
+    from linkgraph.operators.minors import quotient_graph
+
+    g = order_graph(spark, sf_dir)
+    part = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("block"),
+    )
+    q = quotient_graph(g, part)
+    return q.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+
+
+def q_part_projection(spark, sf_dir):
+    """Bipartite projection of the lineitem part<->order membership
+    onto parts; weight = shared-order count."""
+    from linkgraph.operators.bipartite import weighted_projected_graph
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("part"),
+        F.col("l_orderkey").cast("long").alias("ord"),
+    )
+    return weighted_projected_graph(li, "part", "ord").select(
+        "u1", "u2", F.col("weight").cast("double").alias("w")
+    )
+
+
 def q_closeness_orders(spark, sf_dir):
     """Closeness + harmonic centrality of node 1 (incoming-distance
     BFS over the reversed order graph)."""
@@ -528,6 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "closeness_orders": q_closeness_orders,
+        "ktruss_parts": q_ktruss_parts,
+        "nation_quotient_orders": q_nation_quotient_orders,
+        "part_projection": q_part_projection,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1144,6 +1182,58 @@ SELECT doc_id,
 FROM hv"""
 
 
+def _ktruss_sql(k: int = 4, rounds: int = 4) -> str:
+    """Unrolled k-truss peeling: per round enumerate triangles of the
+    surviving edge set (a<b<c), scatter to the three edges, keep
+    support >= k-2. Idempotent at the fixpoint (measured: 2 rounds at
+    sf0.01), so extra rounds are harmless."""
+    head = f"WITH {_PAIRS_CTE}, t0 AS MATERIALIZED (SELECT src, dst FROM pairs)"
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+tri{i} AS MATERIALIZED (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM t{i} e1
+  JOIN t{i} e2 ON e2.src = e1.dst
+  JOIN t{i} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+sup{i} AS MATERIALIZED (
+  SELECT src, dst, count(*) AS s FROM (
+    SELECT a AS src, b AS dst FROM tri{i}
+    UNION ALL SELECT b, c FROM tri{i}
+    UNION ALL SELECT a, c FROM tri{i}
+  ) GROUP BY src, dst
+),
+t{i + 1} AS MATERIALIZED (
+  SELECT t.src, t.dst FROM t{i} t
+  LEFT JOIN sup{i} s ON s.src = t.src AND s.dst = t.dst
+  WHERE COALESCE(s.s, 0) >= {k - 2}
+)""")
+    return head + "," + ",".join(steps) + f"\nSELECT src, dst FROM t{rounds}"
+
+
+def _nation_quotient_sql() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders)
+SELECT CAST(cs.c_nationkey AS BIGINT) AS src,
+       CAST(cd.c_nationkey AS BIGINT) AS dst,
+       CAST(count(*) AS DOUBLE) AS w
+FROM e
+JOIN customer cs ON cs.c_custkey = e.src
+JOIN customer cd ON cd.c_custkey = e.dst
+WHERE cs.c_nationkey <> cd.c_nationkey
+GROUP BY 1, 2"""
+
+
+def _part_projection_sql() -> str:
+    return """
+WITH m AS (SELECT DISTINCT l_partkey AS u, l_orderkey AS v FROM lineitem)
+SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS DOUBLE) AS w
+FROM m a JOIN m b ON a.v = b.v AND a.u < b.u
+GROUP BY 1, 2"""
+
+
 def _closeness_sql() -> str:
     """Incoming-distance BFS from node 1 (recursive CTE on reversed
     edges), then the Wasserman–Faust-improved closeness and harmonic
@@ -1369,4 +1459,7 @@ FROM events GROUP BY event_type""",
         ),
         "doc_fingerprints": _doc_fingerprints_sql(),
         "closeness_orders": _closeness_sql(),
+        "ktruss_parts": _ktruss_sql(k=4, rounds=4),
+        "nation_quotient_orders": _nation_quotient_sql(),
+        "part_projection": _part_projection_sql(),
     }

@@ -166,3 +166,73 @@ def core_number(graph: LinkGraph, max_iters: int = 500) -> DataFrame:
     return graph.vertices.select("id").join(c, "id", "left").select(
         "id", F.coalesce("core", F.lit(0)).cast("long").alias("core")
     )
+
+
+def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
+    """Maximal subgraph whose every edge lies in >= k-2 triangles OF
+    THE SUBGRAPH (networkx/algorithms/core.py ``k_truss``; the
+    reference also drops nodes isolated by the peeling, so the result
+    keeps only edge endpoints).
+
+    Distributed peeling: per round, enumerate triangles once over the
+    surviving canonical edge set (a<b<c via the same two equi-joins as
+    the triangles operator), scatter each triangle to its three edges,
+    drop edges with support < k-2, repeat until stable — rounds =
+    peeling depth. The support table and edge set stay partitioned on
+    (src, dst); the frontier is localCheckpointed per round (bounded
+    lineage, see dag.py note).
+    """
+    if k < 2:
+        raise ValueError("k_truss requires k >= 2")
+    spark = graph.spark
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        _simple_undirected_edges(graph)
+        .repartition(num_partitions, "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        e1 = e
+        e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        e3 = e.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+        tri = (
+            e1.join(e2, e1.dst == e2.b)
+            .join(
+                e3,
+                (F.col("src") == F.col("a2")) & (F.col("c") == F.col("c2")),
+                "left_semi",
+            )
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"), "c")
+        )
+        sup = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+            .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        kept = (
+            e.join(sup, ["src", "dst"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .repartition(num_partitions, "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_kept = kept.count()
+        e = kept
+        if n_kept == n_edges:
+            break
+        n_edges = n_kept
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return LinkGraph(
+        vertices=verts,
+        edges=e.withColumn("weight", F.lit(1.0)),
+        directed=False,
+    )

@@ -313,3 +313,80 @@ def test_closeness_harmonic_vs_nx(spark):
         assert harmonic_centrality(g, rev[node]) == pytest.approx(
             nx.harmonic_centrality(G, nbunch=[int(node)])[int(node)]
         ), node
+
+
+# ------------------------------------------------------------- k-truss
+def test_ktruss_vs_nx(spark):
+    from linkgraph.operators.core import k_truss
+
+    # two 4-cliques sharing a vertex, plus a pendant path
+    edges = []
+    for block in ([0, 1, 2, 3], [3, 4, 5, 6]):
+        for i, a in enumerate(block):
+            for b in block[i + 1:]:
+                edges.append((a, b))
+    edges += [(6, 7), (7, 8)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = names(g)
+    got = {
+        frozenset((nm[r["src"]], nm[r["dst"]]))
+        for r in k_truss(g, k=4).edges.collect()
+    }
+    H = nx.k_truss(nx_graph(edges, directed=False), 4)
+    want = {frozenset((str(u), str(v))) for u, v in H.edges()}
+    assert got == want
+    # k high enough to erase everything
+    assert k_truss(g, k=5).edges.count() == 0
+    with pytest.raises(ValueError):
+        k_truss(g, k=1)
+
+
+# ------------------------------------------------------ quotient graph
+def test_quotient_graph_vs_nx(spark):
+    from linkgraph.operators.minors import quotient_graph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    blocks = {"0": 0, "1": 0, "2": 1, "3": 1, "4": 2}
+    part = spark.createDataFrame(
+        [(i, blocks[n]) for i, n in nm.items()], "id long, block long"
+    )
+    q = quotient_graph(g, part)
+    got = {(r["src"], r["dst"]): r["weight"] for r in q.edges.collect()}
+    G = nx_graph(edges, directed=True)
+    Q = nx.quotient_graph(
+        G, [{0, 1}, {2, 3}, {4}]
+    )
+    # nx block nodes are frozensets; map to our block ids
+    bid = {frozenset({0, 1}): 0, frozenset({2, 3}): 1, frozenset({4}): 2}
+    want_edges = {(bid[u], bid[v]) for u, v in Q.edges()}
+    assert set(got) == want_edges
+    # weights are cross-edge counts: 1->2 and 3->0 and 1->3? (1,3) is
+    # intra-block? no: 1 in block0, 3 in block1 -> crossing
+    assert got[(0, 1)] == 2.0  # edges (1,2) and (1,3)
+    assert got[(1, 0)] == 1.0  # edge (3,0)
+    assert got[(2, 0)] == 1.0  # edge (4,0)
+
+
+# ------------------------------------------------- bipartite projection
+def test_weighted_projection_vs_nx(spark):
+    from networkx.algorithms import bipartite as nxb
+
+    from linkgraph.operators.bipartite import weighted_projected_graph
+
+    membership = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (3, "c")]
+    df = spark.createDataFrame(membership, "u long, v string")
+    got = {
+        (r["u1"], r["u2"]): r["weight"]
+        for r in weighted_projected_graph(df, "u", "v").collect()
+    }
+    B = nx.Graph()
+    B.add_nodes_from([1, 2, 3], bipartite=0)
+    B.add_nodes_from(["a", "b", "c"], bipartite=1)
+    B.add_edges_from(membership)
+    P = nxb.weighted_projected_graph(B, [1, 2, 3])
+    want = {
+        (min(u, v), max(u, v)): d["weight"] for u, v, d in P.edges(data=True)
+    }
+    assert got == want
