@@ -439,6 +439,54 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_avg_nbr_degree_orders(spark, sf_dir):
+    from linkgraph.operators.assortativity import average_neighbor_degree
+
+    g = order_graph(spark, sf_dir)
+    return average_neighbor_degree(g).select(
+        "id", F.round("avg_nbr_degree", 8).alias("avg_nbr_degree_r")
+    )
+
+
+def q_condensation_orders(spark, sf_dir):
+    """Condensation DAG (strongly_connected.py:279) of the order
+    graph restricted to o_orderkey % 3 != 0 — the full order graph is
+    one giant SCC (condensation would be empty); the restriction
+    yields ~500 SCCs with ~500 cross edges, a real check."""
+    from linkgraph.operators.strongly_connected import condensation_edges
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.pmod(F.col("o_orderkey"), F.lit(3)) != 0
+    )
+    n = cust.count()
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = LinkGraph(
+        vertices=cust.select(F.col("c_custkey").cast("long").alias("id")),
+        edges=edges,
+        directed=True,
+    )
+    return condensation_edges(g).select("src", "dst")
+
+
+def q_topo_sort_orders(spark, sf_dir):
+    """Deterministic topological order (generation, then id) on the
+    DAG restriction of the order graph."""
+    from linkgraph.operators.dag import topological_sort
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")),
+        directed=True,
+    )
+    return topological_sort(dag).select("id", "generation", "topo_rank")
+
+
 def q_ktruss_parts(spark, sf_dir):
     from linkgraph.operators.core import k_truss
 
@@ -566,6 +614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_parts": q_ktruss_parts,
         "nation_quotient_orders": q_nation_quotient_orders,
         "part_projection": q_part_projection,
+        "condensation_orders": q_condensation_orders,
+        "topo_sort_orders": q_topo_sort_orders,
+        "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1182,6 +1233,69 @@ SELECT doc_id,
 FROM hv"""
 
 
+def _avg_nbr_degree_sql() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+nd AS (
+  SELECT e.src AS id, avg(COALESCE(deg.d, 0)) AS a
+  FROM e LEFT JOIN deg ON deg.id = e.dst
+  GROUP BY e.src
+)
+SELECT c.c_custkey AS id, round(COALESCE(nd.a, 0.0), 8) AS avg_nbr_degree_r
+FROM customer c LEFT JOIN nd ON nd.id = c.c_custkey"""
+
+
+def _condensation_sql() -> str:
+    """Condensation edges from the SCC labeling (same mutual-
+    reachability closure as ``_scc_sql``), contracted and deduped."""
+    return """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+nodes AS (SELECT c_custkey AS id FROM customer),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+scc AS (
+  SELECT r1.a AS id, max(r1.b) AS component
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+)
+SELECT DISTINCT cs.component AS src, cd.component AS dst
+FROM e
+JOIN scc cs ON cs.id = e.src
+JOIN scc cd ON cd.id = e.dst
+WHERE cs.component <> cd.component"""
+
+
+def _topo_sort_sql() -> str:
+    """Topo generations (same recursive CTE as
+    ``_topo_generations_sql``) plus a deterministic dense rank over
+    (generation, id)."""
+    return """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders
+  WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+),
+g(id, gen) AS (
+  SELECT c_custkey, 0 FROM customer
+  UNION
+  SELECT e.dst, g.gen + 1 FROM g JOIN e ON e.src = g.id WHERE g.gen < 5000
+),
+f AS (SELECT id, CAST(max(gen) AS BIGINT) AS generation FROM g GROUP BY id)
+SELECT id, generation,
+  CAST(row_number() OVER (ORDER BY generation, id) - 1 AS BIGINT) AS topo_rank
+FROM f"""
+
+
 def _ktruss_sql(k: int = 4, rounds: int = 4) -> str:
     """Unrolled k-truss peeling: per round enumerate triangles of the
     surviving edge set (a<b<c), scatter to the three edges, keep
@@ -1462,4 +1576,7 @@ FROM events GROUP BY event_type""",
         "ktruss_parts": _ktruss_sql(k=4, rounds=4),
         "nation_quotient_orders": _nation_quotient_sql(),
         "part_projection": _part_projection_sql(),
+        "condensation_orders": _condensation_sql(),
+        "topo_sort_orders": _topo_sort_sql(),
+        "avg_nbr_degree_orders": _avg_nbr_degree_sql(),
     }

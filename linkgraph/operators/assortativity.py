@@ -86,3 +86,56 @@ def degree_assortativity_coefficient(g: LinkGraph) -> float:
     if den2 <= 0:
         return float("nan")
     return float(num / den2**0.5)
+
+
+def average_neighbor_degree(graph: LinkGraph) -> DataFrame:
+    """(id BIGINT, avg_nbr_degree DOUBLE) — mean degree of each node's
+    neighbors (networkx/algorithms/assortativity/neighbor_degree.py:12
+    ``average_neighbor_degree``, source/target defaults).
+
+    Undirected: neighbors via both orientations of the canonical
+    simple edge set. Directed: the reference's defaults
+    (source="out", target="out") — neighbors are successors and the
+    measured degree is the successor's out-degree. One degrees
+    aggregate + one join + one avg, no iteration. Nodes with no
+    neighbors get 0.0 (reference emits 0). Self-loops: counted once
+    in degree (the reference's undirected degree counts them twice —
+    divergence documented, matching the other operators' self-loop
+    handling).
+    """
+    if graph.directed:
+        e = graph.edges.select("src", "dst").distinct()
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    else:
+        canon = (
+            graph.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+        e = canon.unionByName(
+            canon.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+    # LEFT join: a neighbor with no edges of its own still counts in
+    # the mean, with degree 0 (the reference averages over ALL of
+    # G[n], not just neighbors that have out-edges)
+    nbr_deg = (
+        e.join(deg.withColumnRenamed("id", "dst"), "dst", "left")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.avg(F.coalesce("deg", F.lit(0))).alias("avg_nbr_degree"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(nbr_deg, "id", "left")
+        .select(
+            "id", F.coalesce("avg_nbr_degree", F.lit(0.0)).alias("avg_nbr_degree")
+        )
+    )

@@ -390,3 +390,32 @@ def test_weighted_projection_vs_nx(spark):
         (min(u, v), max(u, v)): d["weight"] for u, v, d in P.edges(data=True)
     }
     assert got == want
+
+
+# ------------------------------------------------ average neighbor degree
+def test_average_neighbor_degree_vs_nx(spark):
+    from linkgraph.operators.assortativity import average_neighbor_degree
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["avg_nbr_degree"]
+        for r in average_neighbor_degree(g).collect()
+    }
+    want = nx.average_neighbor_degree(nx_graph(edges, directed=False))
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v), k
+
+    gd = graph_from_edge_names(spark, [(0, 1), (1, 2), (0, 2), (2, 0)], directed=True)
+    nmd = names(gd)
+    gotd = {
+        nmd[r["id"]]: r["avg_nbr_degree"]
+        for r in average_neighbor_degree(gd).collect()
+    }
+    wantd = nx.average_neighbor_degree(
+        nx_graph([(0, 1), (1, 2), (0, 2), (2, 0)], directed=True),
+        source="out", target="out",
+    )
+    for k, v in wantd.items():
+        assert gotd[str(k)] == pytest.approx(v), k
