@@ -538,6 +538,42 @@ def q_closeness_orders(spark, sf_dir):
     )
 
 
+def q_betweenness_orders(spark, sf_dir):
+    """Source-sampled Brandes betweenness (centrality.py
+    ``betweenness_centrality``, batched multi-source sweeps) on the
+    order graph — 15 deterministic sources (custkey % 100 == 1),
+    unnormalized raw dependency sums."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return betweenness_centrality(g, sources=srcs, normalized=False).select(
+        "id", F.round("betweenness", 6).alias("betweenness_r")
+    )
+
+
+def q_harmonic_sampled_orders(spark, sf_dir):
+    """Pivot-sampled closeness/harmonic aggregates for EVERY node from
+    60 deterministic origins (custkey % 25 == 1) — one batched
+    multi-source BFS (Eppstein–Wang estimator inputs)."""
+    from linkgraph.operators.centrality import sampled_closeness_harmonic
+
+    g = order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(25)) == 1).collect()
+    ]
+    return sampled_closeness_harmonic(g, srcs).select(
+        "id",
+        "n_reached",
+        "dist_sum",
+        F.round("harmonic_sum", 8).alias("harmonic_r"),
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -617,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_orders": q_condensation_orders,
         "topo_sort_orders": q_topo_sort_orders,
         "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
+        "betweenness_orders": q_betweenness_orders,
+        "harmonic_sampled_orders": q_harmonic_sampled_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1247,6 +1285,96 @@ SELECT c.c_custkey AS id, round(COALESCE(nd.a, 0.0), 8) AS avg_nbr_degree_r
 FROM customer c LEFT JOIN nd ON nd.id = c.c_custkey"""
 
 
+def _betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
+    """Unrolled Brandes sigma/delta over the order graph for the
+    sampled sources (custkey % src_mod == 1): layer CTEs l0..lD via
+    frontier expansion with ANTI-JOIN dedup, then backward delta CTEs
+    dD..d1; betweenness = per-id sum of deltas over layers ≥ 1.
+    ``depth`` must exceed the graph's max eccentricity (measured 6 at
+    sf0.01/sf0.001). Every CTE is MATERIALIZED: the l/seen chain is
+    multiply-referenced, and DuckDB's default inlining re-expands it
+    per reference — near-exponential plan growth that exhausts file
+    descriptors re-opening the parquet behind the views."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM customer),",
+        "eraw AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),",
+        "ee AS (SELECT eraw.src, eraw.dst FROM eraw"
+        " JOIN customer a ON a.c_custkey = eraw.src"
+        " JOIN customer b ON b.c_custkey = eraw.dst"
+        " WHERE eraw.src <> eraw.dst),",
+        f"l0 AS (SELECT CAST(c_custkey AS BIGINT) AS s,"
+        f" CAST(c_custkey AS BIGINT) AS id, CAST(1 AS DOUBLE) AS sigma"
+        f" FROM customer WHERE c_custkey % {src_mod} = 1),",
+        "seen0 AS (SELECT s, id FROM l0),",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS (SELECT x.s, x.id, SUM(x.sig) AS sigma FROM ("
+            f"SELECT l{d-1}.s AS s, ee.dst AS id, l{d-1}.sigma AS sig"
+            f" FROM l{d-1} JOIN ee ON ee.src = l{d-1}.id) x"
+            f" ANTI JOIN seen{d-1} sn ON sn.s = x.s AND sn.id = x.id"
+            f" GROUP BY x.s, x.id),"
+        )
+        parts.append(
+            f"seen{d} AS (SELECT s, id FROM seen{d-1}"
+            f" UNION ALL SELECT s, id FROM l{d}),"
+        )
+    parts.append(
+        f"d{depth} AS (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM l{depth}),"
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"d{d} AS (SELECT l{d}.s, l{d}.id, l{d}.sigma,"
+            f" l{d}.sigma * COALESCE(c.wsum, 0) AS delta"
+            f" FROM l{d} LEFT JOIN ("
+            f"SELECT dn.s, ee.src, SUM((1 + dn.delta) / dn.sigma) AS wsum"
+            f" FROM ee JOIN d{d+1} dn ON dn.id = ee.dst GROUP BY dn.s, ee.src"
+            f") c ON c.s = l{d}.s AND c.src = l{d}.id),"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{d}" for d in range(1, depth + 1)
+    )
+    parts.append(f"acc AS ({acc}),")
+    parts.append("b AS (SELECT id, SUM(delta) AS bt FROM acc GROUP BY id)")
+    parts.append(
+        "SELECT CAST(c.c_custkey AS BIGINT) AS id,"
+        " round(COALESCE(b.bt, 0), 6) AS betweenness_r"
+        " FROM customer c LEFT JOIN b ON b.id = c.c_custkey"
+    )
+    return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
+
+
+def _harmonic_sampled_sql(src_mod: int = 25, max_layer: int = 7) -> str:
+    """Multi-source BFS (recursive CTE keyed (s, id, layer), min-layer
+    per pair) from the sampled origins, then per-target aggregates —
+    mirror of ``sampled_closeness_harmonic``."""
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+eraw AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+  CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),
+ee AS (SELECT eraw.src, eraw.dst FROM eraw
+  JOIN customer b ON b.c_custkey = eraw.dst),
+r(s, id, layer) AS (
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), 0
+  FROM customer WHERE c_custkey % {src_mod} = 1
+  UNION
+  SELECT r.s, ee.dst, r.layer + 1 FROM r JOIN ee ON ee.src = r.id
+  WHERE r.layer < {max_layer}
+),
+d AS (SELECT s, id, MIN(layer) AS l FROM r GROUP BY s, id),
+agg AS (
+  SELECT id, count(*) AS n_reached, SUM(l) AS dist_sum,
+         SUM(1.0 / l) AS harm
+  FROM d WHERE l > 0 GROUP BY id
+)
+SELECT CAST(c.c_custkey AS BIGINT) AS id,
+  COALESCE(agg.n_reached, 0) AS n_reached,
+  CAST(COALESCE(agg.dist_sum, 0) AS BIGINT) AS dist_sum,
+  round(COALESCE(agg.harm, 0.0), 8) AS harmonic_r
+FROM customer c LEFT JOIN agg ON agg.id = c.c_custkey"""
+
+
 def _condensation_sql() -> str:
     """Condensation edges from the SCC labeling (same mutual-
     reachability closure as ``_scc_sql``), contracted and deduped."""
@@ -1579,4 +1707,6 @@ FROM events GROUP BY event_type""",
         "condensation_orders": _condensation_sql(),
         "topo_sort_orders": _topo_sort_sql(),
         "avg_nbr_degree_orders": _avg_nbr_degree_sql(),
+        "betweenness_orders": _betweenness_sql(),
+        "harmonic_sampled_orders": _harmonic_sampled_sql(),
     }

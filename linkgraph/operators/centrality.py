@@ -21,6 +21,8 @@ plan as one-row broadcast aggregates.
 
 from __future__ import annotations
 
+from collections.abc import Iterable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,18 +42,20 @@ def betweenness_centrality(
     ``_single_source_shortest_path_basic`` :249 and
     ``_accumulate_basic`` :300), unweighted.
 
-    Distributed form: one forward frontier sweep per source computes
-    (layer, sigma) — sigma(v) = Σ sigma(u) over predecessors one layer
-    closer — then a backward sweep per layer accumulates
-    delta(v) = Σ_{succ w} sigma(v)/sigma(w) · (1 + delta(w)).
-    Per-source cost is O(depth) joins each way; betweenness IS a
-    per-source algorithm, so the scale knob is source sampling:
-    ``k`` samples the ``k`` lowest-id vertices (deterministic) and
-    rescales by n/k — the standard estimator (betweenness.py:72
-    ``k`` parameter). ``sources`` overrides sampling explicitly.
-    The per-layer tables live as localCheckpoints (bounded lineage);
-    accumulation across sources is a union + groupBy sum, not a
-    driver-side merge.
+    Distributed form: ALL sources advance together — state keyed
+    (source, id). One forward frontier sweep per DEPTH computes
+    (layer, sigma) — sigma(s,v) = Σ sigma(s,u) over predecessors one
+    layer closer — then one backward join per layer accumulates
+    delta(s,v) = Σ_{succ w} sigma(s,v)/sigma(s,w) · (1 + delta(s,w)).
+    Job count is O(diameter), independent of the number of sources
+    (round 1 ran a sequential per-source loop: O(|S|·depth) driver
+    round-trips — the batched sweep removes that storm). The scale
+    knob is source sampling: ``k`` samples the ``k`` lowest-id
+    vertices (deterministic) and rescales by n/k — the standard
+    estimator (betweenness.py:72 ``k`` parameter); ``sources``
+    overrides sampling explicitly. Per-layer tables live as eager
+    localCheckpoints (bounded lineage); cross-source accumulation is
+    a union + groupBy sum, never a driver-side merge.
     """
     spark = graph.spark
     if num_partitions is None:
@@ -85,76 +89,73 @@ def betweenness_centrality(
         src_ids = [int(s) for s in sources]
         scale_k = 1.0
 
-    deltas: list[DataFrame] = []
-    kept: list[DataFrame] = []
     try:
-        for s in src_ids:
-            # ---- forward: (id, layer, sigma) --------------------------
-            layers: list[DataFrame] = [
-                spark.createDataFrame([(int(s), 1.0)], "id long, sigma double")
-                .join(verts, "id", "left_semi")
+        # ---- forward (all sources at once): (source, id, sigma) per layer
+        layers: list[DataFrame] = [
+            spark.createDataFrame([(int(s),) for s in src_ids], "source long")
+            .select("source", F.col("source").alias("id"), F.lit(1.0).alias("sigma"))
+            .join(verts, "id", "left_semi")
+            .localCheckpoint(eager=True)
+        ]
+        seen = layers[0].select("source", "id").localCheckpoint(eager=True)
+        while True:
+            nxt = (
+                edges.join(layers[-1].withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(seen, ["source", "id"], "left_anti")
                 .localCheckpoint(eager=True)
-            ]
-            seen = layers[0].select("id").localCheckpoint(eager=True)
-            while True:
-                nxt = (
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            layers.append(nxt)
+            seen = seen.unionByName(nxt.select("source", "id")).localCheckpoint(
+                eager=True
+            )
+        # ---- backward (all sources at once): delta per layer ----------
+        deltas: list[DataFrame] = []
+        delta_next: DataFrame | None = None  # layer d+1 (source, id, sigma, delta)
+        for d in range(len(layers) - 1, -1, -1):
+            cur = layers[d]
+            if delta_next is None:
+                delta_cur = cur.select(
+                    "source", "id", "sigma", F.lit(0.0).alias("delta")
+                )
+            else:
+                contrib = (
                     edges.join(
-                        layers[-1].withColumnRenamed("id", "src"), "src"
-                    )
-                    .groupBy(F.col("dst").alias("id"))
-                    .agg(F.sum("sigma").alias("sigma"))
-                    .join(seen, "id", "left_anti")
-                    .localCheckpoint(eager=True)
-                )
-                if nxt.limit(1).count() == 0:
-                    break
-                layers.append(nxt)
-                seen = seen.unionByName(nxt.select("id")).localCheckpoint(
-                    eager=True
-                )
-            # ---- backward: delta per layer ----------------------------
-            delta_next: DataFrame | None = None  # layer d+1 (id, sigma, delta)
-            for d in range(len(layers) - 1, -1, -1):
-                cur = layers[d]
-                if delta_next is None:
-                    delta_cur = cur.select(
-                        "id", "sigma", F.lit(0.0).alias("delta")
-                    )
-                else:
-                    contrib = (
-                        edges.join(
-                            delta_next.select(
-                                F.col("id").alias("dst"),
-                                (
-                                    (1.0 + F.col("delta")) / F.col("sigma")
-                                ).alias("wterm"),
+                        delta_next.select(
+                            "source",
+                            F.col("id").alias("dst"),
+                            ((1.0 + F.col("delta")) / F.col("sigma")).alias(
+                                "wterm"
                             ),
-                            "dst",
-                        )
-                        .groupBy(F.col("src").alias("id"))
-                        .agg(F.sum("wterm").alias("wsum"))
+                        ),
+                        "dst",
                     )
-                    delta_cur = (
-                        cur.join(contrib, "id", "left")
-                        .select(
-                            "id",
-                            "sigma",
-                            (
-                                F.col("sigma")
-                                * F.coalesce("wsum", F.lit(0.0))
-                            ).alias("delta"),
-                        )
+                    .groupBy("source", F.col("src").alias("id"))
+                    .agg(F.sum("wterm").alias("wsum"))
+                )
+                delta_cur = (
+                    cur.join(contrib, ["source", "id"], "left")
+                    .select(
+                        "source",
+                        "id",
+                        "sigma",
+                        (
+                            F.col("sigma") * F.coalesce("wsum", F.lit(0.0))
+                        ).alias("delta"),
                     )
-                delta_cur = delta_cur.localCheckpoint(eager=True)
-                if d > 0:  # the source itself accumulates nothing
-                    deltas.append(delta_cur.select("id", "delta"))
-                kept.append(delta_cur)
-                delta_next = delta_cur
+                )
+            delta_cur = delta_cur.localCheckpoint(eager=True)
+            if d > 0:  # the source row itself accumulates nothing
+                deltas.append(delta_cur.select("id", "delta"))
+            delta_next = delta_cur
 
         if deltas:
             acc = deltas[0]
-            for d in deltas[1:]:
-                acc = acc.unionByName(d)
+            for dd in deltas[1:]:
+                acc = acc.unionByName(dd)
             bc = acc.groupBy("id").agg(F.sum("delta").alias("b"))
         else:
             bc = spark.createDataFrame([], "id long, b double")
@@ -222,6 +223,46 @@ def harmonic_centrality(graph: LinkGraph, node_id: int) -> float:
         .first()[0]
     )
     return float(val or 0.0)
+
+
+def sampled_closeness_harmonic(
+    graph: LinkGraph,
+    sources: Iterable[int] | DataFrame,
+) -> DataFrame:
+    """(id, n_reached BIGINT, dist_sum BIGINT, harmonic_sum DOUBLE) —
+    per-node incoming-distance aggregates over a SAMPLE of origins:
+    one batched multi-source BFS from the sampled sources
+    (``multi_source_bfs_layers``), then a groupBy over the target id.
+
+    ``harmonic_sum(v) = Σ_{u∈S, d(u,v)>0} 1/d(u,v)`` is the
+    pivot-sampled harmonic centrality (exact when S = V —
+    networkx/algorithms/centrality/harmonic.py:12); ``dist_sum`` and
+    ``n_reached`` feed the Eppstein–Wang closeness estimator
+    ``ĉ(v) ≈ (k·(n-1)) / (n·dist_sum)``. Nodes reached by no sampled
+    origin get zeros. Cost: O(diameter) shuffles on O(n·|S|) state —
+    the sample size is the scale knob, never the graph."""
+    from .traversal import multi_source_bfs_layers
+
+    msb = multi_source_bfs_layers(graph, sources)
+    agg = (
+        msb.where(F.col("layer") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.col("layer").cast("long")).alias("dist_sum"),
+            F.sum(1.0 / F.col("layer")).alias("harmonic_sum"),
+        )
+    )
+    return (
+        graph.vertices.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+            F.coalesce("dist_sum", F.lit(0)).alias("dist_sum"),
+            F.coalesce("harmonic_sum", F.lit(0.0)).alias("harmonic_sum"),
+        )
+    )
 
 
 def eigenvector_centrality(

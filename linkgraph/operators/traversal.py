@@ -82,6 +82,78 @@ def bfs_layers(
         frontier.unpersist()
 
 
+def multi_source_bfs_layers(
+    graph: LinkGraph,
+    sources: Iterable[int] | DataFrame,
+    max_depth: int = 10_000,
+    directed: bool | None = None,
+) -> DataFrame:
+    """(source BIGINT, id BIGINT, layer INT) — per-source hop
+    distances with ALL sources advanced in lock-step: one
+    frontier⋈edges shuffle per DEPTH, not per source (job count
+    O(diameter), independent of |sources|).
+
+    This is the batched substrate for source-sampled centrality
+    (Eppstein–Wang style estimators) and Brandes sweeps — the
+    reference runs one sequential BFS per source
+    (networkx/algorithms/shortest_paths/unweighted.py); the
+    distributed form vectorizes over sources, paying O(Σ_s reach(s))
+    state keyed (source, id). The scale knob is the size of the
+    source sample, not the graph.
+    """
+    spark = graph.spark
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed is None:
+        directed = graph.directed
+    verts = graph.vertices.select("id")
+    edges = (
+        (graph.weighted_edges() if directed else graph.symmetrized_edges())
+        .select("src", "dst")
+        .distinct()
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edges.count()
+
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col("id").alias("source")).distinct()
+    else:
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in sources], "source long"
+        ).distinct()
+    src_df = src_df.join(
+        verts.withColumnRenamed("id", "source"), "source", "left_semi"
+    )
+
+    frontier = src_df.select("source", F.col("source").alias("id")).persist()
+    visited = frontier.select("source", "id", F.lit(0).alias("layer")).persist()
+    visited.count()
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                edges.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select("source", F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+                .persist()
+            )
+            n = nxt.count()
+            frontier.unpersist()
+            frontier = nxt
+            if n == 0:
+                break
+            new_visited = visited.unionByName(
+                nxt.select("source", "id", F.lit(depth).alias("layer"))
+            ).localCheckpoint(eager=True)
+            visited.unpersist()
+            visited = new_visited
+        return visited
+    finally:
+        edges.unpersist()
+        frontier.unpersist()
+
+
 def descendants_at_distance(graph: LinkGraph, source: int, distance: int) -> DataFrame:
     """Nodes exactly ``distance`` hops from source
     (networkx/algorithms/traversal/breadth_first_search.py

@@ -419,3 +419,49 @@ def test_average_neighbor_degree_vs_nx(spark):
     )
     for k, v in wantd.items():
         assert gotd[str(k)] == pytest.approx(v), k
+
+
+# -------------------------------- batched multi-source BFS / sampled centrality
+def test_multi_source_bfs_vs_nx(spark):
+    from linkgraph.operators.traversal import multi_source_bfs_layers
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 1), (4, 6)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    rev = {v: k for k, v in nm.items()}
+    srcs = [rev["1"], rev["5"], rev["3"]]
+    got = {
+        (nm[r["source"]], nm[r["id"]]): r["layer"]
+        for r in multi_source_bfs_layers(g, srcs).collect()
+    }
+    G = nx_graph(edges, directed=True)
+    want = {}
+    for s in [1, 5, 3]:
+        for v, d in nx.single_source_shortest_path_length(G, s).items():
+            want[(str(s), str(v))] = d
+    assert got == want
+
+
+def test_sampled_closeness_harmonic_exact_when_all_sources(spark):
+    from linkgraph.operators.centrality import sampled_closeness_harmonic
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 1), (4, 6)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    all_ids = [r["id"] for r in g.vertices.collect()]
+    rows = {nm[r["id"]]: r for r in sampled_closeness_harmonic(g, all_ids).collect()}
+    G = nx_graph(edges, directed=True)
+    want_h = nx.harmonic_centrality(G)
+    for k, v in want_h.items():
+        assert rows[str(k)]["harmonic_sum"] == pytest.approx(v), k
+    # dist_sum/n_reached reproduce exact closeness when S = V
+    n = len(all_ids)
+    for k in want_h:
+        r = rows[str(k)]
+        want_c = nx.closeness_centrality(G, int(k))
+        got_c = (
+            0.0
+            if r["n_reached"] == 0 or r["dist_sum"] == 0
+            else (r["n_reached"] / r["dist_sum"]) * (r["n_reached"] / (n - 1))
+        )
+        assert got_c == pytest.approx(want_c), k
