@@ -271,6 +271,16 @@ def q_doc_near_dup_jaccard(spark, sf_dir):
     )
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters (dedup.py ``near_dup_clusters``):
+    LSH-verified Jaccard≥0.8 pairs → undirected connected components →
+    (doc_id, cluster = min doc_id, is_survivor)."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    return ddp.near_dup_clusters(
+        docs, threshold=0.8, num_bands=4, rows_per_band=2, shingle_n=3
+    )
+
+
 def q_doc_simhash(spark, sf_dir):
     docs = _read_wide(spark, sf_dir, "documents")
     sh = tx.simhash_table(docs).withColumnRenamed("simhash", "sh")
@@ -574,6 +584,16 @@ def q_harmonic_sampled_orders(spark, sf_dir):
     )
 
 
+def q_katz_orders(spark, sf_dir):
+    """Katz centrality (centrality.py ``katz_centrality``) on the order
+    graph at 8 fixed supersteps, alpha=0.05, beta=1, L2-normalized."""
+    from linkgraph.operators.centrality import katz_centrality
+
+    g = order_graph(spark, sf_dir)
+    x = katz_centrality(g, alpha=0.05, beta=1.0, fixed_iter=8)
+    return x.select("id", F.round("centrality", 8).alias("katz_r"))
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -655,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
         "betweenness_orders": q_betweenness_orders,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
+        "katz_orders": q_katz_orders,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -873,6 +895,55 @@ JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b"""
 
 
+def _dedup_clusters_sql(threshold: float = 0.8) -> str:
+    """Mirror of ``near_dup_clusters``: the `_jaccard_pairs_sql`
+    candidate+verify body filtered at ``threshold``, symmetrized, then
+    transitive closure by recursive reachability; cluster = min
+    reachable id (singletons map to themselves)."""
+    return f"""
+WITH RECURSIVE {_minhash_cte(8)},
+bt AS (
+  SELECT d.doc_id AS id, 0 AS band, md5(concat_ws('|', mh.h0, mh.h1)) AS key
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 1, md5(concat_ws('|', mh.h2, mh.h3))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 2, md5(concat_ws('|', mh.h4, mh.h5))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+  UNION ALL SELECT d.doc_id, 3, md5(concat_ws('|', mh.h6, mh.h7))
+  FROM documents d LEFT JOIN mh ON mh.doc_id = d.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bt a JOIN bt b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+sets AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS tk
+  FROM documents
+),
+ed AS (
+  SELECT c.id_a, c.id_b FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.tk, sb.tk)) AS DOUBLE)
+    / greatest(len(list_distinct(list_concat(sa.tk, sb.tk))), 1) >= {threshold}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM ed
+  UNION SELECT id_b, id_a FROM ed
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+cl AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster,
+  d.doc_id = COALESCE(cl.cluster, d.doc_id) AS is_survivor
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id"""
+
+
 def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
     """Unrolled iterative peeling (same generator device as
     ``_pagerank_sql``): each round keeps edges whose endpoints have
@@ -1033,6 +1104,35 @@ x{i + 1} AS MATERIALIZED (
     return (
         head + "," + ",".join(steps)
         + f"\nSELECT id, round(r, 8) AS centrality_r FROM x{iters}"
+    )
+
+
+def _katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Mirror of ``katz_centrality`` at fixed iterations:
+    x_{i+1} = alpha * A^T x_i + beta from x_0 = 0, L2-normalized at
+    the end. Weights = parallel-edge counts (CSR coalescing)."""
+    head = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+x0 AS MATERIALIZED (SELECT id, 0.0 AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT x.id, {alpha} * COALESCE(g.v, 0) + {beta} AS r
+  FROM x{i} x LEFT JOIN (
+    SELECT ec.dst AS id, sum(x.r * ec.w) AS v
+    FROM x{i} x JOIN ec ON ec.src = x.id GROUP BY ec.dst
+  ) g ON g.id = x.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f""",
+nrm AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS s FROM x{iters})
+SELECT id, round(r / (CASE WHEN (SELECT s FROM nrm) > 0
+  THEN (SELECT s FROM nrm) ELSE 1 END), 8) AS katz_r FROM x{iters}"""
     )
 
 
@@ -1709,4 +1809,6 @@ FROM events GROUP BY event_type""",
         "avg_nbr_degree_orders": _avg_nbr_degree_sql(),
         "betweenness_orders": _betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
+        "katz_orders": _katz_sql(),
+        "doc_dedup_clusters": _dedup_clusters_sql(),
     }

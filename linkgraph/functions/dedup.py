@@ -169,3 +169,42 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(doc_id, cluster BIGINT, is_survivor BOOLEAN) — transitive
+    near-duplicate clusters: LSH-verified pairs (``near_dup_pairs``)
+    become an undirected edge table, connected components over it
+    assign each doc the cluster's minimum doc_id, and that minimum is
+    the deterministic survivor. Docs with no near-dup are their own
+    singleton cluster (and survivor).
+
+    This is the canonical web-scale dedup shape (the reference's
+    per-group iteration is a driver loop): candidate generation never
+    leaves the banded equi-join, and the transitive closure is the
+    pointer-jumping CC operator — O(log n) rounds — rather than a
+    quadratic group-merge. Downstream keeps ``is_survivor`` rows.
+    """
+    from ..graph import LinkGraph
+    from ..operators.components import connected_components
+
+    pairs = near_dup_pairs(df, threshold, text_col, id_col, **lsh_kwargs)
+    verts = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = LinkGraph(verts, edges, directed=False)
+    labels = connected_components(g)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )

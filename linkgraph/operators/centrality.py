@@ -382,3 +382,119 @@ def eigenvector_centrality(
     finally:
         adj.unpersist()
         nodes.unpersist()
+
+
+def katz_centrality(
+    graph: LinkGraph,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 1000,
+    tol: float = 1.0e-6,
+    weight: bool = True,
+    normalized: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    fixed_iter: int | None = None,
+) -> DataFrame:
+    """Returns (id BIGINT, centrality DOUBLE) — Katz centrality by
+    power iteration (networkx/algorithms/centrality/katz.py:12):
+    ``x_new(v) = alpha * Σ_{u→v} w(u,v)·x(u) + beta``, converged when
+    ``Σ|x_new - x| < n·tol``, then L2-normalized (``normalized=True``,
+    the reference default).
+
+    Same physical plan as pagerank/eigenvector: the salted CSR
+    adjacency is built once and persisted, every superstep is one
+    gather join + map-side partial sum, beta rides the plan as a
+    literal. ``fixed_iter`` runs exactly that many supersteps with no
+    convergence action (oracle parity / benchmarking).
+    """
+    spark = graph.spark
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
+    if not weight:
+        base = base.select("src", "dst", F.lit(1.0).alias("weight"))
+    adj = build_adjacency(
+        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
+    ).persist()
+    adj.count()
+
+    nodes = graph.vertices.select("id").repartition(num_partitions, "id").persist()
+    n = nodes.count()
+    if n == 0:
+        adj.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "id long, centrality double")
+
+    loop = SuperstepLoop(
+        spark,
+        "katz",
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+    x = loop.start(
+        nodes.select("id", F.lit(0.0).alias("centrality")).repartition(
+            num_partitions, "id"
+        )
+    )
+
+    def superstep(x_cur: DataFrame) -> DataFrame:
+        gathered = (
+            adj.join(x_cur.withColumnRenamed("id", "src"), "src")
+            .select(F.explode("pairs").alias("z"), "centrality")
+            .select(
+                F.col("z.dsts").alias("id"),
+                (F.col("centrality") * F.col("z.wts")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        return x_cur.join(gathered, "id", "left").select(
+            "id",
+            (
+                F.lit(float(alpha)) * F.coalesce("gathered", F.lit(0.0))
+                + F.lit(float(beta))
+            ).alias("centrality"),
+        )
+
+    def l1(prev: DataFrame, new: DataFrame) -> dict:
+        err = (
+            new.join(prev.select("id", F.col("centrality").alias("c_prev")), "id")
+            .agg(F.sum(F.abs(F.col("centrality") - F.col("c_prev"))))
+            .first()[0]
+        )
+        return {"l1_error": err}
+
+    niter = fixed_iter if fixed_iter is not None else max_iter
+    converged = fixed_iter is not None
+    try:
+        for _ in range(niter):
+            x_new = superstep(x)
+            if fixed_iter is not None:
+                x, _ = loop.advance(x_new, metrics_fn=lambda p, n_: {"rows": n_.count()})
+                continue
+            x, m = loop.advance(x_new, metrics_fn=l1)
+            if m["l1_error"] < n * tol:
+                converged = True
+                break
+        if not converged:
+            raise PowerIterationFailedConvergence(max_iter)
+        if normalized:
+            nrm = x.agg(
+                F.sqrt(F.sum(F.col("centrality") * F.col("centrality"))).alias("nrm")
+            )
+            x = x.crossJoin(F.broadcast(nrm)).select(
+                "id",
+                (
+                    F.col("centrality")
+                    / F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0))
+                ).alias("centrality"),
+            )
+        out = x.persist()
+        out.count()
+        return out
+    finally:
+        adj.unpersist()
+        nodes.unpersist()

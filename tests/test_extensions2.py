@@ -465,3 +465,35 @@ def test_sampled_closeness_harmonic_exact_when_all_sources(spark):
             else (r["n_reached"] / r["dist_sum"]) * (r["n_reached"] / (n - 1))
         )
         assert got_c == pytest.approx(want_c), k
+
+
+def test_katz_centrality_vs_nx(spark):
+    from linkgraph.operators.centrality import katz_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 1), (4, 6), (6, 2)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["centrality"]
+        for r in katz_centrality(g, alpha=0.1, tol=1e-10).collect()
+    }
+    G = nx_graph(edges, directed=True)
+    want = nx.katz_centrality(G, alpha=0.1, tol=1e-10)
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-6), k
+
+
+def test_katz_centrality_undirected_vs_nx(spark):
+    from linkgraph.operators.centrality import katz_centrality
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = names(g)
+    got = {
+        nm[r["id"]]: r["centrality"]
+        for r in katz_centrality(g, alpha=0.05, beta=0.3, tol=1e-10).collect()
+    }
+    G = nx_graph(edges, directed=False)
+    want = nx.katz_centrality(G, alpha=0.05, beta=0.3, tol=1e-10)
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-6), k

@@ -114,3 +114,22 @@ def test_lsh_topk_self_consistent(spark):
     # the exact top-5 and never return self-pairs
     assert len(a & e) >= len(e) // 2
     assert all(q != n for q, n in a)
+
+
+def test_near_dup_clusters_transitive(spark):
+    # 1≈2 and 2≈4 (and 1≈4 exact) chain into one cluster; 3 is a
+    # singleton; survivor = min doc_id of the cluster.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words nothing shared here at all whatsoever ok fine"
+    df = docs_df(spark, [(1, base), (2, near), (3, far), (4, base)])
+    rows = {
+        r["doc_id"]: (r["cluster"], r["is_survivor"])
+        for r in ddp.near_dup_clusters(df, threshold=0.5).collect()
+    }
+    assert rows == {
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+        4: (1, False),
+    }
