@@ -594,6 +594,43 @@ def q_katz_orders(spark, sf_dir):
     return x.select("id", F.round("centrality", 8).alias("katz_r"))
 
 
+def q_eccentricity_orders(spark, sf_dir):
+    """Pivot eccentricities (distance_measures.py
+    ``eccentricity_sampled``) from 60 deterministic origins
+    (custkey % 25 == 1) — reachable-set max hop distance."""
+    from linkgraph.operators.distance_measures import eccentricity_sampled
+
+    g = order_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.pmod(F.col("id"), F.lit(25)) == 1).select("id")
+    return eccentricity_sampled(g, srcs)
+
+
+def q_distance_summary_orders(spark, sf_dir):
+    """One-row diameter/radius bounds + sampled global efficiency
+    (distance_measures.py ``distance_summary_sampled``) from the same
+    60 pivots."""
+    from linkgraph.operators.distance_measures import distance_summary_sampled
+
+    g = order_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.pmod(F.col("id"), F.lit(25)) == 1).select("id")
+    return distance_summary_sampled(g, srcs).select(
+        "diameter_lb",
+        "radius_ub",
+        F.round("global_efficiency", 8).alias("global_efficiency_r"),
+    )
+
+
+def q_walks_orders(spark, sf_dir):
+    """Deterministic random walks (walks.py ``random_walks``) on the
+    order graph: starts = custkey % 10 == 1, 6 steps, seed 1 —
+    DeepWalk-style corpus generation, one CSR join per step."""
+    from linkgraph.operators.walks import random_walks
+
+    g = order_graph(spark, sf_dir)
+    starts = g.vertices.where(F.pmod(F.col("id"), F.lit(10)) == 1).select("id")
+    return random_walks(g, walk_length=6, seed=1, starts=starts)
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -677,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
         "katz_orders": q_katz_orders,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "walks_orders": q_walks_orders,
+        "eccentricity_orders": q_eccentricity_orders,
+        "distance_summary_orders": q_distance_summary_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -893,6 +933,83 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b"""
+
+
+_MSB_CTE = """nn AS (SELECT count(*) AS n FROM customer),
+eraw AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+  CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),
+ee AS (SELECT eraw.src, eraw.dst FROM eraw
+  JOIN customer b ON b.c_custkey = eraw.dst),
+r(s, id, layer) AS (
+  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), 0
+  FROM customer WHERE c_custkey % {src_mod} = 1
+  UNION
+  SELECT r.s, ee.dst, r.layer + 1 FROM r JOIN ee ON ee.src = r.id
+  WHERE r.layer < {max_layer}
+),
+d AS (SELECT s, id, MIN(layer) AS l FROM r GROUP BY s, id)"""
+
+
+def _eccentricity_sql(src_mod: int = 25, max_layer: int = 7) -> str:
+    """Per-pivot reachable-set eccentricity from the multi-source BFS
+    closure (same recursive CTE as ``_harmonic_sampled_sql``)."""
+    return (
+        "WITH RECURSIVE "
+        + _MSB_CTE.format(src_mod=src_mod, max_layer=max_layer)
+        + """
+SELECT s AS source, MAX(l) AS ecc, count(*) AS n_reached
+FROM d GROUP BY s"""
+    )
+
+
+def _distance_summary_sql(src_mod: int = 25, max_layer: int = 7) -> str:
+    """Diameter/radius bounds + sampled global efficiency from the
+    same closure: eff = Σ 1/l / (k·(n-1))."""
+    return (
+        "WITH RECURSIVE "
+        + _MSB_CTE.format(src_mod=src_mod, max_layer=max_layer)
+        + """,
+ecc AS (SELECT s, MAX(l) AS e FROM d GROUP BY s),
+k AS (SELECT count(*) AS k FROM ecc)
+SELECT (SELECT MAX(e) FROM ecc) AS diameter_lb,
+  (SELECT MIN(e) FROM ecc) AS radius_ub,
+  round((SELECT COALESCE(SUM(1.0 / l), 0) FROM d WHERE l > 0)
+    / ((SELECT k FROM k) * ((SELECT n FROM nn) - 1)), 8) AS global_efficiency_r"""
+    )
+
+
+def _walks_sql(steps: int = 6, seed: int = 1, start_mod: int = 10) -> str:
+    """Replay of ``random_walks`` (walks.py): CSR neighbor order =
+    row_number() over (src ORDER BY dst); choice = the same LCG mix
+    mod out-degree (all terms nonnegative, so `%` == pmod)."""
+    from linkgraph.operators.walks import _A, _B, _C, _MIX_MOD
+
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),",
+        "eraw AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),",
+        "ee AS MATERIALIZED (SELECT eraw.src, eraw.dst FROM eraw"
+        " JOIN customer b ON b.c_custkey = eraw.dst),",
+        "adj AS MATERIALIZED (SELECT src, dst,"
+        " row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,"
+        " count(*) OVER (PARTITION BY src) AS deg FROM ee),",
+        f"w0 AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS walk,"
+        f" CAST(c_custkey AS BIGINT) AS node"
+        f" FROM customer WHERE c_custkey % {start_mod} = 1),",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT w.walk, a.dst AS node"
+            f" FROM w{i-1} w JOIN adj a ON a.src = w.node"
+            f" AND a.idx = ({_A} * (w.node % {_MIX_MOD})"
+            f" + {_B} * (w.walk % {_MIX_MOD})"
+            f" + {_C * i + seed}) % a.deg),"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT walk, {i} AS step, node FROM w{i}" for i in range(steps + 1)
+    )
+    sql = "\n".join(parts).rstrip(",") + f"\n{acc}"
+    return sql
 
 
 def _dedup_clusters_sql(threshold: float = 0.8) -> str:
@@ -1811,4 +1928,7 @@ FROM events GROUP BY event_type""",
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
         "doc_dedup_clusters": _dedup_clusters_sql(),
+        "walks_orders": _walks_sql(),
+        "eccentricity_orders": _eccentricity_sql(),
+        "distance_summary_orders": _distance_summary_sql(),
     }

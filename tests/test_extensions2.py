@@ -497,3 +497,73 @@ def test_katz_centrality_undirected_vs_nx(spark):
     want = nx.katz_centrality(G, alpha=0.05, beta=0.3, tol=1e-10)
     for k, v in want.items():
         assert got[str(k)] == pytest.approx(v, abs=1e-6), k
+
+
+# ------------------------------------------------------ deterministic walks
+def test_random_walks_match_python_replay(spark):
+    from linkgraph.operators.walks import random_walks, _A, _B, _C, _MIX_MOD
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 1), (4, 2), (5, 1)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = names(g)
+    rev = {v: int(k) for k, v in nm.items()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(rev[str(a)], set()).add(rev[str(b)])
+
+    L, seed = 6, 7
+    got = {}
+    for r in random_walks(g, walk_length=L, seed=seed).collect():
+        got.setdefault(r["walk"], {})[r["step"]] = r["node"]
+
+    for start in [rev[str(i)] for i in range(1, 6)]:
+        cur, path = start, [start]
+        for step in range(1, L + 1):
+            nbrs = sorted(adj.get(cur, ()))
+            if not nbrs:
+                break
+            mix = _A * (cur % _MIX_MOD) + _B * (start % _MIX_MOD) + _C * step + seed
+            cur = nbrs[mix % len(nbrs)]
+            path.append(cur)
+        assert got[start] == dict(enumerate(path)), nm[start]
+
+
+def test_random_walks_replicas_and_starts(spark):
+    from linkgraph.operators.walks import random_walks
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    some = g.vertices.limit(2).select("id")
+    w = random_walks(g, walk_length=3, walks_per_node=2, starts=some)
+    walks = {r["walk"] for r in w.collect()}
+    ids = [r["id"] for r in some.collect()]
+    assert walks == {i * 2 for i in ids} | {i * 2 + 1 for i in ids}
+    # every walk visits step 0..3 (no dead ends in this cycle graph)
+    steps = w.groupBy("walk").count().collect()
+    assert all(r["count"] == 4 for r in steps)
+
+
+# ------------------------------------------------------ distance measures
+def test_eccentricity_and_summary_vs_nx(spark):
+    from linkgraph.operators.distance_measures import (
+        distance_summary_sampled,
+        eccentricity_sampled,
+    )
+
+    # connected undirected graph -> exact parity with nx when S = V
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = names(g)
+    all_ids = [r["id"] for r in g.vertices.collect()]
+    got = {
+        nm[r["source"]]: r["ecc"]
+        for r in eccentricity_sampled(g, all_ids).collect()
+    }
+    G = nx_graph(edges, directed=False)
+    want = nx.eccentricity(G)
+    assert got == {str(k): v for k, v in want.items()}
+
+    row = distance_summary_sampled(g, all_ids).collect()[0]
+    assert row["diameter_lb"] == nx.diameter(G)
+    assert row["radius_ub"] == nx.radius(G)
+    assert row["global_efficiency"] == pytest.approx(nx.global_efficiency(G))
