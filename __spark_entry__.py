@@ -594,6 +594,16 @@ def q_katz_orders(spark, sf_dir):
     return x.select("id", F.round("centrality", 8).alias("katz_r"))
 
 
+def q_mis_orders(spark, sf_dir):
+    """Luby maximal independent set (independent_set.py
+    ``maximal_independent_set``) on the symmetrized order graph —
+    deterministic hashed priorities, seed 0."""
+    from linkgraph.operators.independent_set import maximal_independent_set
+
+    g = order_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=0)
+
+
 def q_eccentricity_orders(spark, sf_dir):
     """Pivot eccentricities (distance_measures.py
     ``eccentricity_sampled``) from 60 deterministic origins
@@ -717,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walks_orders": q_walks_orders,
         "eccentricity_orders": q_eccentricity_orders,
         "distance_summary_orders": q_distance_summary_orders,
+        "mis_orders": q_mis_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -933,6 +944,47 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sets sa ON sa.doc_id = c.id_a
 JOIN sets sb ON sb.doc_id = c.id_b"""
+
+
+def _mis_sql(rounds: int = 8, seed: int = 0) -> str:
+    """Replay of ``maximal_independent_set``: unrolled Luby rounds.
+    (p, id) lexicographic order is encoded as ck = p*2^20 + id —
+    exact while id < 2^20, true at the oracle's scale factors (the
+    engine itself compares the struct, scale-safe). Extra rounds
+    beyond convergence are no-ops on an empty undecided set."""
+    from linkgraph.operators.independent_set import _A, _MIX_MOD, _P
+
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),",
+        "eraw AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),",
+        "e2 AS MATERIALIZED (SELECT eraw.src, eraw.dst FROM eraw"
+        " JOIN customer b ON b.c_custkey = eraw.dst WHERE eraw.src <> eraw.dst),",
+        "ee AS MATERIALIZED (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),",
+        f"u0 AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS id,"
+        f" (({_A} * (c_custkey % {_MIX_MOD}) + {seed}) % {_P}) * 1048576"
+        f" + c_custkey AS ck FROM customer),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT u.id FROM u{r} u LEFT JOIN ("
+            f"SELECT e.src AS id, MIN(ud.ck) AS mck"
+            f" FROM ee e JOIN u{r} ud ON ud.id = e.dst"
+            f" WHERE e.src IN (SELECT id FROM u{r}) GROUP BY e.src"
+            f") nb ON nb.id = u.id WHERE nb.mck IS NULL OR u.ck < nb.mck),"
+        )
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT * FROM u{r} WHERE id NOT IN ("
+            f"SELECT id FROM w{r}"
+            f" UNION SELECT e.dst FROM ee e JOIN w{r} w ON w.id = e.src)),"
+        )
+    acc = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    parts.append(f"mis AS MATERIALIZED ({acc})")
+    parts.append(
+        "SELECT CAST(c.c_custkey AS BIGINT) AS id,"
+        " c.c_custkey IN (SELECT id FROM mis) AS in_mis FROM customer c"
+    )
+    return "\n".join(parts)
 
 
 _MSB_CTE = """nn AS (SELECT count(*) AS n FROM customer),
@@ -1931,4 +1983,5 @@ FROM events GROUP BY event_type""",
         "walks_orders": _walks_sql(),
         "eccentricity_orders": _eccentricity_sql(),
         "distance_summary_orders": _distance_summary_sql(),
+        "mis_orders": _mis_sql(),
     }

@@ -567,3 +567,36 @@ def test_eccentricity_and_summary_vs_nx(spark):
     assert row["diameter_lb"] == nx.diameter(G)
     assert row["radius_ub"] == nx.radius(G)
     assert row["global_efficiency"] == pytest.approx(nx.global_efficiency(G))
+
+
+# ------------------------------------------------------ maximal independent set
+def test_maximal_independent_set_invariants(spark):
+    from linkgraph.operators.independent_set import maximal_independent_set
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 5), (3, 6), (6, 7)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    nm = names(g)
+    rows = {nm[r["id"]]: r["in_mis"] for r in maximal_independent_set(g).collect()}
+    assert len(rows) == 7
+    mis = {k for k, v in rows.items() if v}
+    assert mis  # non-empty
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(str(a), set()).add(str(b))
+        adj.setdefault(str(b), set()).add(str(a))
+    # independence: no two MIS members adjacent
+    for v in mis:
+        assert not (adj[v] & mis), v
+    # maximality: every excluded vertex has a MIS neighbor
+    for v in set(rows) - mis:
+        assert adj[v] & mis, v
+
+
+def test_maximal_independent_set_seed_changes_set(spark):
+    from linkgraph.operators.independent_set import maximal_independent_set
+
+    edges = [(i, i + 1) for i in range(1, 12)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    a = {(r["id"], r["in_mis"]) for r in maximal_independent_set(g, seed=0).collect()}
+    b = {(r["id"], r["in_mis"]) for r in maximal_independent_set(g, seed=0).collect()}
+    assert a == b  # deterministic for a fixed seed
