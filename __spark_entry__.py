@@ -281,6 +281,26 @@ def q_doc_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_doc_training_mix(spark, sf_dir):
+    """End-to-end curation pipeline (pipeline.py ``training_mix``):
+    quality gates + language whitelist + near-dup survivorship in one
+    composed plan — the kept set a tokenizer run would consume."""
+    from linkgraph.functions.pipeline import training_mix
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return training_mix(
+        docs,
+        min_tokens=10,
+        min_alpha_ratio=0.5,
+        max_digit_ratio=0.3,
+        langs=("de", "en", "es", "fr"),
+        dedup_threshold=0.8,
+        num_bands=4,
+        rows_per_band=2,
+        shingle_n=3,
+    )
+
+
 def q_doc_simhash(spark, sf_dir):
     docs = _read_wide(spark, sf_dir, "documents")
     sh = tx.simhash_table(docs).withColumnRenamed("simhash", "sh")
@@ -728,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_orders": q_eccentricity_orders,
         "distance_summary_orders": q_distance_summary_orders,
         "mis_orders": q_mis_orders,
+        "doc_training_mix": q_doc_training_mix,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1927,6 +1948,26 @@ FROM base""",
 WITH base AS (SELECT doc_id, {lang_cols} FROM documents)
 SELECT {lang_case} AS pred_lang, count(*) AS n_docs
 FROM base GROUP BY 1""",
+        "doc_training_mix": f"""
+WITH surv AS MATERIALIZED (
+  SELECT doc_id FROM ({_dedup_clusters_sql()}) WHERE is_survivor
+),
+base AS MATERIALIZED (
+  SELECT doc_id, text,
+    length(text) AS n,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ntok,
+    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS alpha,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+    {lang_cols}
+  FROM documents
+)
+SELECT b.doc_id, {lang_case} AS pred_lang, b.ntok AS n_tokens,
+  CAST(b.n AS BIGINT) AS n_chars
+FROM base b JOIN surv s ON s.doc_id = b.doc_id
+WHERE b.ntok >= 10
+  AND CAST(b.alpha AS DOUBLE) / greatest(b.n, 1) >= 0.5
+  AND CAST(b.dig AS DOUBLE) / greatest(b.n, 1) <= 0.3
+  AND {lang_case} IN ('de', 'en', 'es', 'fr')""",
         "doc_lsh_bands": _bands_sql(),
         "doc_near_dup_jaccard": _jaccard_pairs_sql(),
         "doc_simhash": _simhash_sql(),

@@ -54,6 +54,10 @@ def main() -> None:
         "doc_lsh_bands",
         "doc_simhash",
         "embedding_topk",
+        "doc_dedup_clusters",
+        "walks_orders",
+        "mis_orders",
+        "harmonic_sampled_orders",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

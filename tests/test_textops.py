@@ -133,3 +133,21 @@ def test_near_dup_clusters_transitive(spark):
         3: (3, True),
         4: (1, False),
     }
+
+
+def test_training_mix_composition(spark):
+    from linkgraph.functions.pipeline import training_mix
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = docs_df(
+        spark,
+        [
+            (1, base),                              # kept: en, survivor
+            (2, base.replace("today", "tomorrow")), # near-dup of 1 -> dropped
+            (3, "1234 5678 90 12 345 678 90 123 456 789"),  # digits -> dropped
+            (4, "too short"),                       # < 10 tokens -> dropped
+        ],
+    )
+    kept = training_mix(df, min_tokens=10, dedup_threshold=0.5).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    assert kept[0]["pred_lang"] == "en"
