@@ -661,6 +661,59 @@ def q_walks_orders(spark, sf_dir):
     return random_walks(g, walk_length=6, seed=1, starts=starts)
 
 
+def q_node2vec_orders(spark, sf_dir):
+    """node2vec biased walks (walks.py ``node2vec_walks``) on the
+    order graph: starts = custkey % 10 == 1, 4 steps, bias weights
+    (w_return, w_common, w_explore) = (1, 4, 2) i.e. p=4, q=2, seed 1.
+    Integer-weight cumulative sampler — SQL-replayable exactly."""
+    from linkgraph.operators.walks import node2vec_walks
+
+    g = order_graph(spark, sf_dir)
+    starts = g.vertices.where(F.pmod(F.col("id"), F.lit(10)) == 1).select("id")
+    return node2vec_walks(
+        g, walk_length=4, w_return=1, w_common=4, w_explore=2,
+        seed=1, starts=starts,
+    )
+
+
+def q_vertex_cover_orders(spark, sf_dir):
+    """2-approx vertex cover = endpoints of a Luby-style maximal
+    matching (matching.py) on the undirected simple order graph."""
+    from linkgraph.operators.matching import vertex_cover_approx
+
+    g = order_graph(spark, sf_dir)
+    return vertex_cover_approx(g, seed=0)
+
+
+def q_local_bridges_parts(spark, sf_dir):
+    """Edges with no common neighbor (structural.py ``local_bridges``)
+    on the part co-occurrence graph."""
+    from linkgraph.operators.structural import local_bridges
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return local_bridges(g)
+
+
+def q_s_metric_parts(spark, sf_dir):
+    """Li–Alderson s-metric (structural.py ``s_metric``) of the part
+    co-occurrence graph — one row."""
+    from linkgraph.operators.structural import s_metric
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return s_metric(g)
+
+
+def q_rich_club_parts(spark, sf_dir):
+    """Rich-club coefficient phi(k) per degree threshold
+    (structural.py ``rich_club_coefficient``) on the part graph."""
+    from linkgraph.operators.structural import rich_club_coefficient
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return rich_club_coefficient(g).select(
+        "k", F.round("phi", 8).alias("phi_r")
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -749,6 +802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_summary_orders": q_distance_summary_orders,
         "mis_orders": q_mis_orders,
         "doc_training_mix": q_doc_training_mix,
+        "node2vec_orders": q_node2vec_orders,
+        "vertex_cover_orders": q_vertex_cover_orders,
+        "local_bridges_parts": q_local_bridges_parts,
+        "s_metric_parts": q_s_metric_parts,
+        "rich_club_parts": q_rich_club_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1083,6 +1141,159 @@ def _walks_sql(steps: int = 6, seed: int = 1, start_mod: int = 10) -> str:
     )
     sql = "\n".join(parts).rstrip(",") + f"\n{acc}"
     return sql
+
+
+def _node2vec_sql(
+    steps: int = 4, seed: int = 1, start_mod: int = 10,
+    wr: int = 1, wc: int = 4, we: int = 2,
+) -> str:
+    """Replay of ``node2vec_walks``: per step, candidates are the
+    current node's out-neighbors; integer bias weights (prev-null → 1,
+    return → wr, common-neighbor-of-prev → wc, else we); pick the
+    first candidate in ascending id order whose cumulative weight
+    exceeds mix % total. All arithmetic integer → exact parity."""
+    from linkgraph.operators.walks import _A, _B, _C, _MIX_MOD
+
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),",
+        "eraw AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),",
+        "ee AS MATERIALIZED (SELECT eraw.src, eraw.dst FROM eraw"
+        " JOIN customer b ON b.c_custkey = eraw.dst),",
+        f"s0 AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS walk,"
+        f" CAST(NULL AS BIGINT) AS prev, CAST(c_custkey AS BIGINT) AS node"
+        f" FROM customer WHERE c_custkey % {start_mod} = 1),",
+    ]
+    for i in range(1, steps + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s.walk, s.prev, s.node, e.dst AS cand"
+            f" FROM s{i-1} s JOIN ee e ON e.src = s.node),"
+        )
+        parts.append(
+            f"w{i}n2v AS MATERIALIZED (SELECT walk, node, cand,"
+            f" CASE WHEN prev IS NULL THEN 1"
+            f" WHEN cand = prev THEN {wr}"
+            f" WHEN EXISTS (SELECT 1 FROM ee x WHERE x.src = c.prev"
+            f" AND x.dst = c.cand) THEN {wc}"
+            f" ELSE {we} END AS w FROM c{i} c),"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT walk, node, cand,"
+            f" SUM(w) OVER (PARTITION BY walk ORDER BY cand) AS cum,"
+            f" SUM(w) OVER (PARTITION BY walk) AS tot FROM w{i}n2v),"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT walk, MIN(node) AS prev,"
+            f" MIN(cand) AS node FROM g{i}"
+            f" WHERE tot > 0 AND cum > ({_A} * (node % {_MIX_MOD})"
+            f" + {_B} * (walk % {_MIX_MOD}) + {_C * i + seed}) % tot"
+            f" GROUP BY walk),"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT walk, {i} AS step, node FROM s{i}" for i in range(steps + 1)
+    )
+    return "\n".join(parts).rstrip(",") + f"\n{acc}"
+
+
+def _matching_sql(rounds: int = 16, seed: int = 0) -> str:
+    """Replay of ``maximal_matching`` / ``vertex_cover_approx``
+    (matching.py): unrolled locally-minimal-edge rounds on the
+    canonical undirected simple order graph. The engine's struct
+    (p, src, dst) min is ORDER BY p, src, dst; an edge wins a round
+    when it is rank-1 at BOTH endpoints (HAVING count(*) = 2). Extra
+    rounds beyond convergence are no-ops on an empty edge set."""
+    from linkgraph.operators.matching import _A, _MIX_MOD, _P
+
+    parts = [
+        "WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),",
+        "er AS MATERIALIZED (SELECT DISTINCT"
+        " least(CAST(o_custkey AS BIGINT),"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT)) AS src,"
+        " greatest(CAST(o_custkey AS BIGINT),"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT)) AS dst FROM orders),",
+        f"e0 AS MATERIALIZED (SELECT er.src, er.dst,"
+        f" ({_A} * (((er.src % {_MIX_MOD}) * 1009 + (er.dst % {_MIX_MOD}))"
+        f" % {_MIX_MOD}) + {seed}) % {_P} AS p"
+        f" FROM er JOIN customer a ON a.c_custkey = er.src"
+        f" JOIN customer b ON b.c_custkey = er.dst"
+        f" WHERE er.src <> er.dst),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"i{r} AS MATERIALIZED (SELECT src AS v, src, dst, p FROM e{r}"
+            f" UNION ALL SELECT dst, src, dst, p FROM e{r}),"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT src, dst FROM ("
+            f"SELECT v, src, dst,"
+            f" row_number() OVER (PARTITION BY v ORDER BY p, src, dst) AS rn"
+            f" FROM i{r}) WHERE rn = 1 GROUP BY src, dst HAVING count(*) = 2),"
+        )
+        parts.append(
+            f"mv{r} AS MATERIALIZED (SELECT src AS id FROM m{r}"
+            f" UNION SELECT dst FROM m{r}),"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT * FROM e{r}"
+            f" WHERE src NOT IN (SELECT id FROM mv{r})"
+            f" AND dst NOT IN (SELECT id FROM mv{r})),"
+        )
+    acc = " UNION ALL ".join(f"SELECT src, dst FROM m{r}" for r in range(rounds))
+    parts.append(f"mm AS MATERIALIZED ({acc}),")
+    parts.append("cov AS MATERIALIZED (SELECT src AS id FROM mm UNION SELECT dst FROM mm)")
+    parts.append(
+        "SELECT CAST(c.c_custkey AS BIGINT) AS id,"
+        " c.c_custkey IN (SELECT id FROM cov) AS in_cover FROM customer c"
+    )
+    return "\n".join(parts)
+
+
+_LOCAL_BRIDGES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+    CAST(b.l_partkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs)
+SELECT p.src, p.dst FROM pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj a JOIN adj b ON b.dst = a.dst AND b.src = p.dst
+  WHERE a.src = p.src
+)"""
+
+
+_S_METRIC_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+ids AS (SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs),
+deg AS (SELECT id, count(*) AS deg FROM ids GROUP BY id)
+SELECT CAST(SUM(da.deg * db.deg) AS DOUBLE) AS s_metric
+FROM pairs p JOIN deg da ON da.id = p.src JOIN deg db ON db.id = p.dst"""
+
+
+_RICH_CLUB_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+ids AS (SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs),
+deg AS (SELECT id, count(*) AS deg FROM ids GROUP BY id),
+grid AS (SELECT unnest(range(0, (SELECT CAST(max(deg) AS BIGINT) FROM deg))) AS k),
+nk AS (SELECT g.k, count(*) AS nk FROM grid g JOIN deg d ON d.deg > g.k GROUP BY g.k),
+emin AS (
+  SELECT least(da.deg, db.deg) AS mdeg
+  FROM pairs p JOIN deg da ON da.id = p.src JOIN deg db ON db.id = p.dst
+),
+ek AS (SELECT g.k, count(*) AS ek FROM grid g JOIN emin e ON e.mdeg > g.k GROUP BY g.k)
+SELECT CAST(nk.k AS INTEGER) AS k,
+  round(2.0 * coalesce(ek.ek, 0) / (nk.nk * (nk.nk - 1.0)), 8) AS phi_r
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.nk > 1"""
 
 
 def _dedup_clusters_sql(threshold: float = 0.8) -> str:
@@ -2022,6 +2233,11 @@ FROM events GROUP BY event_type""",
         "katz_orders": _katz_sql(),
         "doc_dedup_clusters": _dedup_clusters_sql(),
         "walks_orders": _walks_sql(),
+        "node2vec_orders": _node2vec_sql(),
+        "vertex_cover_orders": _matching_sql(),
+        "local_bridges_parts": _LOCAL_BRIDGES_SQL,
+        "s_metric_parts": _S_METRIC_SQL,
+        "rich_club_parts": _RICH_CLUB_SQL,
         "eccentricity_orders": _eccentricity_sql(),
         "distance_summary_orders": _distance_summary_sql(),
         "mis_orders": _mis_sql(),

@@ -125,3 +125,155 @@ def random_walks(
         return out.select("walk", "step", "node")
     finally:
         csr.unpersist()
+
+
+def node2vec_walks(
+    graph: LinkGraph,
+    walk_length: int,
+    w_return: int = 1,
+    w_common: int = 1,
+    w_explore: int = 1,
+    walks_per_node: int = 1,
+    seed: int = 0,
+    starts: DataFrame | None = None,
+    directed: bool | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(walk BIGINT, step INT, node BIGINT) — node2vec 2nd-order biased
+    walks (Grover & Leskovec 2016). The three integer weights are the
+    node2vec bias numerators after clearing denominators: a candidate
+    next-hop gets ``w_return`` if it IS the previous node (node2vec's
+    1/p), ``w_common`` if it is a neighbor of the previous node
+    (node2vec's 1), else ``w_explore`` (node2vec's 1/q). E.g. p=4, q=2
+    → (w_return, w_common, w_explore) = (1, 4, 2). Integer weights keep
+    the sampler exactly replayable in SQL — no float cumulative sums.
+
+    Deterministic weighted choice per (walk, step): candidates are the
+    current node's neighbors in ascending id order; pick the first
+    whose cumulative weight exceeds ``hash(cur, walk, step, seed) mod
+    total_weight``. Step 1 has no previous node and is uniform
+    (weight 1 per candidate), matching the reference's first-step
+    semantics.
+
+    Scale note: each step is one frontier⋈CSR explode plus one
+    (prev, cand) membership semi-join against the edge set — the
+    distributed replacement for node2vec's per-node alias tables,
+    which need O(sum degree²) precomputed state and do not shard.
+    """
+    spark = graph.spark
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed is None:
+        directed = graph.directed
+    for name, w in (("w_return", w_return), ("w_common", w_common), ("w_explore", w_explore)):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"{name} must be a nonnegative int, got {w!r}")
+    if w_return + w_common + w_explore == 0:
+        raise ValueError("at least one bias weight must be positive")
+
+    base = graph.weighted_edges() if directed else graph.symmetrized_edges()
+    verts = graph.vertices.select("id")
+    edges = (
+        base.select("src", "dst")
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    csr = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    csr.count()
+
+    if starts is None:
+        starts = verts
+    start0 = starts.select(F.col("id")).join(verts, "id", "left_semi")
+    state = start0.select(
+        F.explode(
+            F.sequence(
+                F.col("id") * walks_per_node,
+                F.col("id") * walks_per_node + (walks_per_node - 1),
+            )
+        ).alias("walk"),
+        F.lit(None).cast("long").alias("prev"),
+        F.col("id").alias("node"),
+    )
+    out = state.select("walk", F.lit(0).alias("step"), "node").localCheckpoint(
+        eager=True
+    )
+    frontier = state.localCheckpoint(eager=True)
+    try:
+        for step in range(1, walk_length + 1):
+            cand = (
+                frontier.join(csr.withColumnRenamed("src", "node"), "node")
+                .select("walk", "prev", "node", F.explode("nbrs").alias("cand"))
+            )
+            # membership probe: is cand a neighbor of prev?
+            is_common = (
+                cand.join(
+                    edges.select(
+                        F.col("src").alias("prev"), F.col("dst").alias("cand")
+                    ),
+                    ["prev", "cand"],
+                    "left_semi",
+                )
+                .select("walk", "cand", F.lit(True).alias("common"))
+            )
+            weighted = cand.join(is_common, ["walk", "cand"], "left").select(
+                "walk",
+                "prev",
+                "node",
+                "cand",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("cand") == F.col("prev"), F.lit(w_return))
+                .when(F.col("common"), F.lit(w_common))
+                .otherwise(F.lit(w_explore))
+                .alias("w"),
+            )
+            from pyspark.sql.window import Window as _W
+
+            wcum = (
+                _W.partitionBy("walk")
+                .orderBy("cand")
+                .rowsBetween(_W.unboundedPreceding, 0)
+            )
+            wtot = _W.partitionBy("walk").rowsBetween(
+                _W.unboundedPreceding, _W.unboundedFollowing
+            )
+            scored = weighted.select(
+                "walk",
+                "node",
+                "cand",
+                F.sum("w").over(wcum).alias("cum"),
+                F.sum("w").over(wtot).alias("tot"),
+            )
+            nxt = (
+                scored.where(F.col("tot") > 0)
+                .where(
+                    F.col("cum")
+                    > F.pmod(
+                        _choice(F.col("node"), F.col("walk"), step, seed),
+                        F.col("tot"),
+                    )
+                )
+                .groupBy("walk")
+                .agg(
+                    F.min("cand").alias("node"),
+                    # all rows of a walk group carry the same current
+                    # node; min is just the deterministic pick
+                    F.min("node").alias("prev"),
+                )
+                .select("walk", "prev", "node")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            out = out.unionByName(nxt.select("walk", F.lit(step).alias("step"), "node"))
+            frontier = nxt
+        return out.select("walk", "step", "node")
+    finally:
+        csr.unpersist()
+        edges.unpersist()
