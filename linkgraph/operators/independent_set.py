@@ -106,3 +106,20 @@ def maximal_independent_set(
     return verts.join(
         mis.select("id", F.lit(True).alias("in_mis")), "id", "left"
     ).select("id", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))
+
+
+def dominating_set(
+    graph: LinkGraph,
+    seed: int = 0,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(id BIGINT, in_set BOOLEAN) — a dominating set: every vertex is
+    in the set or adjacent to a member (reference:
+    networkx/algorithms/dominating.py:14 ``dominating_set``; the
+    reference grows one greedily from an arbitrary start, a distributed
+    engine uses the standard fact that any MAXIMAL independent set is
+    dominating — maximality means no vertex outside the set could be
+    added, i.e. every outsider has a neighbor inside)."""
+    return maximal_independent_set(graph, seed=seed, max_rounds=max_rounds).select(
+        "id", F.col("in_mis").alias("in_set")
+    )

@@ -107,6 +107,20 @@ def test_rich_club_vs_nx(spark):
         assert got[k] == pytest.approx(phi), k
 
 
+# --------------------------------------------------------- dominating set
+def test_dominating_set_dominates(spark):
+    from linkgraph.operators.independent_set import dominating_set
+
+    g = graph_from_edge_names(spark, KARATE, directed=False)
+    inset = {r["id"] for r in dominating_set(g).collect() if r["in_set"]}
+    nbrs = {}
+    for r in g.symmetrized_edges().collect():
+        nbrs.setdefault(r["src"], set()).add(r["dst"])
+    for r in g.vertices.collect():
+        v = r["id"]
+        assert v in inset or (nbrs.get(v, set()) & inset), v
+
+
 # -------------------------------------------------------------- node2vec
 def test_node2vec_return_bias_bounces(spark):
     # triangle 0-1-2; only the return weight is positive, so from step 2
