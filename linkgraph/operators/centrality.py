@@ -239,18 +239,21 @@ def sampled_closeness_harmonic(
     networkx/algorithms/centrality/harmonic.py:12); ``dist_sum`` and
     ``n_reached`` feed the Eppstein–Wang closeness estimator
     ``ĉ(v) ≈ (k·(n-1)) / (n·dist_sum)``. Nodes reached by no sampled
-    origin get zeros. Cost: O(diameter) shuffles on O(n·|S|) state —
-    the sample size is the scale knob, never the graph."""
-    from .traversal import multi_source_bfs_layers
+    origin get zeros. Cost: O(diameter) shuffles on the BITSET state
+    (``multi_source_bfs_counts`` — O(n·|S|/64) rows; the estimators
+    only need per-target counts per layer, never the explicit
+    (source, target) pairs) — the sample size is the scale knob,
+    never the graph."""
+    from .traversal import multi_source_bfs_counts
 
-    msb = multi_source_bfs_layers(graph, sources)
+    msb = multi_source_bfs_counts(graph, sources)
     agg = (
         msb.where(F.col("layer") > 0)
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_reached"),
-            F.sum(F.col("layer").cast("long")).alias("dist_sum"),
-            F.sum(1.0 / F.col("layer")).alias("harmonic_sum"),
+            F.sum("n_src").alias("n_reached"),
+            F.sum(F.col("layer").cast("long") * F.col("n_src")).alias("dist_sum"),
+            F.sum(F.col("n_src") / F.col("layer")).alias("harmonic_sum"),
         )
     )
     return (

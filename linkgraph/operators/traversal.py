@@ -184,3 +184,114 @@ def single_source_shortest_path_length(
     (networkx/algorithms/shortest_paths/unweighted.py
     ``single_source_shortest_path_length``)."""
     return bfs_layers(graph, [source], max_depth=cutoff if cutoff is not None else 10_000)
+
+
+def multi_source_bfs_counts(
+    graph: LinkGraph,
+    sources: Iterable[int] | DataFrame,
+    max_depth: int = 10_000,
+    directed: bool | None = None,
+) -> DataFrame:
+    """(id BIGINT, layer INT, n_src BIGINT) — for every vertex and
+    depth ≥ 1, HOW MANY of the sampled sources are at exactly that hop
+    distance (plus one layer-0 row per source vertex). Same
+    information ``multi_source_bfs_layers`` carries for per-target
+    estimators (harmonic / Eppstein–Wang closeness), at 1/64 the
+    state: the reached-source SET per vertex is packed into 64-bit
+    words (the MS-BFS bitset technique, Then et al. VLDB'15), kept as
+    (id, word_idx, word) rows so every superstep is a plain
+    ``bit_or`` hash aggregate — messages per depth are O(m·|S|/64)
+    rows instead of O(m·|S|).
+
+    ``sources`` is a SAMPLE (the estimator contract) — it is
+    collected to the driver to assign bit positions; the graph side
+    never leaves the cluster.
+    """
+    spark = graph.spark
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed is None:
+        directed = graph.directed
+    verts = graph.vertices.select("id")
+    edges = (
+        (graph.weighted_edges() if directed else graph.symmetrized_edges())
+        .select("src", "dst")
+        .distinct()
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edges.count()
+
+    if isinstance(sources, DataFrame):
+        src_ids = [r["id"] for r in sources.select("id").distinct().collect()]
+    else:
+        src_ids = list({int(s) for s in sources})
+    present = {
+        r["id"]
+        for r in verts.join(
+            spark.createDataFrame([(s,) for s in src_ids] or [(None,)], "id long"),
+            "id",
+            "left_semi",
+        ).collect()
+    }
+    src_ids = sorted(s for s in src_ids if s in present)
+    if not src_ids:
+        return spark.createDataFrame([], "id long, layer int, n_src long")
+    n_words = (len(src_ids) + 63) // 64
+
+    # state: one row per (reached vertex, word) with the word's bits =
+    # sources that have reached it; seeded with each source's own bit
+    def _bit(b: int) -> int:
+        # bit 63 is the sign bit of an int64
+        return -(1 << 63) if b == 63 else (1 << b)
+
+    state = spark.createDataFrame(
+        [(s, i // 64, _bit(i % 64)) for i, s in enumerate(src_ids)],
+        "id long, wi int, w long",
+    ).repartition(num_partitions, "id").localCheckpoint(eager=True)
+
+    out_parts = [
+        state.groupBy("id").agg(
+            F.sum(F.bit_count("w")).alias("n_src")
+        ).select("id", F.lit(0).alias("layer"), "n_src")
+    ]
+    for depth in range(1, max_depth + 1):
+        msgs = (
+            edges.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "wi")
+            .agg(F.bit_or("w").alias("m"))
+        )
+        # one materialization per depth: state update, layer counts and
+        # the termination check all read the same persisted join
+        joined = msgs.join(state, ["id", "wi"], "full_outer").select(
+            "id",
+            "wi",
+            F.coalesce("w", F.lit(0)).alias("w"),
+            F.coalesce("m", F.lit(0))
+            .bitwiseAND(F.bitwise_not(F.coalesce("w", F.lit(0))))
+            .alias("diff"),
+        ).persist()
+        n_new = joined.where(F.col("diff") != 0).limit(1).count()
+        if n_new == 0:
+            joined.unpersist()
+            break
+        new_state = joined.select(
+            "id", "wi", F.col("w").bitwiseOR(F.col("diff")).alias("w")
+        ).where(F.col("w") != 0).repartition(num_partitions, "id").localCheckpoint(
+            eager=True
+        )
+        layer = (
+            joined.where(F.col("diff") != 0)
+            .groupBy("id")
+            .agg(F.sum(F.bit_count("diff")).alias("n_src"))
+            .select("id", F.lit(depth).alias("layer"), "n_src")
+            .localCheckpoint(eager=True)
+        )
+        joined.unpersist()
+        state = new_state
+        out_parts.append(layer)
+    edges.unpersist()
+    out = out_parts[0]
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
+    return out

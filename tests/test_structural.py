@@ -183,3 +183,50 @@ def test_node2vec_walks_are_paths_and_deterministic(spark):
     for steps in by_walk.values():
         for s in range(1, max(steps)):
             assert (steps[s], steps[s + 1]) in eset
+
+
+# ------------------------------------------------- bitset multi-source BFS
+def test_bitset_msbfs_matches_layers(spark):
+    from linkgraph.operators.traversal import (
+        multi_source_bfs_counts,
+        multi_source_bfs_layers,
+    )
+
+    g = graph_from_edge_names(spark, KARATE, directed=False)
+    srcs = [r["id"] for r in g.vertices.limit(7).collect()]
+    ref = (
+        multi_source_bfs_layers(g, srcs)
+        .groupBy("id", "layer")
+        .count()
+        .collect()
+    )
+    want = {(r["id"], r["layer"]): r["count"] for r in ref}
+    got = {
+        (r["id"], r["layer"]): r["n_src"]
+        for r in multi_source_bfs_counts(g, srcs).collect()
+    }
+    assert got == want
+
+
+def test_bitset_msbfs_70_sources_directed(spark):
+    # >64 sources exercises the multi-word path on a directed graph
+    from linkgraph.operators.traversal import (
+        multi_source_bfs_counts,
+        multi_source_bfs_layers,
+    )
+
+    edges = [(i, (i + 1) % 90) for i in range(90)] + [(i, (i * 7) % 90) for i in range(90)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    srcs = [r["id"] for r in g.vertices.limit(70).collect()]
+    ref = (
+        multi_source_bfs_layers(g, srcs)
+        .groupBy("id", "layer")
+        .count()
+        .collect()
+    )
+    want = {(r["id"], r["layer"]): r["count"] for r in ref}
+    got = {
+        (r["id"], r["layer"]): r["n_src"]
+        for r in multi_source_bfs_counts(g, srcs).collect()
+    }
+    assert got == want
