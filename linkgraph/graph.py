@@ -320,3 +320,97 @@ def build_adjacency(
         .repartition(num_partitions, "src")
     )
     return adj
+
+
+def build_adjacency_grid(
+    edges: DataFrame,
+    num_partitions: int,
+    dst_blocks: int,
+    row_blocks: int,
+    hub_chunk: int = 4096,
+    coalesce_parallel: bool = True,
+    normalize: bool = False,
+) -> DataFrame:
+    """2D (grid) partitioned CSR adjacency — the documented scale-out
+    path past 1D src-hash partitioning (BENCH.md §3): edge (u, v) lands
+    in grid cell (hash(u) mod R, hash(v) mod C), materialized as CSR
+    rows keyed (src, dblock) and laid out by
+
+        pid = dblock * R + hash(src) mod R.
+
+    Why: in the 1D layout every gather task sees dst keys drawn from
+    ALL n vertices, so the map-side partial-aggregation hash table
+    stops combining once n outgrows cache; in the grid layout a task's
+    dst keys come from ONE column block (≤ n/C distinct), which keeps
+    the combine ratio flat as n grows. The price is replicating the
+    rank vector C times per superstep (the "broadcast along the grid
+    row" of 2D SpMV): total shuffle ≈ C·n + R·n rows — minimized at
+    R = C = √P. Wins when m ≫ n·√P; at sandbox scale the 1D path is
+    faster and remains the default.
+
+    Layout: adj(pid INT, src BIGINT, dblock INT, salt INT,
+    pairs ARRAY<STRUCT<dsts BIGINT, wts DOUBLE>>, deg, strength).
+    Out-strength normalization uses the TOTAL src strength across all
+    of its blocks (one extra window over ≤C rows per src at build
+    time). Hub salting is per (src, dblock) row, same device as
+    :func:`build_adjacency`.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges
+    if coalesce_parallel:
+        e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    e = e.withColumn(
+        "dblock", F.pmod(F.xxhash64("dst"), F.lit(dst_blocks)).cast("int")
+    )
+    grouped = e.groupBy("src", "dblock").agg(
+        F.collect_list("dst").alias("dsts"),
+        F.collect_list("weight").alias("wts"),
+        F.count(F.lit(1)).alias("bdeg"),
+        F.sum("weight").alias("bstrength"),
+    )
+    w = Window.partitionBy("src")
+    grouped = grouped.withColumn("deg", F.sum("bdeg").over(w)).withColumn(
+        "strength", F.sum("bstrength").over(w)
+    )
+    if normalize:
+        grouped = grouped.withColumn(
+            "wts", F.transform("wts", lambda x: x / F.col("strength"))
+        )
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.col("bdeg") / F.lit(hub_chunk))
+    ).cast("int")
+    return (
+        grouped.select(
+            "src",
+            "dblock",
+            "deg",
+            "strength",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("salt"),
+                        F.slice(
+                            F.arrays_zip(F.col("dsts"), F.col("wts")),
+                            i * hub_chunk + 1,
+                            hub_chunk,
+                        ).alias("pairs"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select(
+            (
+                F.col("dblock") * row_blocks
+                + F.pmod(F.xxhash64("src"), F.lit(row_blocks))
+            ).cast("int").alias("pid"),
+            "src",
+            "dblock",
+            F.col("ch.salt").alias("salt"),
+            F.col("ch.pairs").alias("pairs"),
+            "deg",
+            "strength",
+        )
+        .repartition(num_partitions, "pid")
+    )

@@ -72,6 +72,7 @@ def pagerank(
     dangling=None,
     fixed_iter: int | None = None,
     num_partitions: int | None = None,
+    dst_blocks: int | None = None,
     hub_chunk: int = 65536,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
@@ -86,7 +87,14 @@ def pagerank(
     baseline target) and ``prep_s`` / ``loop_s`` (one-time adjacency
     compilation vs. steady-state superstep wall time — the baseline's
     edges/sec-per-superstep is loop time, prep amortizes over all
-    supersteps and over repeated runs on a persisted graph)."""
+    supersteps and over repeated runs on a persisted graph).
+
+    ``dst_blocks`` (optional, >1) switches the gather to the 2D grid
+    layout (:func:`linkgraph.graph.build_adjacency_grid`) — identical
+    results (parity-tested to 1e-12), different physical plan; pick
+    C ≈ √num_partitions when per-task distinct-dst key space n/C must
+    fit the combine hash table (the 10^12-scale regime). A resumed run
+    must pass the same ``dst_blocks`` as the original."""
     import time as _time
 
     _t0 = _time.monotonic()
@@ -104,13 +112,36 @@ def pagerank(
     base_edges = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
     if not weight:
         base_edges = base_edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    adj = build_adjacency(
-        base_edges,
-        num_partitions=num_partitions,
-        hub_chunk=hub_chunk,
-        coalesce_parallel=True,
-        normalize=True,
-    ).persist()
+    # dst_blocks > 1 selects the 2D (grid) layout: per-task distinct
+    # dst keys bounded by n/C so map-side combining stays flat as n
+    # grows, at the cost of replicating the rank vector C times per
+    # superstep (see build_adjacency_grid). Default (None) is the 1D
+    # src-hash layout — faster below the cache-pressure crossover.
+    grid_c = dst_blocks if dst_blocks and dst_blocks > 1 else None
+    if grid_c:
+        from ..graph import build_adjacency_grid
+
+        grid_r = max(1, num_partitions // grid_c)
+        adj = build_adjacency_grid(
+            base_edges,
+            num_partitions=num_partitions,
+            dst_blocks=grid_c,
+            row_blocks=grid_r,
+            hub_chunk=hub_chunk,
+            coalesce_parallel=True,
+            normalize=True,
+        ).persist()
+        blocks_df = spark.createDataFrame(
+            [(i,) for i in range(grid_c)], "dblock int"
+        )
+    else:
+        adj = build_adjacency(
+            base_edges,
+            num_partitions=num_partitions,
+            hub_chunk=hub_chunk,
+            coalesce_parallel=True,
+            normalize=True,
+        ).persist()
 
     # personalization vector p (uniform 1/N default)
     if personalization is None:
@@ -197,9 +228,27 @@ def pagerank(
     _t_loop = _time.monotonic()
     try:
         for it in range(loop.iteration, niter):
+            if grid_c:
+                # 2D gather: ranks replicated once per column block and
+                # shuffled to the grid layout by pid; the persisted
+                # adjacency's hash(pid) partitioning satisfies the join
+                # (pid is a join key), so the edges never move.
+                x2 = (
+                    x.select(F.col("id").alias("src"), "rank")
+                    .crossJoin(F.broadcast(blocks_df))
+                    .withColumn(
+                        "pid",
+                        (
+                            F.col("dblock") * grid_r
+                            + F.pmod(F.xxhash64("src"), F.lit(grid_r))
+                        ).cast("int"),
+                    )
+                )
+                gather_src = adj.join(x2, ["pid", "src", "dblock"])
+            else:
+                gather_src = adj.join(x.withColumnRenamed("id", "src"), "src")
             contribs = (
-                adj.join(x.withColumnRenamed("id", "src"), "src")
-                .select(
+                gather_src.select(
                     F.col("rank"),
                     F.explode(F.col("pairs")).alias("z"),
                 )
