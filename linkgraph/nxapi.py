@@ -284,3 +284,74 @@ def ancestors(spark, edges, source, nodes=()) -> set:
     nm = _name_map(g)
     rev = {n: i for i, n in nm.items()}
     return {nm[r["id"]] for r in _a(g, rev[str(source)]).collect()}
+
+
+def maximal_matching(spark, edges, nodes=()) -> set:
+    """``nx.maximal_matching`` (matching.py:19) — a valid maximal
+    matching (the greedy scan order differs: hashed-priority rounds)."""
+    from .operators.matching import maximal_matching as _mm
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {(nm[r["src"]], nm[r["dst"]]) for r in _mm(g).collect()}
+
+
+def min_weighted_vertex_cover(spark, edges, nodes=()) -> set:
+    """``nx.approximation.min_weighted_vertex_cover``
+    (approximation/vertex_cover.py:13), unit weights — endpoints of a
+    maximal matching (2-approximation)."""
+    from .operators.matching import vertex_cover_approx as _vc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _vc(g).collect() if r["in_cover"]}
+
+
+def dominating_set(spark, edges, nodes=()) -> set:
+    """``nx.dominating_set`` (dominating.py:14) — a valid dominating
+    set (grown from Luby MIS rather than a sequential frontier)."""
+    from .operators.independent_set import dominating_set as _ds
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _ds(g).collect() if r["in_set"]}
+
+
+def local_bridges(spark, edges, nodes=()) -> set:
+    """``nx.local_bridges(G, with_span=False)`` (bridges.py:130)."""
+    from .operators.structural import local_bridges as _lb
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {
+        tuple(sorted((nm[r["src"]], nm[r["dst"]]))) for r in _lb(g).collect()
+    }
+
+
+def s_metric(spark, edges, nodes=()) -> float:
+    """``nx.s_metric`` (smetric.py:5, unnormalized)."""
+    from .operators.structural import s_metric as _sm
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return float(_sm(g).collect()[0]["s_metric"])
+
+
+def rich_club_coefficient(spark, edges, nodes=()) -> dict:
+    """``nx.rich_club_coefficient(G, normalized=False)``
+    (richclub.py:10)."""
+    from .operators.structural import rich_club_coefficient as _rc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return {r["k"]: r["phi"] for r in _rc(g).collect()}
+
+
+def wiener_index(spark, edges, nodes=()) -> float:
+    """``nx.wiener_index`` (wiener.py:12) — exact when run with
+    S = V (which this facade does); the operator form
+    (``wiener_index_sampled``) takes a pivot sample at scale."""
+    from .operators.distance_measures import wiener_index_sampled as _w
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return float(
+        _w(g, g.vertices.select("id")).collect()[0]["wiener_est"]
+    )

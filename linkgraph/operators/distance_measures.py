@@ -74,3 +74,42 @@ def distance_summary_sampled(
         return row
     finally:
         msb.unpersist()
+
+
+def wiener_index_sampled(
+    graph: LinkGraph,
+    sources: Iterable[int] | DataFrame,
+    directed: bool | None = None,
+) -> DataFrame:
+    """One row (dist_sum BIGINT, wiener_est DOUBLE) — pivot-sampled
+    Wiener index (reference: networkx/algorithms/wiener.py:12
+    ``wiener_index``; the reference is exact-all-pairs and returns inf
+    on disconnected input — at web scale the standard estimator sums
+    distances from a pivot sample over each pivot's REACHABLE set,
+    exact ×1 when S = V on a connected graph).
+
+    ``dist_sum = Σ_{s∈S} Σ_t d(s,t)``;
+    ``wiener_est = (n/|S|) · dist_sum / 2`` (the unordered-pair form —
+    exactly nx.wiener_index when S = V and the graph is connected
+    undirected). One bitset multi-source sweep, no per-pair state.
+    """
+    from .traversal import multi_source_bfs_counts
+
+    n = graph.vertices.count()
+    if isinstance(sources, DataFrame):
+        k = sources.select("id").distinct().count()
+    else:
+        sources = list({int(s) for s in sources})
+        k = len(sources)
+    msb = multi_source_bfs_counts(graph, sources, directed=directed)
+    return msb.where(F.col("layer") > 0).agg(
+        F.coalesce(
+            F.sum(F.col("layer").cast("long") * F.col("n_src")), F.lit(0)
+        ).alias("dist_sum"),
+        (
+            F.coalesce(
+                F.sum(F.col("layer").cast("double") * F.col("n_src")), F.lit(0.0)
+            )
+            * F.lit(float(n) / float(max(k, 1)) / 2.0)
+        ).alias("wiener_est"),
+    )

@@ -77,3 +77,33 @@ def test_assortativity_and_links_facade(spark):
     assert cn == ref_cn
     jc = nxapi.jaccard_coefficient(spark, P1)
     assert all(0.0 <= p <= 1.0 for _, _, p in jc) and jc
+
+
+def test_nxapi_structural_surface(spark):
+    import networkx as nx
+
+    from linkgraph import nxapi
+
+    KAR = list(nx.karate_club_graph().edges())
+    G = nx.Graph(KAR)
+    # dominating set: valid cover of all vertices
+    ds = {int(v) for v in nxapi.dominating_set(spark, KAR)}
+    assert all(v in ds or ds & set(G.neighbors(v)) for v in G)
+    # matching: valid + maximal
+    mm = {(int(a), int(b)) for a, b in nxapi.maximal_matching(spark, KAR)}
+    eps = [v for e in mm for v in e]
+    assert len(eps) == len(set(eps))
+    assert all(u in eps or v in eps for u, v in G.edges())
+    # vertex cover covers everything
+    vc = {int(v) for v in nxapi.min_weighted_vertex_cover(spark, KAR)}
+    assert all(u in vc or v in vc for u, v in G.edges())
+    # exact-value facades
+    assert nxapi.s_metric(spark, KAR) == sum(
+        G.degree(u) * G.degree(v) for u, v in G.edges()
+    )
+    lb = {tuple(sorted((int(a), int(b)))) for a, b in nxapi.local_bridges(spark, KAR)}
+    assert lb == {tuple(sorted(e)) for e in nx.local_bridges(G, with_span=False)}
+    rc = {k: v for k, v in nxapi.rich_club_coefficient(spark, KAR).items()}
+    want = nx.rich_club_coefficient(G, normalized=False)
+    assert set(rc) == set(want) and all(abs(rc[k] - want[k]) < 1e-9 for k in want)
+    assert abs(nxapi.wiener_index(spark, KAR) - nx.wiener_index(G)) < 1e-6

@@ -230,3 +230,14 @@ def test_bitset_msbfs_70_sources_directed(spark):
         for r in multi_source_bfs_counts(g, srcs).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------- wiener index
+def test_wiener_index_exact_when_all_sources(spark):
+    from linkgraph.operators.distance_measures import wiener_index_sampled
+
+    g = graph_from_edge_names(spark, KARATE, directed=False)
+    row = wiener_index_sampled(g, [r["id"] for r in g.vertices.collect()]).collect()[0]
+    want = nx.wiener_index(nx.Graph(KARATE))
+    assert row["wiener_est"] == pytest.approx(want)
+    assert row["dist_sum"] == int(2 * want)
