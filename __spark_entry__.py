@@ -714,6 +714,22 @@ def q_rich_club_parts(spark, sf_dir):
     )
 
 
+def q_modularity_nations(spark, sf_dir):
+    """Modularity (community/quality.py:81) of the nation partition
+    over the nation-chain graph — one labels⋈edges join + two
+    aggregates (community_metrics.py ``modularity``)."""
+    from linkgraph.operators.community_metrics import modularity
+
+    g = nation_chain_graph(spark, sf_dir)
+    labels = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("label"),
+    )
+    return modularity(g, labels).select(
+        F.round("modularity", 8).alias("modularity_r")
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -807,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_bridges_parts": q_local_bridges_parts,
         "s_metric_parts": q_s_metric_parts,
         "rich_club_parts": q_rich_club_parts,
+        "modularity_nations": q_modularity_nations,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -2235,6 +2252,25 @@ FROM events GROUP BY event_type""",
         "walks_orders": _walks_sql(),
         "node2vec_orders": _node2vec_sql(),
         "vertex_cover_orders": _matching_sql(),
+        "modularity_nations": """
+WITH ce AS (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+    CAST(lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS BIGINT) AS dst
+  FROM customer
+),
+e AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+      FROM ce WHERE dst IS NOT NULL),
+lab AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        CAST(c_nationkey AS BIGINT) AS label FROM customer),
+ee AS (SELECT a.label AS ls, b.label AS ld
+       FROM e JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst),
+m AS (SELECT count(*) AS m FROM ee),
+intra AS (SELECT ls AS label, count(*) AS lc FROM ee WHERE ls = ld GROUP BY ls),
+deg AS (SELECT label, count(*) AS degc FROM
+        (SELECT ls AS label FROM ee UNION ALL SELECT ld FROM ee) GROUP BY label)
+SELECT round(SUM(CAST(coalesce(i.lc, 0) AS DOUBLE) / (SELECT m FROM m)
+  - POWER(d.degc / (2.0 * (SELECT m FROM m)), 2)), 8) AS modularity_r
+FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "local_bridges_parts": _LOCAL_BRIDGES_SQL,
         "s_metric_parts": _S_METRIC_SQL,
         "rich_club_parts": _RICH_CLUB_SQL,

@@ -241,3 +241,69 @@ def test_wiener_index_exact_when_all_sources(spark):
     want = nx.wiener_index(nx.Graph(KARATE))
     assert row["wiener_est"] == pytest.approx(want)
     assert row["dist_sum"] == int(2 * want)
+
+
+# ------------------------------------------------------------ modularity
+def test_modularity_vs_nx_club_partition(spark):
+    from pyspark.sql import functions as F
+
+    from linkgraph.operators.community_metrics import modularity
+
+    G = nx.karate_club_graph()
+    g = graph_from_edge_names(spark, list(G.edges()), directed=False)
+    nm = names(g)
+    club = {str(n): (0 if G.nodes[n]["club"] == "Mr. Hi" else 1) for n in G}
+    labels = spark.createDataFrame(
+        [(i, club[nm[i]]) for i in nm], "id long, label long"
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    want = nx.community.modularity(
+        G,
+        [
+            {n for n in G if G.nodes[n]["club"] == "Mr. Hi"},
+            {n for n in G if G.nodes[n]["club"] != "Mr. Hi"},
+        ],
+        weight=None,  # the operator is the unit-weight form
+    )
+    assert got == pytest.approx(want)
+
+
+def test_modularity_selfloop_and_singleton(spark):
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.community_metrics import modularity
+
+    edf = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 1, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    vdf = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g = LinkGraph(vertices=vdf, edges=edf, directed=False)
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    got = modularity(g, labels).collect()[0]["modularity"]
+    G = nx.Graph([(0, 1), (1, 1), (2, 3)])
+    want = nx.community.modularity(G, [{0, 1}, {2, 3}])
+    assert got == pytest.approx(want)
+
+
+def test_modularity_weighted_vs_nx(spark):
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.community_metrics import modularity
+
+    G = nx.karate_club_graph()  # edges carry interaction-count weights
+    edf = spark.createDataFrame(
+        [(u, v, float(w)) for u, v, w in G.edges(data="weight")],
+        "src long, dst long, weight double",
+    )
+    vdf = spark.createDataFrame([(n,) for n in G], "id long")
+    g = LinkGraph(vertices=vdf, edges=edf, directed=False)
+    part = [
+        {n for n in G if G.nodes[n]["club"] == "Mr. Hi"},
+        {n for n in G if G.nodes[n]["club"] != "Mr. Hi"},
+    ]
+    labels = spark.createDataFrame(
+        [(n, 0 if n in part[0] else 1) for n in G], "id long, label long"
+    )
+    got = modularity(g, labels, weighted=True).collect()[0]["modularity"]
+    assert got == pytest.approx(nx.community.modularity(G, part))
