@@ -62,12 +62,16 @@ def main() -> None:
     g = LinkGraph(vertices=verts, edges=edges, directed=True)
 
     warm = int(os.environ.get("LINKGRAPH_WARMUP_ITERS", "2"))
-    pagerank(g, fixed_iter=warm).write.format("noop").mode("overwrite").save()
-    stats: dict = {}
-    t0 = time.monotonic()
-    pagerank(g, fixed_iter=iters, stats_out=stats).write.format("noop").mode(
+    # LINKGRAPH_DST_BLOCKS > 1 measures the 2D grid layout (BENCH §7)
+    dst_blocks = int(os.environ.get("LINKGRAPH_DST_BLOCKS", "0")) or None
+    pagerank(g, fixed_iter=warm, dst_blocks=dst_blocks).write.format("noop").mode(
         "overwrite"
     ).save()
+    stats: dict = {}
+    t0 = time.monotonic()
+    pagerank(
+        g, fixed_iter=iters, dst_blocks=dst_blocks, stats_out=stats
+    ).write.format("noop").mode("overwrite").save()
     total = time.monotonic() - t0
     loop_s = stats.get("loop_s", total)
     print(
@@ -77,6 +81,7 @@ def main() -> None:
                 "n_nodes": n,
                 "n_edges": n_edges,
                 "iters": iters,
+                "dst_blocks": dst_blocks,
                 "prep_s": stats.get("prep_s"),
                 "loop_s": round(loop_s, 2),
                 "total_s": round(total, 2),
