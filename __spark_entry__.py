@@ -337,16 +337,33 @@ def q_lpa_nation_chains(spark, sf_dir):
 
 
 def q_pages_pipeline_pagerank(spark, sf_dir):
-    """Full mandated pipeline: synthetic Common-Crawl-style pages
-    (input_hint schema) -> vectorized extraction UDF -> edge table ->
-    PageRank. Deterministic zipf corpus; sized independent of sf_dir."""
-    from linkgraph.graph import graph_from_pages
-    from linkgraph.sources.corpus import zipf_pages
+    """Full mandated pipeline: pages in the input_hint schema ->
+    vectorized extraction UDF -> edge table -> PageRank.
 
-    pages = zipf_pages(spark, n=2000, avg_out=8, partitions=8)
+    The pages are rendered distributedly from the orders parquet edge
+    list (one <a href> per order row, one page per customer), so a
+    DuckDB oracle can derive the identical graph straight from the
+    parquet tables — the extraction round-trip (render html -> parse
+    hrefs back out) is exactly what the oracle cross-checks. Links to
+    uncrawled urls (o_orderkey % n == 0, no such customer page) are
+    dropped by graph_from_pages, matching the oracle's dst filter."""
+    from linkgraph.graph import graph_from_pages
+    from linkgraph.sources.corpus import pages_from_edges
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    verts = cust.select(F.col("c_custkey").cast("string").alias("name"))
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_name"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+    )
+    pages = pages_from_edges(verts, edges, name="ord")
     g = graph_from_pages(pages, directed=True)
     ranks = pagerank(g, alpha=PR_ALPHA, fixed_iter=5)
-    return ranks.select("id", F.round("rank", 8).alias("rank_r"))
+    return ranks.join(g.vertices, "id").select(
+        "url", F.round("rank", 8).alias("rank_r")
+    )
 
 
 def q_scc_orders(spark, sf_dir):
@@ -889,6 +906,47 @@ x{i + 1} AS MATERIALIZED (
     return (
         head + "," + ",".join(steps)
         + f"\nSELECT id, round(r, 8) AS rank_r FROM x{iters}"
+    )
+
+
+def _pipeline_pagerank_sql(iters: int = 5, alpha: float = PR_ALPHA) -> str:
+    """Oracle for the full ingest pipeline: the Spark side renders html
+    from the orders edge list and parses it back (render -> extract
+    round-trip); the oracle derives the same graph directly from the
+    parquet tables, filters links to uncrawled pages (dst not a
+    customer => graph_from_pages drops them BEFORE out-strength
+    normalization), and unrolls the same fixed-iteration PageRank."""
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+e AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders
+  WHERE (o_orderkey % (SELECT n FROM nn)) IN (SELECT id FROM nodes)),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+os AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec GROUP BY src),
+ne AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w / os.s AS w FROM ec JOIN os ON os.src = ec.src),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM os)),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT nodes.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM x{i} x JOIN dang d ON d.id = x.id)
+        * (1.0 / (SELECT n FROM nn)))
+    + {1.0 - alpha} * (1.0 / (SELECT n FROM nn)) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(x.r * ne.w) AS gathered
+    FROM x{i} x JOIN ne ON ne.src = x.id GROUP BY ne.dst
+  ) g ON g.id = nodes.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT 'https://test.example/ord/' || CAST(id AS VARCHAR) AS url,
+       round(r, 8) AS rank_r FROM x{iters}"""
     )
 
 
@@ -2045,6 +2103,7 @@ def oracle_sql() -> dict[str, str]:
     lang_cols, lang_case = _lang_scores_sql()
     return {
         "pagerank_orders": _pagerank_sql(),
+        "pages_pipeline_pagerank": _pipeline_pagerank_sql(),
         "cc_nation_chains": """
 SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer""",

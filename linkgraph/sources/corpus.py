@@ -157,3 +157,54 @@ def zipf_pages(
         F.lit("en").alias("lang"),
     )
     return page
+
+
+def pages_from_edges(
+    vertices: DataFrame, edges: DataFrame, name: str = "g"
+) -> DataFrame:
+    """Render a pages table from an arbitrary named edge table, fully
+    distributed and JVM-only (no UDF, no driver collection).
+
+    ``vertices(name STRING)`` — one page per vertex, rendered even when
+    it has no out-links; ``edges(src_name STRING, dst_name STRING)`` —
+    one ``<a href>`` per row (parallel rows => repeated anchors =>
+    multigraph ingest, matching :func:`render_page`). Unlike
+    :func:`pages_pdf` this renderer never touches the driver, so it is
+    the shape a 100 TB re-crawl simulation would use: one groupBy(src)
+    shuffle + one left join against the vertex table.
+
+    The whole render is Catalyst column arithmetic (concat/collect_list/
+    format_string) — whole-stage codegen end to end. ``text`` is left
+    NULL (the extractor recomputes it downstream); body text is a fixed
+    sentence so the page content is reproducible from (vertices, edges)
+    alone — which is what lets a SQL oracle skip the html round-trip and
+    derive the same graph straight from the edge table.
+    """
+    url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("name"))
+    dst_url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("dst_name"))
+    body = edges.groupBy(F.col("src_name").alias("name")).agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(F.format_string('<a href="%s">l</a>', dst_url))
+            ),
+        ).alias("anchors")
+    )
+    return vertices.join(body, "name", "left").select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1577836800)).alias("warc_ts"),
+        F.encode(
+            F.format_string(
+                "<html><head><title>%s %s</title></head>"
+                "<body><h1>%s %s</h1><p>crawl fixture page</p>%s</body></html>",
+                F.lit(name),
+                F.col("name"),
+                F.lit(name),
+                F.col("name"),
+                F.coalesce(F.col("anchors"), F.lit("")),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
