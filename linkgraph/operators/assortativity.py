@@ -139,3 +139,105 @@ def average_neighbor_degree(graph: LinkGraph) -> DataFrame:
             "id", F.coalesce("avg_nbr_degree", F.lit(0.0)).alias("avg_nbr_degree")
         )
     )
+
+
+def average_degree_connectivity(graph: LinkGraph) -> DataFrame:
+    """(degree BIGINT, avg_connectivity DOUBLE) — for each degree value
+    k, the mean neighbor degree over all half-edges leaving degree-k
+    nodes (networkx/algorithms/assortativity/connectivity.py:12
+    ``average_degree_connectivity``, unweighted undirected defaults):
+    result[k] = (Σ_{n:deg=k} Σ_{nbr∈G[n]} deg(nbr)) / (k · #{n:deg=k}).
+
+    Over the canonical simple undirected edge set (self-loops dropped,
+    consistent with the assortativity coefficient above). Two hash
+    aggregates + one join — map-side partials throughout; isolated
+    degree classes (k=0) are skipped exactly as the reference's dnorm
+    guard does (0/0 → value 0 rows never materialize: degree-0 nodes
+    have no half-edges).
+    """
+    canon = (
+        graph.edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    pairs = sym.join(
+        deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "src_deg"), "src"
+    ).join(
+        deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "nbr_deg"), "dst"
+    )
+    return (
+        pairs.groupBy(F.col("src_deg").alias("degree"))
+        .agg(
+            (
+                F.sum("nbr_deg").cast("double") / F.sum(F.lit(1)).cast("double")
+            ).alias("avg_connectivity")
+        )
+    )
+
+
+def attribute_assortativity_coefficient(
+    graph: LinkGraph, attr: str
+) -> float:
+    """Categorical attribute assortativity r = (Σe_ii − Σa_i·b_i) /
+    (1 − Σa_i·b_i) over the normalized attribute mixing matrix
+    (networkx/algorithms/assortativity/correlation.py:120
+    ``attribute_assortativity_coefficient``; mixing matrix
+    ``attribute_mixing_matrix`` mixing.py:29).
+
+    ``attr`` names a column on graph.vertices. Undirected graphs count
+    each edge in both orientations (the reference symmetrizes the
+    mixing matrix); directed use the edge direction. Three aggregate
+    scalars from one doubly-joined edge table — no driver-side matrix:
+      M       = total endpoint-pair count
+      trace   = pairs with equal attributes
+      Σa·b    = Σ over attr values of (row mass × column mass) / M²
+    """
+    va = graph.vertices.select("id", F.col(attr).alias("_attr"))
+    e = graph.edges.select("src", "dst")
+    if graph.directed:
+        e = e.distinct()
+    else:
+        canon = e.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).distinct()
+        e = canon.unionByName(
+            canon.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    pairs = (
+        e.join(
+            va.select(F.col("id").alias("src"), F.col("_attr").alias("xa")), "src"
+        )
+        .join(va.select(F.col("id").alias("dst"), F.col("_attr").alias("ya")), "dst")
+        .select("xa", "ya")
+    )
+    m_trace = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("xa") == F.col("ya"), 1).otherwise(0)).alias("tr"),
+    ).first()
+    m, tr = m_trace["m"], m_trace["tr"]
+    if not m:
+        return float("nan")
+    row_mass = pairs.groupBy(F.col("xa").alias("v")).agg(F.count(F.lit(1)).alias("a"))
+    col_mass = pairs.groupBy(F.col("ya").alias("v")).agg(F.count(F.lit(1)).alias("b"))
+    sab = (
+        row_mass.join(col_mass, "v", "full")
+        .agg(
+            F.sum(
+                F.coalesce("a", F.lit(0)).cast("double")
+                * F.coalesce("b", F.lit(0)).cast("double")
+            ).alias("s")
+        )
+        .first()["s"]
+    ) / (float(m) * float(m))
+    trace_frac = tr / float(m)
+    if sab == 1.0:
+        return float("nan")
+    return float((trace_frac - sab) / (1.0 - sab))

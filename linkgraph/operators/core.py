@@ -236,3 +236,157 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
         edges=e.withColumn("weight", F.lit(1.0)),
         directed=False,
     )
+
+
+def _induced_on(graph: LinkGraph, node_ids: DataFrame) -> LinkGraph:
+    """Induced simple undirected subgraph on ``node_ids`` (one id col)."""
+    keep = node_ids.select("id")
+    edges = (
+        _simple_undirected_edges(graph)
+        .join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    return LinkGraph(
+        vertices=graph.vertices.join(keep, "id", "left_semi"),
+        edges=edges.withColumn("weight", F.lit(1.0)),
+        directed=False,
+    )
+
+
+def k_shell(
+    graph: LinkGraph, k: int | None = None, core: DataFrame | None = None
+) -> LinkGraph:
+    """Induced subgraph on nodes with core number exactly k
+    (networkx/algorithms/core.py ``k_shell`` — ``c[v] == k`` filter).
+    Default k = max core number. ``core`` lets callers reuse one
+    core_number() pass across k_shell/k_crust/k_corona (the reference's
+    ``core_number=`` kwarg) — the expensive step runs once."""
+    c = core if core is not None else core_number(graph)
+    if k is None:
+        k = c.agg(F.max("core")).first()[0]
+    return _induced_on(graph, c.where(F.col("core") == k))
+
+
+def k_crust(
+    graph: LinkGraph, k: int | None = None, core: DataFrame | None = None
+) -> LinkGraph:
+    """Induced subgraph on nodes with core number <= k — the graph
+    minus its (k+1)-core (networkx/algorithms/core.py ``k_crust``).
+    Default k = max core number - 1."""
+    c = core if core is not None else core_number(graph)
+    if k is None:
+        k = c.agg(F.max("core")).first()[0] - 1
+    return _induced_on(graph, c.where(F.col("core") <= k))
+
+
+def k_corona(
+    graph: LinkGraph, k: int, core: DataFrame | None = None
+) -> LinkGraph:
+    """Nodes in the k-shell with EXACTLY k neighbors of core >= k,
+    induced (networkx/algorithms/core.py ``k_corona``). One gather of
+    neighbor core numbers (equi-join + count) on top of core_number."""
+    c = core if core is not None else core_number(graph)
+    canon = _simple_undirected_edges(graph)
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbr_ge_k = (
+        sym.join(
+            c.where(F.col("core") >= k).select(F.col("id").alias("dst")),
+            "dst",
+            "left_semi",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_ge"))
+    )
+    keep = (
+        c.where(F.col("core") == k)
+        .join(nbr_ge_k, "id", "left")
+        .where(F.coalesce("n_ge", F.lit(0)) == k)
+        .select("id")
+    )
+    return _induced_on(graph, keep)
+
+
+def onion_layers(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
+    """(id, layer) — onion decomposition (networkx/algorithms/core.py
+    ``onion_layers``, Hébert-Dufresne et al. 2016). Raises on
+    self-loops (reference parity).
+
+    Synchronous distributed peeling, exactly the reference's loop: each
+    round takes a degree snapshot, lifts ``current_core`` to the
+    minimum degree, removes ALL nodes with degree <= current_core as
+    one layer. Per round: one groupBy degree count + one global min +
+    two semi-joins; rounds = number of onion layers (small for
+    heavy-tailed web graphs — layers grow geometrically)."""
+    if (
+        graph.edges.where(F.col("src") == F.col("dst")).limit(1).count() > 0
+    ):
+        raise ValueError(
+            "onion_layers is not defined on graphs with self-loops "
+            "(reference parity: networkx/algorithms/core.py onion_layers)"
+        )
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        _simple_undirected_edges(graph).repartition(nparts, "src").persist()
+    )
+    edges.count()
+
+    layers: list[DataFrame] = []
+    current_layer = 1
+    # isolated vertices form layer 1 (reference: isolates first)
+    deg0 = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    isolated = graph.vertices.select("id").join(deg0, "id", "left_anti")
+    if isolated.limit(1).count() > 0:
+        layers.append(isolated.withColumn("layer", F.lit(1).cast("long")))
+        current_layer = 2
+
+    # remaining-vertex set carried explicitly: a node whose degree drops
+    # to 0 mid-peel stays in the sweep and joins the NEXT round's layer
+    # together with every other node whose snapshot degree falls at or
+    # below current_core — exactly the reference's degrees-dict loop.
+    verts = deg0.localCheckpoint(eager=True)
+    current_core = 1
+    for _ in range(max_rounds):
+        if verts.limit(1).count() == 0:
+            break
+        deg = (
+            verts.join(
+                edges.select(F.col("src").alias("id"))
+                .unionAll(edges.select(F.col("dst").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("d")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("d", F.lit(0)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        min_deg = deg.agg(F.min("deg")).first()[0]
+        if min_deg > current_core:
+            current_core = min_deg
+        peel = deg.where(F.col("deg") <= current_core).select("id")
+        layers.append(peel.withColumn("layer", F.lit(current_layer).cast("long")))
+        current_layer += 1
+        verts = deg.where(F.col("deg") > current_core).select("id").localCheckpoint(
+            eager=True
+        )
+        new_edges = (
+            edges.join(peel.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(peel.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        edges.unpersist()
+        edges = new_edges
+    else:
+        raise RuntimeError(f"onion_layers did not finish in {max_rounds} rounds")
+
+    out = layers[0]
+    for p in layers[1:]:
+        out = out.unionByName(p)
+    return out

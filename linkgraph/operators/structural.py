@@ -165,3 +165,107 @@ def rich_club_coefficient(graph: LinkGraph) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def effective_size(graph: LinkGraph) -> DataFrame:
+    """(id BIGINT, effective_size DOUBLE) — Burt's effective size of
+    each node's ego network (networkx/algorithms/structuralholes.py
+    ``effective_size``). For the unweighted undirected simple graphs
+    this engine computes on, the general mutual-weight formula reduces
+    to Borgatti's simplification e(u) = deg(u) − 2·tri(u)/deg(u)
+    (redundancy of neighbor v = |N(u)∩N(v)|/deg(u); summing common
+    neighbors over v counts each triangle at u twice). Isolated nodes
+    get NULL (the reference emits nan).
+
+    One triangles pass + one degree aggregate — reuses the exact
+    oriented wedge-join plan of the clustering operator; no extra
+    shuffle over it.
+    """
+    from .triangles import _degrees_and_triangles
+
+    dt = _degrees_and_triangles(graph)
+    return dt.select(
+        "id",
+        F.when(
+            F.col("deg") > 0,
+            F.col("deg").cast("double")
+            - 2.0 * F.col("triangles").cast("double") / F.col("deg").cast("double"),
+        ).alias("effective_size"),
+    )
+
+
+def efficiency_burt(graph: LinkGraph) -> DataFrame:
+    """(id, efficiency DOUBLE) — effective size normalized by degree
+    (Burt; the reference exposes it as effective_size/degree in the
+    structuralholes notes). NULL for isolated nodes."""
+    es = effective_size(graph)
+    from .triangles import _degrees_and_triangles
+
+    dt = _degrees_and_triangles(graph).select("id", "deg")
+    return es.join(dt, "id").select(
+        "id",
+        F.when(
+            F.col("deg") > 0, F.col("effective_size") / F.col("deg").cast("double")
+        ).alias("efficiency"),
+    )
+
+
+def degree_centrality(graph: LinkGraph) -> DataFrame:
+    """(id, centrality DOUBLE) = degree / (n-1)
+    (networkx/algorithms/centrality/degree_alg.py:10). Undirected
+    simple-graph degree (self-loops dropped). The reference's n<=1
+    special case returns centrality 1 for the lone node — mirrored
+    here."""
+    e = _simple_edges(graph)
+    n = graph.vertices.count()
+    if n <= 1:
+        return graph.vertices.select(
+            "id", F.lit(1.0).alias("centrality")
+        )
+    scale = 1.0 / (n - 1)
+    deg = _simple_degrees(e)
+    return (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("deg", F.lit(0)).cast("double") * F.lit(scale)).alias(
+                "centrality"
+            ),
+        )
+    )
+
+
+def in_degree_centrality(graph: LinkGraph) -> DataFrame:
+    """(id, centrality) = in-degree/(n-1) over the distinct directed
+    edge set (degree_alg.py:62)."""
+    return _directed_degree_centrality(graph, "dst")
+
+
+def out_degree_centrality(graph: LinkGraph) -> DataFrame:
+    """(id, centrality) = out-degree/(n-1) (degree_alg.py:115)."""
+    return _directed_degree_centrality(graph, "src")
+
+
+def _directed_degree_centrality(graph: LinkGraph, end: str) -> DataFrame:
+    if not graph.directed:
+        raise ValueError(
+            "in/out_degree_centrality requires a directed graph "
+            "(reference parity: @not_implemented_for('undirected'))"
+        )
+    e = graph.edges.select("src", "dst").distinct()
+    n = graph.vertices.count()
+    if n <= 1:
+        return graph.vertices.select("id", F.lit(1.0).alias("centrality"))
+    scale = 1.0 / (n - 1)
+    deg = e.groupBy(F.col(end).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("deg", F.lit(0)).cast("double") * F.lit(scale)).alias(
+                "centrality"
+            ),
+        )
+    )
