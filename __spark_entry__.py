@@ -771,6 +771,147 @@ def q_embedding_near_pairs(spark, sf_dir):
     )
 
 
+def undirected_order_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Undirected simple view of the order graph, self-loops dropped
+    (several operators — onion, degree centrality — are
+    undirected-only, reference parity)."""
+    g = order_graph(spark, sf_dir)
+    edges = (
+        g.edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return LinkGraph(vertices=g.vertices, edges=edges, directed=False)
+
+
+def partsupp_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Bipartite part–supplier graph from lineitem; supplier ids are
+    offset by max(p_partkey) so the two sides share one id space."""
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    off = part.agg(F.max("p_partkey")).first()[0]
+    edges = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + F.lit(off)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    vertices = (
+        part.select(F.col("p_partkey").cast("long").alias("id"))
+        .unionByName(
+            supp.select((F.col("s_suppkey") + F.lit(off)).cast("long").alias("id"))
+        )
+    )
+    return LinkGraph(vertices=vertices, edges=edges, directed=False)
+
+
+def q_onion_orders(spark, sf_dir):
+    from linkgraph.operators.core import onion_layers
+
+    g = undirected_order_graph(spark, sf_dir)
+    return onion_layers(g).select("id", "layer")
+
+
+def q_kshell_parts(spark, sf_dir):
+    from linkgraph.operators.core import k_shell
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    sub = k_shell(g)  # default k = max core number (SF-independent)
+    return sub.edges.select("src", "dst")
+
+
+def q_avg_degree_connectivity_parts(spark, sf_dir):
+    from linkgraph.operators.assortativity import average_degree_connectivity
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return average_degree_connectivity(g).select(
+        "degree", F.round("avg_connectivity", 8).alias("avg_connectivity_r")
+    )
+
+
+def q_attr_assortativity_orders(spark, sf_dir):
+    from linkgraph.operators.assortativity import (
+        attribute_assortativity_coefficient,
+    )
+
+    g = order_graph(spark, sf_dir)
+    cust = _read(spark, sf_dir, "customer")
+    attrs = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    g = LinkGraph(
+        vertices=g.vertices.join(attrs, "id"), edges=g.edges, directed=True
+    )
+    r = attribute_assortativity_coefficient(g, "nation")
+    return spark.createDataFrame([(round(r, 8),)], "attr_assortativity_r double")
+
+
+def q_degree_centrality_orders(spark, sf_dir):
+    from linkgraph.operators.structural import degree_centrality
+
+    g = undirected_order_graph(spark, sf_dir)
+    return degree_centrality(g).select(
+        "id", F.round("centrality", 8).alias("centrality_r")
+    )
+
+
+def q_effective_size_parts(spark, sf_dir):
+    from linkgraph.operators.structural import effective_size
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return effective_size(g).select(
+        "id", F.round("effective_size", 8).alias("effective_size_r")
+    )
+
+
+def q_edge_boundary_orders(spark, sf_dir):
+    from linkgraph.operators.boundary import edge_boundary
+
+    g = order_graph(spark, sf_dir)
+    rich = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+    )
+    return edge_boundary(g, rich).select("src", "dst")
+
+
+def q_weighted_clustering_parts(spark, sf_dir):
+    from linkgraph.operators.triangles import weighted_clustering
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy(
+            F.col("pa").cast("long").alias("src"),
+            F.col("pb").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    vertices = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id")
+    )
+    g = LinkGraph(vertices=vertices, edges=edges, directed=False)
+    return weighted_clustering(g).select(
+        "id", F.round("clustering", 8).alias("clustering_r")
+    )
+
+
+def q_bipartite_color_partsupp(spark, sf_dir):
+    from linkgraph.operators.bipartite import bipartite_color
+
+    g = partsupp_bipartite_graph(spark, sf_dir)
+    return bipartite_color(g).select("id", "color")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -841,6 +982,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_metric_parts": q_s_metric_parts,
         "rich_club_parts": q_rich_club_parts,
         "modularity_nations": q_modularity_nations,
+        "onion_orders": q_onion_orders,
+        "kshell_parts": q_kshell_parts,
+        "avg_degree_connectivity_parts": q_avg_degree_connectivity_parts,
+        "attr_assortativity_orders": q_attr_assortativity_orders,
+        "degree_centrality_orders": q_degree_centrality_orders,
+        "effective_size_parts": q_effective_size_parts,
+        "edge_boundary_orders": q_edge_boundary_orders,
+        "weighted_clustering_parts": q_weighted_clustering_parts,
+        "bipartite_color_partsupp": q_bipartite_color_partsupp,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1443,12 +1593,9 @@ p{i + 1} AS MATERIALIZED (
     return head + "," + ",".join(steps) + f"\nSELECT src, dst FROM p{rounds}"
 
 
-def _core_number_sql(iters: int = 30) -> str:
-    """Unrolled Montresor h-index iteration — the exact mirror of the
-    engine's ``core_number``: c0 = degree; c_{{t+1}}(v) = h-index of
-    neighbors' c_t. Monotone non-increasing with fixpoint = core
-    number, so extra unrolled iterations (measured: 19 to fixpoint at
-    sf0.01) are idempotent."""
+def _core_chain(iters: int = 30) -> str:
+    """Shared CTE chain for the Montresor h-index core-number unroll:
+    ends at ``c{iters}`` (id, c). Callers append their SELECT."""
     head = f"""
 WITH {_PAIRS_CTE},
 e AS MATERIALIZED (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
@@ -1463,11 +1610,288 @@ c{i + 1} AS MATERIALIZED (
     FROM e JOIN c{i} p ON p.id = e.dst
   ) GROUP BY src
 )""")
+    return head + "," + ",".join(steps)
+
+
+def _core_number_sql(iters: int = 30) -> str:
+    """Unrolled Montresor h-index iteration — the exact mirror of the
+    engine's ``core_number``: c0 = degree; c_{{t+1}}(v) = h-index of
+    neighbors' c_t. Monotone non-increasing with fixpoint = core
+    number, so extra unrolled iterations (measured: 19 to fixpoint at
+    sf0.01) are idempotent."""
     return (
-        head + "," + ",".join(steps)
+        _core_chain(iters)
         + f"""
 SELECT p.p_partkey AS id, CAST(COALESCE(cn.c, 0) AS BIGINT) AS core
 FROM part p LEFT JOIN c{iters} cn ON cn.id = p.p_partkey"""
+    )
+
+
+def _kshell_sql(iters: int = 30) -> str:
+    """k_shell with default k = max core number: induced edges among
+    nodes whose converged h-index estimate equals the global max —
+    rides the same unrolled core chain."""
+    return (
+        _core_chain(iters)
+        + f""",
+shell AS (SELECT id FROM c{iters} WHERE c = (SELECT max(c) FROM c{iters}))
+SELECT p.src, p.dst FROM pairs p
+JOIN shell a ON a.id = p.src
+JOIN shell b ON b.id = p.dst"""
+    )
+
+
+def _onion_sql(rounds: int = 24) -> str:
+    """Unrolled onion decomposition over the undirected simple order
+    graph — the exact mirror of the engine's ``onion_layers`` loop:
+    per round a degree snapshot, current_core lifted to the min
+    degree (a one-row running-max CTE), peel-all <= current_core.
+    Idempotent once the graph empties (empty rounds emit no rows)."""
+    head = f"""
+WITH {_EDGES_CTE},
+p0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM e2k WHERE src <> dst
+),
+iso AS MATERIALIZED (
+  SELECT c_custkey AS id FROM customer
+  WHERE c_custkey NOT IN (SELECT src FROM p0)
+    AND c_custkey NOT IN (SELECT dst FROM p0)
+),
+loff AS (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS o FROM iso),
+v0 AS MATERIALIZED (SELECT src AS id FROM p0 UNION SELECT dst FROM p0),
+m0 AS MATERIALIZED (SELECT 1 AS m)"""
+    steps, layer_sels = [], []
+    for i in range(rounds):
+        steps.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT v.id, COALESCE(dd.cnt, 0) AS deg FROM v{i} v
+  LEFT JOIN (
+    SELECT id, count(*) AS cnt FROM (
+      SELECT src AS id FROM p{i} UNION ALL SELECT dst FROM p{i}
+    ) GROUP BY id
+  ) dd ON dd.id = v.id
+),
+m{i + 1} AS MATERIALIZED (
+  SELECT greatest((SELECT m FROM m{i}),
+                  COALESCE((SELECT min(deg) FROM d{i + 1}), (SELECT m FROM m{i}))) AS m
+),
+l{i + 1} AS MATERIALIZED (
+  SELECT id FROM d{i + 1} WHERE deg <= (SELECT m FROM m{i + 1})
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT id FROM d{i + 1} WHERE deg > (SELECT m FROM m{i + 1})
+),
+p{i + 1} AS MATERIALIZED (
+  SELECT p.src, p.dst FROM p{i} p
+  JOIN v{i + 1} a ON a.id = p.src
+  JOIN v{i + 1} b ON b.id = p.dst
+)""")
+        layer_sels.append(
+            f"SELECT id, CAST({i + 1} + (SELECT o FROM loff) AS BIGINT) AS layer FROM l{i + 1}"
+        )
+    tail = (
+        "\nSELECT id, CAST(1 AS BIGINT) AS layer FROM iso\nUNION ALL\n"
+        + "\nUNION ALL\n".join(layer_sels)
+    )
+    return head + "," + ",".join(steps) + tail
+
+
+def _avg_degree_connectivity_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE},
+e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src)
+SELECT ds.d AS degree,
+  round(CAST(sum(dd.d) AS DOUBLE) / count(*), 8) AS avg_connectivity_r
+FROM e
+JOIN deg ds ON ds.id = e.src
+JOIN deg dd ON dd.id = e.dst
+GROUP BY ds.d"""
+
+
+def _attr_assortativity_sql() -> str:
+    """r = (trace/m − Σ a_i·b_i/m²) / (1 − Σ a_i·b_i/m²) over the
+    directed order graph with c_nationkey endpoint attributes (edges
+    whose dst is not a customer drop out of the inner joins, exactly
+    as the engine's vertex-attr join does)."""
+    return f"""
+WITH {_EDGES_CTE},
+ap AS (
+  SELECT cs.c_nationkey AS xa, cd.c_nationkey AS ya
+  FROM e2k
+  JOIN customer cs ON cs.c_custkey = e2k.src
+  JOIN customer cd ON cd.c_custkey = e2k.dst
+),
+mt AS (SELECT count(*) AS m,
+              sum(CASE WHEN xa = ya THEN 1 ELSE 0 END) AS tr FROM ap),
+ra AS (SELECT xa AS v, count(*) AS a FROM ap GROUP BY xa),
+cb AS (SELECT ya AS v, count(*) AS b FROM ap GROUP BY ya),
+sab AS (
+  SELECT sum(CAST(COALESCE(ra.a, 0) AS DOUBLE) * COALESCE(cb.b, 0)) AS s
+  FROM ra FULL JOIN cb ON cb.v = ra.v
+)
+SELECT round(
+  ((CAST(mt.tr AS DOUBLE) / mt.m) - sab.s / (CAST(mt.m AS DOUBLE) * mt.m))
+  / (1.0 - sab.s / (CAST(mt.m AS DOUBLE) * mt.m)), 8) AS attr_assortativity_r
+FROM mt, sab"""
+
+
+def _degree_centrality_sql() -> str:
+    return f"""
+WITH {_EDGES_CTE},
+p0 AS (
+  -- engine degree_centrality restricts endpoints to the vertex table
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM e2k
+  WHERE src <> dst
+    AND src IN (SELECT c_custkey FROM customer)
+    AND dst IN (SELECT c_custkey FROM customer)
+),
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM p0 UNION ALL SELECT dst FROM p0
+  ) GROUP BY id
+)
+SELECT c.c_custkey AS id,
+  round(CAST(COALESCE(deg.d, 0) AS DOUBLE) / ((SELECT n FROM nn) - 1), 8)
+    AS centrality_r
+FROM customer c LEFT JOIN deg ON deg.id = c.c_custkey"""
+
+
+def _effective_size_sql() -> str:
+    return f"""
+WITH {_TRI_CTE},
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+degs AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM pairs UNION ALL SELECT dst FROM pairs
+  ) GROUP BY id
+)
+SELECT p.p_partkey AS id,
+  CASE WHEN COALESCE(degs.d, 0) > 0
+    THEN round(degs.d - 2.0 * COALESCE(cnt.t, 0) / degs.d, 8)
+    ELSE NULL END AS effective_size_r
+FROM part p
+LEFT JOIN degs ON degs.id = p.p_partkey
+LEFT JOIN cnt ON cnt.id = p.p_partkey"""
+
+
+def _edge_boundary_sql() -> str:
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+rich AS (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000)
+SELECT e.src, e.dst FROM e
+WHERE e.src IN (SELECT id FROM rich)
+  AND e.dst NOT IN (SELECT id FROM rich)"""
+
+
+def _weighted_clustering_sql() -> str:
+    """Mirror of weighted_clustering over the co-occurrence-count
+    weighted part graph: ŵ = w/max(w), per-triangle cbrt product
+    credited to each corner, c = 2·Σq/(d(d−1))."""
+    return """
+WITH wp AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+mw AS (SELECT max(w) AS v FROM wp),
+tri AS MATERIALIZED (
+  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z,
+    cbrt((CAST(e1.w AS DOUBLE) / (SELECT v FROM mw))
+       * (CAST(e2.w AS DOUBLE) / (SELECT v FROM mw))
+       * (CAST(e3.w AS DOUBLE) / (SELECT v FROM mw))) AS q
+  FROM wp e1
+  JOIN wp e2 ON e2.src = e1.dst
+  JOIN wp e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+credit AS (
+  SELECT id, sum(q) AS tw FROM (
+    SELECT x AS id, q FROM tri
+    UNION ALL SELECT y, q FROM tri
+    UNION ALL SELECT z, q FROM tri
+  ) GROUP BY id
+),
+degs AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT src AS id FROM wp UNION ALL SELECT dst FROM wp
+  ) GROUP BY id
+)
+SELECT p.p_partkey AS id,
+  round(CASE WHEN COALESCE(degs.d, 0) > 1 AND credit.tw IS NOT NULL
+    THEN 2.0 * credit.tw / (CAST(degs.d AS DOUBLE) * (degs.d - 1))
+    ELSE 0.0 END, 8) AS clustering_r
+FROM part p
+LEFT JOIN degs ON degs.id = p.p_partkey
+LEFT JOIN credit ON credit.id = p.p_partkey"""
+
+
+def _bipartite_color_sql(flood_rounds: int = 10, bfs_rounds: int = 10) -> str:
+    """BFS-parity 2-coloring of the part–supplier bipartite graph:
+    component roots via unrolled min-label flooding (converges in
+    diameter rounds — measured ecc 3 at sf0.01), then unrolled
+    min-distance BFS from the roots; color = shortest-distance parity
+    (unique per node in a bipartite graph, so any BFS order agrees
+    with the engine's frontier expansion)."""
+    head = """
+WITH off AS (SELECT max(p_partkey) AS o FROM part),
+e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, l_suppkey + (SELECT o FROM off) AS dst
+  FROM lineitem
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+),
+nodes AS MATERIALIZED (
+  SELECT p_partkey AS id FROM part
+  UNION SELECT s_suppkey + (SELECT o FROM off) FROM supplier
+),
+f0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes)"""
+    steps = []
+    for i in range(flood_rounds):
+        steps.append(f"""
+f{i + 1} AS MATERIALIZED (
+  SELECT f.id, least(f.lbl, COALESCE(nb.ml, f.lbl)) AS lbl
+  FROM f{i} f
+  LEFT JOIN (
+    SELECT s.dst AS id, min(p.lbl) AS ml
+    FROM sym s JOIN f{i} p ON p.id = s.src
+    GROUP BY s.dst
+  ) nb ON nb.id = f.id
+)""")
+    steps.append(f"""
+roots AS MATERIALIZED (
+  SELECT min(id) AS id FROM f{flood_rounds} GROUP BY lbl
+),
+b0 AS MATERIALIZED (
+  SELECT n.id,
+    CASE WHEN n.id IN (SELECT id FROM roots) THEN 0 ELSE NULL END AS dist
+  FROM nodes n
+)""")
+    for i in range(bfs_rounds):
+        steps.append(f"""
+b{i + 1} AS MATERIALIZED (
+  SELECT b.id, least(COALESCE(b.dist, 1 << 30),
+                     COALESCE(nb.md + 1, 1 << 30)) AS dist
+  FROM b{i} b
+  LEFT JOIN (
+    SELECT s.dst AS id, min(p.dist) AS md
+    FROM sym s JOIN b{i} p ON p.id = s.src
+    WHERE p.dist IS NOT NULL
+    GROUP BY s.dst
+  ) nb ON nb.id = b.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT id, CAST(dist % 2 AS INT) AS color FROM b{bfs_rounds}
+WHERE dist < (1 << 30)"""
     )
 
 
@@ -2282,6 +2706,15 @@ SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value_r,
 FROM events GROUP BY event_type""",
         "kcore_parts": _kcore_sql(k=3, rounds=8),
         "core_number_parts": _core_number_sql(iters=30),
+        "onion_orders": _onion_sql(rounds=24),
+        "kshell_parts": _kshell_sql(iters=30),
+        "avg_degree_connectivity_parts": _avg_degree_connectivity_sql(),
+        "attr_assortativity_orders": _attr_assortativity_sql(),
+        "degree_centrality_orders": _degree_centrality_sql(),
+        "effective_size_parts": _effective_size_sql(),
+        "edge_boundary_orders": _edge_boundary_sql(),
+        "weighted_clustering_parts": _weighted_clustering_sql(),
+        "bipartite_color_partsupp": _bipartite_color_sql(),
         "scc_orders": _scc_sql(),
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
         "assortativity_parts": _assortativity_sql(),

@@ -355,3 +355,112 @@ def wiener_index(spark, edges, nodes=()) -> float:
     return float(
         _w(g, g.vertices.select("id")).collect()[0]["wiener_est"]
     )
+
+
+def k_shell(spark, edges, k=None, nodes=()) -> set:
+    """``nx.k_shell(G, k)`` node set (core.py k_shell)."""
+    from .operators.core import k_shell as _ks
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _ks(g, k).vertices.select("id").collect()}
+
+
+def k_crust(spark, edges, k=None, nodes=()) -> set:
+    """``nx.k_crust(G, k)`` node set (core.py k_crust)."""
+    from .operators.core import k_crust as _kc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _kc(g, k).vertices.select("id").collect()}
+
+
+def k_corona(spark, edges, k, nodes=()) -> set:
+    """``nx.k_corona(G, k)`` node set (core.py k_corona)."""
+    from .operators.core import k_corona as _kc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _kc(g, k).vertices.select("id").collect()}
+
+
+def onion_layers(spark, edges, nodes=()) -> dict:
+    """``nx.onion_layers(G)`` (core.py onion_layers)."""
+    from .operators.core import onion_layers as _ol
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["layer"] for r in _ol(g).collect()}
+
+
+def node_boundary(spark, edges, nbunch1, nbunch2=None, nodes=()) -> set:
+    """``nx.node_boundary`` (boundary.py:122)."""
+    from .operators.boundary import node_boundary as _nb
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    inv = {v: k for k, v in _name_map(g).items()}
+    s = spark.createDataFrame([(inv[str(n)],) for n in nbunch1], "id long")
+    t = (
+        spark.createDataFrame([(inv[str(n)],) for n in nbunch2], "id long")
+        if nbunch2 is not None
+        else None
+    )
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _nb(g, s, t).collect()}
+
+
+def edge_boundary(spark, edges, nbunch1, nbunch2=None, nodes=()) -> set:
+    """``nx.edge_boundary`` (boundary.py:25); undirected edges are
+    returned as canonical sorted tuples."""
+    from .operators.boundary import edge_boundary as _eb
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    inv = {v: k for k, v in _name_map(g).items()}
+    s = spark.createDataFrame([(inv[str(n)],) for n in nbunch1], "id long")
+    t = (
+        spark.createDataFrame([(inv[str(n)],) for n in nbunch2], "id long")
+        if nbunch2 is not None
+        else None
+    )
+    nm = _name_map(g)
+    return {
+        tuple(sorted((nm[r["src"]], nm[r["dst"]])))
+        for r in _eb(g, s, t).collect()
+    }
+
+
+def average_degree_connectivity(spark, edges, nodes=()) -> dict:
+    """``nx.average_degree_connectivity`` (connectivity.py:12)."""
+    from .operators.assortativity import average_degree_connectivity as _adc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return {
+        r["degree"]: r["avg_connectivity"] for r in _adc(g).collect()
+    }
+
+
+def effective_size(spark, edges, nodes=()) -> dict:
+    """``nx.effective_size`` (structuralholes.py), unweighted
+    undirected form; isolated nodes map to None (reference: nan)."""
+    from .operators.structural import effective_size as _es
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["effective_size"] for r in _es(g).collect()}
+
+
+def degree_centrality(spark, edges, nodes=()) -> dict:
+    """``nx.degree_centrality`` (degree_alg.py:10)."""
+    from .operators.structural import degree_centrality as _dc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["centrality"] for r in _dc(g).collect()}
+
+
+def is_bipartite(spark, edges, nodes=()) -> bool:
+    """``nx.is_bipartite`` (bipartite/basic.py:9)."""
+    from .operators.bipartite import is_bipartite as _ib
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    return _ib(g)
