@@ -905,6 +905,13 @@ def q_weighted_clustering_parts(spark, sf_dir):
     )
 
 
+def q_triadic_census_orders(spark, sf_dir):
+    from linkgraph.operators.triads import triadic_census
+
+    g = order_graph(spark, sf_dir)
+    return triadic_census(g).select("triad_type", "n_triads")
+
+
 def q_bipartite_color_partsupp(spark, sf_dir):
     from linkgraph.operators.bipartite import bipartite_color
 
@@ -991,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_boundary_orders": q_edge_boundary_orders,
         "weighted_clustering_parts": q_weighted_clustering_parts,
         "bipartite_color_partsupp": q_bipartite_color_partsupp,
+        "triadic_census_orders": q_triadic_census_orders,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1830,6 +1838,89 @@ SELECT p.p_partkey AS id,
 FROM part p
 LEFT JOIN degs ON degs.id = p.p_partkey
 LEFT JOIN credit ON credit.id = p.p_partkey"""
+
+
+def _triadic_census_sql() -> str:
+    """Mirror of triadic_census on the order graph: dyad states →
+    wedge-join triple enumeration → 64-code class lookup (the same
+    CODE_TO_CLASS table the engine embeds) → combinatorial closure for
+    012/102/003."""
+    from linkgraph.operators.triads import CODE_TO_CLASS, TRIAD_CLASSES
+
+    case = "CASE code " + " ".join(
+        f"WHEN {k} THEN '{v}'" for k, v in sorted(CODE_TO_CLASS.items())
+    ) + " END"
+    classes_values = ", ".join(f"('{c}')" for c in TRIAD_CLASSES)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders
+  WHERE o_custkey <> o_orderkey % (SELECT n FROM nn)
+    AND o_custkey IN (SELECT c_custkey FROM customer)
+    AND o_orderkey % (SELECT n FROM nn) IN (SELECT c_custkey FROM customer)
+),
+dy AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+    sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS s
+  FROM e GROUP BY least(src, dst), greatest(src, dst)
+),
+nbrs AS MATERIALIZED (
+  SELECT a AS center, b AS other, s FROM dy
+  UNION ALL SELECT b, a, s FROM dy
+),
+trip AS MATERIALIZED (
+  SELECT j1.other AS u, j2.other AS v, j1.center AS w,
+    j1.s AS s1, j2.s AS s2, COALESCE(dy.s, 0) AS s_uv
+  FROM nbrs j1
+  JOIN nbrs j2 ON j2.center = j1.center AND j1.other < j2.other
+  LEFT JOIN dy ON dy.a = j1.other AND dy.b = j2.other
+),
+tri AS MATERIALIZED (
+  SELECT DISTINCT least(u, w) AS x, u + v + w - least(u, w) - greatest(v, w) AS y,
+    greatest(v, w) AS z,
+    CASE WHEN w < u THEN s1 + 4 * s2 + 16 * s_uv
+         WHEN w < v THEN s1 + 4 * s_uv + 16 * s2
+         ELSE s_uv + 4 * s1 + 16 * s2 END AS code
+  FROM trip
+),
+enum AS MATERIALIZED (
+  SELECT {case} AS triad_type, count(*) AS c FROM tri GROUP BY 1
+),
+scal AS (
+  SELECT
+    (SELECT n FROM nn) AS n,
+    (SELECT count(*) FROM dy WHERE s = 3) AS md,
+    (SELECT count(*) FROM dy WHERE s <> 3) AS ad,
+    COALESCE((SELECT sum(
+        (CASE WHEN code % 4 = 3 THEN 1 ELSE 0 END)
+      + (CASE WHEN (code // 4) % 4 = 3 THEN 1 ELSE 0 END)
+      + (CASE WHEN (code // 16) % 4 = 3 THEN 1 ELSE 0 END)) FROM tri), 0) AS sum_m,
+    COALESCE((SELECT sum(
+        (CASE WHEN code % 4 IN (1, 2) THEN 1 ELSE 0 END)
+      + (CASE WHEN (code // 4) % 4 IN (1, 2) THEN 1 ELSE 0 END)
+      + (CASE WHEN (code // 16) % 4 IN (1, 2) THEN 1 ELSE 0 END)) FROM tri), 0) AS sum_a,
+    COALESCE((SELECT sum(c) FROM enum), 0) AS enum_total
+),
+classes(triad_type) AS (VALUES {classes_values}),
+base AS (
+  SELECT cl.triad_type,
+    COALESCE(en.c, 0)
+    + CASE WHEN cl.triad_type = '102'
+        THEN sc.md * greatest(sc.n - 2, 0) - sc.sum_m
+      WHEN cl.triad_type = '012'
+        THEN sc.ad * greatest(sc.n - 2, 0) - sc.sum_a
+      ELSE 0 END AS cnt
+  FROM classes cl
+  LEFT JOIN enum en ON en.triad_type = cl.triad_type
+  CROSS JOIN scal sc
+)
+SELECT triad_type,
+  CAST(CASE WHEN triad_type = '003'
+    THEN (SELECT n * (n - 1) * (n - 2) / 6 FROM scal)
+         - (SELECT sum(cnt) FROM base WHERE triad_type <> '003')
+    ELSE cnt END AS BIGINT) AS n_triads
+FROM base"""
 
 
 def _bipartite_color_sql(flood_rounds: int = 10, bfs_rounds: int = 10) -> str:
@@ -2715,6 +2806,7 @@ FROM events GROUP BY event_type""",
         "edge_boundary_orders": _edge_boundary_sql(),
         "weighted_clustering_parts": _weighted_clustering_sql(),
         "bipartite_color_partsupp": _bipartite_color_sql(),
+        "triadic_census_orders": _triadic_census_sql(),
         "scc_orders": _scc_sql(),
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
         "assortativity_parts": _assortativity_sql(),
