@@ -905,6 +905,19 @@ def q_weighted_clustering_parts(spark, sf_dir):
     )
 
 
+def q_doc_packing(spark, sf_dir):
+    from linkgraph.functions.pipeline import pack_sequences
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        "pack_offset",
+    )
+
+
 def q_triadic_census_orders(spark, sf_dir):
     from linkgraph.operators.triads import triadic_census
 
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_clustering_parts": q_weighted_clustering_parts,
         "bipartite_color_partsupp": q_bipartite_color_partsupp,
         "triadic_census_orders": q_triadic_census_orders,
+        "doc_packing": q_doc_packing,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -2807,6 +2821,25 @@ FROM events GROUP BY event_type""",
         "weighted_clustering_parts": _weighted_clustering_sql(),
         "bipartite_color_partsupp": _bipartite_color_sql(),
         "triadic_census_orders": _triadic_census_sql(),
+        "doc_packing": """
+WITH tc AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_offset
+  FROM tc
+)
+SELECT doc_id, n_tokens, start_offset,
+  CAST(start_offset // 512 AS BIGINT) AS pack_id,
+  start_offset % 512 AS pack_offset
+FROM offs""",
         "scc_orders": _scc_sql(),
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
         "assortativity_parts": _assortativity_sql(),

@@ -53,3 +53,80 @@ def training_mix(
     if langs is not None:
         kept = kept.where(F.col("pred_lang").isin(list(langs)))
     return kept.select(id_col, "pred_lang", "n_tokens", "n_chars")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard pretraining
+    batch-assembly shape: documents are laid out end-to-end in a
+    deterministic order (ascending ``id_col``) into one global token
+    stream, which is then cut into fixed ``budget``-token sequences;
+    a document may straddle a cut (standard GPT-style packing).
+
+    Returns (id, n_tokens, start_offset, pack_id, pack_offset):
+      start_offset = exclusive prefix-sum of token counts in id order
+      pack_id      = start_offset // budget
+      pack_offset  = start_offset %  budget
+
+    Physical plan — a SCALABLE two-pass distributed prefix sum, not a
+    global-order window (which would collapse to a single partition):
+    range-repartition on id, per-partition running sums via a window
+    PARTITIONED by ``spark_partition_id``, plus a tiny per-partition
+    total table (#partitions rows) broadcast back for the cross-
+    partition offsets. At 10^12 documents both passes stay O(m/P) per
+    task; the only driver-visible object is the #partitions-row
+    offset dictionary.
+    """
+    from pyspark.sql.window import Window
+
+    from .textops import token_count
+
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        # materialized once: the local-cumsum branch and the totals
+        # branch must observe the SAME sampled range boundaries
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    totals = (
+        base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_tot"), F.min("id").alias("_min_id"))
+    )
+    wp = (
+        Window.orderBy("_min_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # #partitions rows — the window over it is a deliberate single-task
+    # driver-scale step (bounded by the partition count, not the data)
+    prefix = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(wp), F.lit(0))
+    ).select("_pid", "_base")
+    out = (
+        local.join(F.broadcast(prefix), "_pid")
+        .withColumn("start_offset", F.col("_base") + F.col("_local_off"))
+        .select(
+            "id",
+            "n_tokens",
+            "start_offset",
+            (F.col("start_offset") / budget).cast("long").alias("pack_id"),
+            (F.col("start_offset") % budget).alias("pack_offset"),
+        )
+    )
+    return out

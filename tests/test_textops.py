@@ -151,3 +151,33 @@ def test_training_mix_composition(spark):
     kept = training_mix(df, min_tokens=10, dedup_threshold=0.5).collect()
     assert [r["doc_id"] for r in kept] == [1]
     assert kept[0]["pred_lang"] == "en"
+
+
+# ---------------------------------------------------------- pack_sequences
+def test_pack_sequences_prefix_sum(spark):
+    from linkgraph.functions.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=16).orderBy("id").collect()
+    run = 0
+    for r in out:
+        assert r["start_offset"] == run
+        assert r["pack_id"] == run // 16
+        assert r["pack_offset"] == run % 16
+        run += r["n_tokens"]
+    assert len(out) == 200
+
+
+def test_pack_sequences_blank_docs_zero_tokens(spark):
+    from linkgraph.functions.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   "), (3, "d e")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in pack_sequences(docs, budget=4).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[3]["start_offset"] == 3
+    assert rows[3]["pack_id"] == 0 and rows[3]["pack_offset"] == 3
