@@ -905,6 +905,42 @@ def q_weighted_clustering_parts(spark, sf_dir):
     )
 
 
+def q_conductance_orders(spark, sf_dir):
+    from linkgraph.operators.cuts import conductance, cut_size, volume
+
+    g = order_graph(spark, sf_dir)
+    rich = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").cast("long").alias("id"))
+    )
+    c = conductance(g, rich)
+    cs = cut_size(g, rich)
+    vol = volume(g, rich)
+    return spark.createDataFrame(
+        [(round(c, 8), cs, vol)],
+        "conductance_r double, cut_size double, volume double",
+    )
+
+
+def q_constraint_parts(spark, sf_dir):
+    from linkgraph.operators.structural import constraint
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return constraint(g).select(
+        "id", F.round("constraint", 8).alias("constraint_r")
+    )
+
+
+def q_square_clustering_parts(spark, sf_dir):
+    from linkgraph.operators.triangles import square_clustering
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return square_clustering(g).select(
+        "id", F.round("sq_clustering", 8).alias("sq_clustering_r")
+    )
+
+
 def q_doc_packing(spark, sf_dir):
     from linkgraph.functions.pipeline import pack_sequences
 
@@ -1013,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_color_partsupp": q_bipartite_color_partsupp,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
+        "conductance_orders": q_conductance_orders,
+        "constraint_parts": q_constraint_parts,
+        "square_clustering_parts": q_square_clustering_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
         # update schedule (xxhash64 priorities — not SQL-expressible);
         # the pages pipeline's link structure derives from xxhash64 too.
@@ -1852,6 +1891,122 @@ SELECT p.p_partkey AS id,
 FROM part p
 LEFT JOIN degs ON degs.id = p.p_partkey
 LEFT JOIN credit ON credit.id = p.p_partkey"""
+
+
+def _conductance_sql() -> str:
+    """cut(S,T)/min(vol(S),vol(T)) on the directed order graph, S =
+    rich customers, T = the vertex-table complement (node 0 — an edge
+    endpoint outside the vertex table — is in neither set; volumes
+    count raw out-edge rows, parallel rows included, exactly as the
+    engine's weighted_edges view does)."""
+    return """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders
+),
+rich AS MATERIALIZED (
+  SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+),
+comp AS MATERIALIZED (
+  SELECT c_custkey AS id FROM customer
+  WHERE c_custkey NOT IN (SELECT id FROM rich)
+),
+cut AS (
+  SELECT CAST(
+    (SELECT count(*) FROM e WHERE src IN (SELECT id FROM rich)
+       AND dst IN (SELECT id FROM comp))
+  + (SELECT count(*) FROM e WHERE src IN (SELECT id FROM comp)
+       AND dst IN (SELECT id FROM rich)) AS DOUBLE) AS c
+),
+vols AS (
+  SELECT
+    CAST((SELECT count(*) FROM e WHERE src IN (SELECT id FROM rich)) AS DOUBLE) AS vs,
+    CAST((SELECT count(*) FROM e WHERE src IN (SELECT id FROM comp)) AS DOUBLE) AS vt
+)
+SELECT round(cut.c / least(vols.vs, vols.vt), 8) AS conductance_r,
+  cut.c AS cut_size, vols.vs AS volume
+FROM cut, vols"""
+
+
+def _constraint_sql() -> str:
+    """Burt constraint on the part graph — unweighted undirected form
+    (local ℓ(u,v) = (1/d_u + Σ_w 1/(d_u·d_w))² over common neighbors
+    w, summed per node)."""
+    return f"""
+WITH {_PAIRS_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+ind AS MATERIALIZED (
+  SELECT w1.src AS u, w2.dst AS v,
+    sum(1.0 / (du.d * dw.d)) AS ind
+  FROM sym w1
+  JOIN sym w2 ON w2.src = w1.dst AND w1.src <> w2.dst
+  JOIN deg du ON du.id = w1.src
+  JOIN deg dw ON dw.id = w1.dst
+  WHERE EXISTS (SELECT 1 FROM sym a WHERE a.src = w1.src AND a.dst = w2.dst)
+  GROUP BY w1.src, w2.dst
+),
+local AS (
+  SELECT s.src AS id,
+    sum(power(1.0 / du.d + COALESCE(i.ind, 0.0), 2)) AS c
+  FROM sym s
+  JOIN deg du ON du.id = s.src
+  LEFT JOIN ind i ON i.u = s.src AND i.v = s.dst
+  GROUP BY s.src
+)
+SELECT p.p_partkey AS id, round(local.c, 8) AS constraint_r
+FROM part p LEFT JOIN local ON local.id = p.p_partkey"""
+
+
+def _square_clustering_sql() -> str:
+    """Mirror of square_clustering's decomposition: squares from the
+    common-neighbor pair table, potential from degree sums, neighbor-
+    degree sums and twice the triangle count."""
+    return f"""
+WITH {_TRI_CTE},
+sym AS MATERIALIZED (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+snd AS MATERIALIZED (
+  SELECT s.src AS id, sum(nd.d) AS snd
+  FROM sym s JOIN deg nd ON nd.id = s.dst GROUP BY s.src
+),
+cn AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS cn
+  FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+),
+sq AS MATERIALIZED (
+  SELECT id, sum(q) / 2.0 AS squares FROM (
+    SELECT u AS id, CAST(cn * (cn - 1) AS DOUBLE) AS q FROM cn
+    UNION ALL SELECT v, CAST(cn * (cn - 1) AS DOUBLE) FROM cn
+  ) GROUP BY id
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+tcnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id),
+terms AS (
+  SELECT p.p_partkey AS id,
+    COALESCE(deg.d, 0) AS d,
+    COALESCE(snd.snd, 0) AS snd,
+    COALESCE(sq.squares, 0.0) AS squares,
+    COALESCE(tcnt.t, 0) AS tri
+  FROM part p
+  LEFT JOIN deg ON deg.id = p.p_partkey
+  LEFT JOIN snd ON snd.id = p.p_partkey
+  LEFT JOIN sq ON sq.id = p.p_partkey
+  LEFT JOIN tcnt ON tcnt.id = p.p_partkey
+)
+SELECT id,
+  round(CASE WHEN d < 2 THEN 0.0
+    WHEN ((d - 1) * snd - d * (d - 1) - 2.0 * tri - squares) > 0
+    THEN squares / ((d - 1) * snd - d * (d - 1) - 2.0 * tri - squares)
+    ELSE 0.0 END, 8) AS sq_clustering_r
+FROM terms"""
 
 
 def _triadic_census_sql() -> str:
@@ -2821,6 +2976,9 @@ FROM events GROUP BY event_type""",
         "weighted_clustering_parts": _weighted_clustering_sql(),
         "bipartite_color_partsupp": _bipartite_color_sql(),
         "triadic_census_orders": _triadic_census_sql(),
+        "conductance_orders": _conductance_sql(),
+        "constraint_parts": _constraint_sql(),
+        "square_clustering_parts": _square_clustering_sql(),
         "doc_packing": """
 WITH tc AS (
   SELECT doc_id,

@@ -464,3 +464,70 @@ def is_bipartite(spark, edges, nodes=()) -> bool:
 
     g = _as_graph(spark, edges, nodes, directed=False)
     return _ib(g)
+
+
+def _nbunch(spark, g, nb):
+    inv = {v: k for k, v in _name_map(g).items()}
+    return spark.createDataFrame([(inv[str(n)],) for n in nb], "id long")
+
+
+def cut_size(spark, edges, S, T=None, nodes=(), directed=False) -> float:
+    """``nx.cut_size`` (cuts.py:17)."""
+    from .operators.cuts import cut_size as _cs
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    t = _nbunch(spark, g, T) if T is not None else None
+    return _cs(g, _nbunch(spark, g, S), t)
+
+
+def volume(spark, edges, S, nodes=(), directed=False) -> float:
+    """``nx.volume`` (cuts.py:79)."""
+    from .operators.cuts import volume as _v
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    return _v(g, _nbunch(spark, g, S))
+
+
+def conductance(spark, edges, S, T=None, nodes=(), directed=False) -> float:
+    """``nx.conductance`` (cuts.py:183)."""
+    from .operators.cuts import conductance as _c
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    t = _nbunch(spark, g, T) if T is not None else None
+    return _c(g, _nbunch(spark, g, S), t)
+
+
+def normalized_cut_size(spark, edges, S, T=None, nodes=(), directed=False) -> float:
+    """``nx.normalized_cut_size`` (cuts.py:125)."""
+    from .operators.cuts import normalized_cut_size as _n
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    t = _nbunch(spark, g, T) if T is not None else None
+    return _n(g, _nbunch(spark, g, S), t)
+
+
+def constraint(spark, edges, nodes=()) -> dict:
+    """``nx.constraint`` (structuralholes.py), unweighted undirected
+    form; isolated nodes map to None (reference: nan)."""
+    from .operators.structural import constraint as _c
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["constraint"] for r in _c(g).collect()}
+
+
+def square_clustering(spark, edges, nodes=()) -> dict:
+    """``nx.square_clustering`` (cluster.py)."""
+    from .operators.triangles import square_clustering as _sq
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]]: r["sq_clustering"] for r in _sq(g).collect()}
+
+
+def triadic_census(spark, edges, nodes=()) -> dict:
+    """``nx.triadic_census`` (triads.py)."""
+    from .operators.triads import triadic_census as _tc
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    return {r["triad_type"]: r["n_triads"] for r in _tc(g).collect()}

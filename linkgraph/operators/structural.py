@@ -269,3 +269,59 @@ def _directed_degree_centrality(graph: LinkGraph, end: str) -> DataFrame:
             ),
         )
     )
+
+
+def constraint(graph: LinkGraph) -> DataFrame:
+    """(id BIGINT, constraint DOUBLE) — Burt's network constraint
+    (networkx/algorithms/structuralholes.py ``constraint`` /
+    ``local_constraint``), unweighted undirected form: the normalized
+    mutual weight p_xy reduces to 1/deg(x), so
+
+        ℓ(u,v) = (1/d_u + Σ_{w∈N(u)∩N(v)} 1/(d_u·d_w))²
+        c(u)   = Σ_{v∈N(u)} ℓ(u,v)
+
+    Isolated nodes get NULL (reference: nan).
+
+    Plan: one symmetric wedge join u→w→v carrying 1/(d_u·d_w)
+    (filtered to adjacent (u,v) by a semi-join — the triangle-support
+    shape), aggregated per directed edge, then per node. Two shuffles
+    on top of the degree table; all arithmetic JVM-side.
+    """
+    e = _simple_edges(graph).persist()
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = _simple_degrees(e)
+    # directed neighbor pairs (u -> v) with degrees on both ends
+    uv = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+    )
+    # wedge u -> w -> v for adjacent (u,v): indirect-path mass
+    w1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    dw = deg.select(F.col("id").alias("w"), F.col("deg").alias("dwg"))
+    adj = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    indirect = (
+        w1.join(w2, "w")
+        .where(F.col("u") != F.col("v"))
+        .join(adj, ["u", "v"], "left_semi")
+        .join(dw, "w")
+        .join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du2")), "u")
+        .groupBy("u", "v")
+        .agg(F.sum(1.0 / (F.col("du2") * F.col("dwg"))).alias("ind"))
+    )
+    local = (
+        uv.join(indirect, ["u", "v"], "left")
+        .select(
+            F.col("u").alias("id"),
+            F.pow(1.0 / F.col("du") + F.coalesce("ind", F.lit(0.0)), 2).alias("l"),
+        )
+        .groupBy("id")
+        .agg(F.sum("l").alias("constraint"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(local, "id", "left")
+        .select("id", "constraint")
+    )

@@ -352,3 +352,82 @@ def weighted_clustering(graph: LinkGraph) -> DataFrame:
         )
     )
     return out
+
+
+def square_clustering(graph: LinkGraph) -> DataFrame:
+    """(id BIGINT, sq_clustering DOUBLE) — squares-based clustering
+    coefficient (networkx/algorithms/cluster.py ``square_clustering``,
+    Lind–González–Herrmann / Zhang C4 form as decomposed in the
+    reference, arXiv:2007.11111 sigma terms):
+
+        squares(v)  = ½ Σ_{y≠v} cn(v,y)·(cn(v,y)−1)
+        potential(v)= (d_v−1)·Σ_{u∈N(v)} d_u − d_v(d_v−1) − 2·T(v)
+                      − squares(v)
+        C4(v)       = squares / potential   (0 when d_v<2 or
+                                             potential ≤ 0)
+
+    where cn is the common-neighbor count. All four terms ride
+    existing substrates: the degree table, one neighbor-degree join
+    (avg_nbr_degree's numerator), the triangle count, and the wedge
+    common-neighbor table (Σ deg² — the same cost envelope as the
+    link-prediction indices; hub capping is the documented 100 TB
+    mitigation).
+    """
+    from .links import wedge_pairs
+
+    simple = _simple_undirected(graph).persist()
+    sym = simple.unionByName(
+        simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    sum_nbr_deg = (
+        sym.join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "nd"),
+                 "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("nd").alias("snd"))
+    )
+    cn = wedge_pairs(graph)
+    sq = (
+        cn.select(F.col("u").alias("id"), (F.col("cn") * (F.col("cn") - 1)).alias("q"))
+        .unionByName(
+            cn.select(F.col("v").alias("id"), (F.col("cn") * (F.col("cn") - 1)).alias("q"))
+        )
+        .groupBy("id")
+        .agg((F.sum("q") / 2.0).alias("squares"))
+    )
+    t = triangles(graph, _simple=simple)
+    out = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(sum_nbr_deg, "id", "left")
+        .join(sq, "id", "left")
+        .join(t, "id", "left")
+        .select(
+            "id",
+            F.coalesce("deg", F.lit(0)).alias("d"),
+            F.coalesce("snd", F.lit(0)).alias("snd"),
+            F.coalesce("squares", F.lit(0.0)).alias("squares"),
+            F.coalesce("triangles", F.lit(0)).alias("tri"),
+        )
+        .select(
+            "id",
+            F.when(
+                F.col("d") < 2, F.lit(0.0)
+            ).otherwise(
+                F.when(
+                    ((F.col("d") - 1) * F.col("snd")
+                     - F.col("d") * (F.col("d") - 1)
+                     - 2.0 * F.col("tri")
+                     - F.col("squares")) > 0,
+                    F.col("squares")
+                    / ((F.col("d") - 1) * F.col("snd")
+                       - F.col("d") * (F.col("d") - 1)
+                       - 2.0 * F.col("tri")
+                       - F.col("squares")),
+                ).otherwise(F.lit(0.0))
+            ).alias("sq_clustering"),
+        )
+    )
+    return out

@@ -373,3 +373,120 @@ def test_bipartite_sets_partition(spark):
     w0, w1 = nx.bipartite.sets(G)
     w0, w1 = {str(n) for n in w0}, {str(n) for n in w1}
     assert {frozenset(s0), frozenset(s1)} == {frozenset(w0), frozenset(w1)}
+
+
+# ----------------------------------------------------- Burt constraint
+def test_constraint_vs_nx(spark):
+    from linkgraph.operators.structural import constraint
+
+    G = nx.gnp_random_graph(25, 0.2, seed=4)
+    G.add_node(99)  # isolated -> nan
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=False)
+    nm = names(g)
+    got = {nm[r["id"]]: r["constraint"] for r in constraint(g).collect()}
+    want = nx.constraint(G)
+    for k, v in want.items():
+        if math.isnan(v):
+            assert got[str(k)] is None
+        else:
+            assert got[str(k)] == pytest.approx(v, abs=1e-9), k
+
+
+# --------------------------------------------------- square clustering
+def test_square_clustering_vs_nx(spark):
+    from linkgraph.operators.triangles import square_clustering
+
+    for seed, p in [(6, 0.15), (7, 0.3)]:
+        G = nx.gnp_random_graph(22, p, seed=seed)
+        g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                                  directed=False)
+        nm = names(g)
+        got = {nm[r["id"]]: r["sq_clustering"]
+               for r in square_clustering(g).collect()}
+        want = nx.square_clustering(G)
+        for k, v in want.items():
+            assert got[str(k)] == pytest.approx(v, abs=1e-9), (seed, k)
+
+
+def test_square_clustering_c4(spark):
+    from linkgraph.operators.triangles import square_clustering
+
+    G = nx.cycle_graph(4)
+    g = graph_from_edge_names(spark, list(G.edges()), directed=False)
+    got = {r["id"]: r["sq_clustering"] for r in square_clustering(g).collect()}
+    assert all(v == pytest.approx(1.0) for v in got.values())
+
+
+# ------------------------------------------------------------ cut family
+def test_cuts_vs_nx(spark):
+    from linkgraph.operators.cuts import (
+        boundary_expansion,
+        conductance,
+        cut_size,
+        edge_expansion,
+        mixing_expansion,
+        node_expansion,
+        normalized_cut_size,
+        volume,
+    )
+
+    G = nx.gnp_random_graph(20, 0.25, seed=8)
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=False)
+    inv = ids_by_name(g)
+    s_names = {0, 1, 2, 3, 4, 5, 6}
+    s = spark.createDataFrame([(inv[str(n)],) for n in s_names], "id long")
+    S = s_names
+    assert cut_size(g, s) == pytest.approx(nx.cut_size(G, S))
+    assert volume(g, s) == pytest.approx(nx.volume(G, S))
+    assert normalized_cut_size(g, s) == pytest.approx(
+        nx.normalized_cut_size(G, S))
+    assert conductance(g, s) == pytest.approx(nx.conductance(G, S))
+    assert edge_expansion(g, s) == pytest.approx(nx.edge_expansion(G, S))
+    assert mixing_expansion(g, s) == pytest.approx(nx.mixing_expansion(G, S))
+    assert node_expansion(g, s) == pytest.approx(nx.node_expansion(G, S))
+    assert boundary_expansion(g, s) == pytest.approx(
+        nx.boundary_expansion(G, S))
+
+
+def test_cut_size_directed_and_t(spark):
+    from linkgraph.operators.cuts import cut_size
+
+    G = nx.gnp_random_graph(15, 0.3, seed=9, directed=True)
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=True)
+    inv = ids_by_name(g)
+    S, T = {0, 1, 2, 3}, {5, 6, 7}
+    s = spark.createDataFrame([(inv[str(n)],) for n in S], "id long")
+    t = spark.createDataFrame([(inv[str(n)],) for n in T], "id long")
+    assert cut_size(g, s, t) == pytest.approx(nx.cut_size(G, S, T))
+    # T=None on a DIRECTED graph crashes this networkx version
+    # (edge_boundary(G, None, S) inside cut_size) — compare against the
+    # definition instead: both boundary directions vs the complement
+    comp = set(G.nodes) - S
+    want = sum(1 for u, v in G.edges if u in S and v in comp) + sum(
+        1 for u, v in G.edges if u in comp and v in S
+    )
+    assert cut_size(g, s) == pytest.approx(want)
+
+
+def test_cut_size_weighted(spark):
+    from linkgraph.operators.cuts import cut_size, volume
+
+    import random
+    rng = random.Random(3)
+    base = nx.gnp_random_graph(15, 0.3, seed=11)
+    wedges = [(u, v, round(rng.uniform(0.5, 3.0), 2)) for u, v in base.edges()]
+    G = nx.Graph()
+    G.add_weighted_edges_from(wedges)
+    G.add_nodes_from(base.nodes)
+    g = graph_from_edge_names(spark, wedges, nodes=list(base.nodes),
+                              directed=False)
+    inv = ids_by_name(g)
+    S = {0, 1, 2, 3, 4}
+    s = spark.createDataFrame([(inv[str(n)],) for n in S], "id long")
+    assert cut_size(g, s, weighted=True) == pytest.approx(
+        nx.cut_size(G, S, weight="weight"))
+    assert volume(g, s, weighted=True) == pytest.approx(
+        nx.volume(G, S, weight="weight"))
