@@ -602,6 +602,22 @@ def q_betweenness_orders(spark, sf_dir):
     )
 
 
+def q_edge_betweenness_orders(spark, sf_dir):
+    """Source-sampled Brandes EDGE betweenness on the order graph —
+    same 15 deterministic sources as q_betweenness_orders, raw
+    (unnormalized) credits; directed, so edges keep orientation."""
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    g = order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return edge_betweenness_centrality(g, sources=srcs, normalized=False).select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness_r")
+    )
+
+
 def q_harmonic_sampled_orders(spark, sf_dir):
     """Pivot-sampled closeness/harmonic aggregates for EVERY node from
     60 deterministic origins (custkey % 25 == 1) — one batched
@@ -1050,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
+        "edge_betweenness_orders": q_edge_betweenness_orders,
         "constraint_parts": q_constraint_parts,
         "square_clustering_parts": q_square_clustering_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
@@ -2605,6 +2622,70 @@ def _betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
     return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
 
 
+def _edge_betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
+    """Unrolled Brandes EDGE betweenness — the same sigma/delta chain
+    as ``_betweenness_sql``; the edge credit is the backward pass's
+    per-DAG-edge term sigma(v)·(1+delta(w))/sigma(w) (v one layer
+    below w), summed over layers and sources. Zero-credit edges kept
+    via LEFT JOIN onto the full distinct edge set."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM customer),",
+        "eraw AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst FROM orders),",
+        "ee AS (SELECT eraw.src, eraw.dst FROM eraw"
+        " JOIN customer a ON a.c_custkey = eraw.src"
+        " JOIN customer b ON b.c_custkey = eraw.dst"
+        " WHERE eraw.src <> eraw.dst),",
+        f"l0 AS (SELECT CAST(c_custkey AS BIGINT) AS s,"
+        f" CAST(c_custkey AS BIGINT) AS id, CAST(1 AS DOUBLE) AS sigma"
+        f" FROM customer WHERE c_custkey % {src_mod} = 1),",
+        "seen0 AS (SELECT s, id FROM l0),",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS (SELECT x.s, x.id, SUM(x.sig) AS sigma FROM ("
+            f"SELECT l{d-1}.s AS s, ee.dst AS id, l{d-1}.sigma AS sig"
+            f" FROM l{d-1} JOIN ee ON ee.src = l{d-1}.id) x"
+            f" ANTI JOIN seen{d-1} sn ON sn.s = x.s AND sn.id = x.id"
+            f" GROUP BY x.s, x.id),"
+        )
+        parts.append(
+            f"seen{d} AS (SELECT s, id FROM seen{d-1}"
+            f" UNION ALL SELECT s, id FROM l{d}),"
+        )
+    parts.append(
+        f"d{depth} AS (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM l{depth}),"
+    )
+    for d in range(depth - 1, -1, -1):
+        parts.append(
+            f"ec{d} AS (SELECT ee.src, ee.dst,"
+            f" SUM(l{d}.sigma * (1 + dn.delta) / dn.sigma) AS credit"
+            f" FROM ee JOIN d{d+1} dn ON dn.id = ee.dst"
+            f" JOIN l{d} ON l{d}.s = dn.s AND l{d}.id = ee.src"
+            f" GROUP BY ee.src, ee.dst),"
+        )
+        parts.append(
+            f"d{d} AS (SELECT l{d}.s, l{d}.id, l{d}.sigma,"
+            f" l{d}.sigma * COALESCE(c.wsum, 0) AS delta"
+            f" FROM l{d} LEFT JOIN ("
+            f"SELECT dn.s, ee.src, SUM((1 + dn.delta) / dn.sigma) AS wsum"
+            f" FROM ee JOIN d{d+1} dn ON dn.id = ee.dst GROUP BY dn.s, ee.src"
+            f") c ON c.s = l{d}.s AND c.src = l{d}.id),"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT src, dst, credit FROM ec{d}" for d in range(0, depth)
+    )
+    parts.append(f"acc AS ({acc}),")
+    parts.append(
+        "b AS (SELECT src, dst, SUM(credit) AS bt FROM acc GROUP BY src, dst)"
+    )
+    parts.append(
+        "SELECT ee.src, ee.dst, round(COALESCE(b.bt, 0), 6) AS betweenness_r"
+        " FROM ee LEFT JOIN b ON b.src = ee.src AND b.dst = ee.dst"
+    )
+    return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
+
+
 def _harmonic_sampled_sql(src_mod: int = 25, max_layer: int = 7) -> str:
     """Multi-source BFS (recursive CTE keyed (s, id, layer), min-layer
     per pair) from the sampled origins, then per-target aggregates —
@@ -2977,6 +3058,7 @@ FROM events GROUP BY event_type""",
         "bipartite_color_partsupp": _bipartite_color_sql(),
         "triadic_census_orders": _triadic_census_sql(),
         "conductance_orders": _conductance_sql(),
+        "edge_betweenness_orders": _edge_betweenness_sql(),
         "constraint_parts": _constraint_sql(),
         "square_clustering_parts": _square_clustering_sql(),
         "doc_packing": """

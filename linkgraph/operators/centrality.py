@@ -36,6 +36,7 @@ def betweenness_centrality(
     sources: list[int] | None = None,
     normalized: bool = True,
     num_partitions: int | None = None,
+    _edge_mode: bool = False,
 ) -> DataFrame:
     """(id BIGINT, betweenness DOUBLE) — Brandes' algorithm
     (networkx/algorithms/centrality/betweenness.py:13-123 via
@@ -114,6 +115,7 @@ def betweenness_centrality(
             )
         # ---- backward (all sources at once): delta per layer ----------
         deltas: list[DataFrame] = []
+        edge_credits: list[DataFrame] = []  # _edge_mode: per-DAG-edge terms
         delta_next: DataFrame | None = None  # layer d+1 (source, id, sigma, delta)
         for d in range(len(layers) - 1, -1, -1):
             cur = layers[d]
@@ -122,19 +124,37 @@ def betweenness_centrality(
                     "source", "id", "sigma", F.lit(0.0).alias("delta")
                 )
             else:
-                contrib = (
-                    edges.join(
-                        delta_next.select(
-                            "source",
-                            F.col("id").alias("dst"),
-                            ((1.0 + F.col("delta")) / F.col("sigma")).alias(
-                                "wterm"
-                            ),
+                terms = edges.join(
+                    delta_next.select(
+                        "source",
+                        F.col("id").alias("dst"),
+                        ((1.0 + F.col("delta")) / F.col("sigma")).alias(
+                            "wterm"
                         ),
-                        "dst",
+                    ),
+                    "dst",
+                )
+                if _edge_mode:
+                    # per-DAG-edge credit sigma(v)·(1+delta(w))/sigma(w),
+                    # only for v in layer d (shortest-path DAG edges)
+                    ec = (
+                        terms.join(
+                            cur.select(
+                                "source",
+                                F.col("id").alias("src"),
+                                F.col("sigma").alias("sig_v"),
+                            ),
+                            ["source", "src"],
+                        )
+                        .groupBy("src", "dst")
+                        .agg(
+                            F.sum(F.col("sig_v") * F.col("wterm")).alias("credit")
+                        )
+                        .localCheckpoint(eager=True)
                     )
-                    .groupBy("source", F.col("src").alias("id"))
-                    .agg(F.sum("wterm").alias("wsum"))
+                    edge_credits.append(ec)
+                contrib = terms.groupBy("source", F.col("src").alias("id")).agg(
+                    F.sum("wterm").alias("wsum")
                 )
                 delta_cur = (
                     cur.join(contrib, ["source", "id"], "left")
@@ -151,6 +171,66 @@ def betweenness_centrality(
             if d > 0:  # the source row itself accumulates nothing
                 deltas.append(delta_cur.select("id", "delta"))
             delta_next = delta_cur
+
+        if _edge_mode:
+            # rescale (betweenness.py _rescale_e): normalized ->
+            # 1/(n(n-1)); unnormalized undirected -> 1/2 (each edge
+            # accumulated from both stored orientations)
+            if normalized:
+                e_scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+            else:
+                e_scale = 1.0 if graph.directed else 0.5
+            e_factor = e_scale * scale_k
+            if edge_credits:
+                acc_e = edge_credits[0]
+                for ee in edge_credits[1:]:
+                    acc_e = acc_e.unionByName(ee)
+            else:
+                acc_e = spark.createDataFrame(
+                    [], "src long, dst long, credit double"
+                )
+            if graph.directed:
+                keyed = acc_e
+            else:
+                keyed = acc_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                    "credit",
+                )
+            base = (
+                graph.weighted_edges()
+                .select("src", "dst")
+                .where(F.col("src") != F.col("dst"))
+            )
+            if not graph.directed:
+                base = base.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+            base = (
+                base.distinct()
+                .join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            )
+            out_e = (
+                base.join(
+                    keyed.groupBy("src", "dst").agg(
+                        F.sum("credit").alias("c")
+                    ),
+                    ["src", "dst"],
+                    "left",
+                )
+                .select(
+                    "src",
+                    "dst",
+                    (F.coalesce("c", F.lit(0.0)) * F.lit(e_factor)).alias(
+                        "betweenness"
+                    ),
+                )
+                .persist()
+            )
+            out_e.count()
+            return out_e
 
         if deltas:
             acc = deltas[0]
@@ -501,3 +581,29 @@ def katz_centrality(
     finally:
         adj.unpersist()
         nodes.unpersist()
+
+
+def edge_betweenness_centrality(
+    graph: LinkGraph,
+    k: int | None = None,
+    sources: list[int] | None = None,
+    normalized: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(src, dst, betweenness DOUBLE) — Brandes edge betweenness
+    (networkx/algorithms/centrality/betweenness.py:190
+    ``edge_betweenness_centrality`` / ``_accumulate_edges``),
+    unweighted, over the same batched multi-source sweep as
+    ``betweenness_centrality``: the backward pass's per-DAG-edge term
+    sigma(v)·(1+delta(w))/sigma(w) IS the edge credit, summed across
+    sources and layers. Undirected edges are reported once on the
+    canonical (src<dst) key. Zero-credit edges are included (the
+    reference initializes all edges to 0)."""
+    return betweenness_centrality(
+        graph,
+        k=k,
+        sources=sources,
+        normalized=normalized,
+        num_partitions=num_partitions,
+        _edge_mode=True,
+    )

@@ -490,3 +490,64 @@ def test_cut_size_weighted(spark):
         nx.cut_size(G, S, weight="weight"))
     assert volume(g, s, weighted=True) == pytest.approx(
         nx.volume(G, S, weight="weight"))
+
+
+# -------------------------------------------------- edge betweenness
+def test_edge_betweenness_undirected_vs_nx(spark):
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    G = nx.gnp_random_graph(18, 0.2, seed=12)
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=False)
+    nm = names(g)
+    got = {
+        tuple(sorted((nm[r["src"]], nm[r["dst"]]))): r["betweenness"]
+        for r in edge_betweenness_centrality(g).collect()
+    }
+    want = {
+        tuple(sorted((str(u), str(v)))): c
+        for (u, v), c in nx.edge_betweenness_centrality(G).items()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_edge_betweenness_directed_vs_nx(spark):
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    G = nx.gnp_random_graph(15, 0.25, seed=14, directed=True)
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=True)
+    nm = names(g)
+    got = {
+        (nm[r["src"]], nm[r["dst"]]): r["betweenness"]
+        for r in edge_betweenness_centrality(g).collect()
+    }
+    want = {
+        (str(u), str(v)): c
+        for (u, v), c in nx.edge_betweenness_centrality(G).items()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_edge_betweenness_unnormalized_path(spark):
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    G = nx.path_graph(5)
+    g = graph_from_edge_names(spark, list(G.edges()), directed=False)
+    nm = names(g)
+    got = {
+        tuple(sorted((nm[r["src"]], nm[r["dst"]]))): r["betweenness"]
+        for r in edge_betweenness_centrality(g, normalized=False).collect()
+    }
+    want = {
+        tuple(sorted((str(u), str(v)))): c
+        for (u, v), c in nx.edge_betweenness_centrality(
+            G, normalized=False
+        ).items()
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
