@@ -336,6 +336,17 @@ def q_lpa_nation_chains(spark, sf_dir):
     return label_propagation_communities(g).select("id", "label")
 
 
+def q_louvain_parts(spark, sf_dir):
+    """Greedy-modularity (Louvain) communities of the part
+    co-occurrence graph. Deterministic (ascending-id sweeps, no RNG)
+    but not SQL-expressible — rows-only check; quality/invariants are
+    pytest-verified against nx.community.louvain_communities."""
+    from linkgraph.operators.louvain import louvain_communities
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return louvain_communities(g).select("id", "community")
+
+
 def q_pages_pipeline_pagerank(spark, sf_dir):
     """Full mandated pipeline: pages in the input_hint schema ->
     vectorized extraction UDF -> edge table -> PageRank.
@@ -1074,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pages pipeline's link structure derives from xxhash64 too.
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
+        "louvain_parts": q_louvain_parts,
         "pages_pipeline_pagerank": q_pages_pipeline_pagerank,
     }
 

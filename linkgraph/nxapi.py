@@ -98,6 +98,22 @@ def label_propagation_communities(spark, edges, nodes=()) -> list[set]:
     return list(comms.values())
 
 
+def louvain_communities(spark, edges, nodes=()) -> list[set]:
+    """``nx.community.louvain_communities``
+    (networkx/algorithms/community/louvain.py:21) -> communities as
+    name-sets (any greedy-modularity local optimum is valid output;
+    this engine's schedule is deterministic, the reference's is
+    seeded-random)."""
+    from .operators.louvain import louvain_communities as _louvain
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    comms: dict[int, set] = {}
+    for r in _louvain(g).collect():
+        comms.setdefault(r["community"], set()).add(nm[r["id"]])
+    return list(comms.values())
+
+
 def triangles(spark, edges, nodes=(), nbunch=None) -> dict | int:
     """``nx.triangles`` (cluster.py:25-97): full dict, or a single
     count when ``nbunch`` is one node name."""
