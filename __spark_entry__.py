@@ -836,6 +836,81 @@ def partsupp_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(vertices=vertices, edges=edges, directed=False)
 
 
+def supplier_ringchain_graph(
+    spark: SparkSession, sf_dir: str, max_nation: int | None = None
+) -> LinkGraph:
+    """Per-nation supplier rings joined by an inter-nation rep chain.
+
+    Within each nation, suppliers (ordered by s_suppkey) form a path;
+    nations with >= 3 suppliers close the path into a ring (cycle).
+    The min-suppkey supplier of each nation is its *rep*; reps,
+    ordered by s_nationkey, form a chain. Chain edges (and the lone
+    edge of a 2-supplier nation) are exactly the graph's bridges, the
+    rings are exactly its cycle blocks — so biconnectivity has a
+    closed-form oracle."""
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nk"),
+    )
+    if max_nation is not None:
+        sup = sup.where(F.col("nk") < max_nation)
+    wn = Window.partitionBy("nk").orderBy("k")
+    wall = Window.partitionBy("nk")
+    ranked = sup.select(
+        "k",
+        "nk",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("cnt"),
+        F.lead("k").over(wn).alias("nxt"),
+        F.min("k").over(wall).alias("rep"),
+    )
+    path = ranked.where(F.col("nxt").isNotNull()).select(
+        F.col("k").alias("src"), F.col("nxt").alias("dst")
+    )
+    closing = ranked.where(
+        (F.col("rn") == F.col("cnt")) & (F.col("cnt") >= 3)
+    ).select(F.col("k").alias("src"), F.col("rep").alias("dst"))
+    reps = sup.groupBy("nk").agg(F.min("k").alias("rep"))
+    # 25 nations — the unpartitioned window is a deliberate one-task step
+    chain = (
+        reps.select("rep", F.lead("rep").over(Window.orderBy("nk")).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("rep").alias("src"), F.col("nxt").alias("dst"))
+    )
+    edges = (
+        path.unionByName(closing).unionByName(chain).withColumn("weight", F.lit(1.0))
+    )
+    vertices = sup.select(F.col("k").alias("id"))
+    return LinkGraph(vertices=vertices, edges=edges, directed=False)
+
+
+def q_bridges_suppliers(spark, sf_dir):
+    from linkgraph.operators.biconnected import bridges
+
+    g = supplier_ringchain_graph(spark, sf_dir)
+    return bridges(g).select("src", "dst")
+
+
+def q_articulation_suppliers(spark, sf_dir):
+    from linkgraph.operators.biconnected import articulation_points
+
+    # local_max_edges=0 forces the distributed Tarjan–Vishkin path so
+    # the driver oracle exercises it (the local path is covered by
+    # q_bridges_suppliers / q_biconn_labels_suppliers). Bounded to 8
+    # nations: every sweep in the distributed path is O(tree depth)
+    # jobs, and the rep chain dominates the depth — full nx parity on
+    # deeper/random graphs lives in tests/test_biconnected.py.
+    g = supplier_ringchain_graph(spark, sf_dir, max_nation=8)
+    return articulation_points(g, local_max_edges=0).select("id")
+
+
+def q_biconn_labels_suppliers(spark, sf_dir):
+    from linkgraph.operators.biconnected import biconnected_components
+
+    g = supplier_ringchain_graph(spark, sf_dir)
+    return biconnected_components(g).select("src", "dst", "bc_src", "bc_dst")
+
+
 def q_onion_orders(spark, sf_dir):
     from linkgraph.operators.core import onion_layers
 
@@ -1086,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "bridges_suppliers": q_bridges_suppliers,
+        "articulation_suppliers": q_articulation_suppliers,
+        "biconn_labels_suppliers": q_biconn_labels_suppliers,
         "pages_pipeline_pagerank": q_pages_pipeline_pagerank,
     }
 
@@ -2876,11 +2954,73 @@ w AS (
 SELECT w.u, w.v, w.cn FROM w JOIN pairs p ON p.src = w.u AND p.dst = w.v"""
 
 
+# supplier ring-chain graph (supplier_ringchain_graph) re-derived in
+# SQL, plus its closed-form biconnectivity facts: bridges are the
+# inter-nation rep-chain edges and the lone edge of 2-supplier
+# nations; each >=3-supplier nation ring is one block whose canonical
+# (lexicographically smallest) edge is (min key, 2nd-min key);
+# articulation points are the chain-interior reps plus chain-endpoint
+# reps whose nation has >= 2 suppliers.
+def _ringchain_cte(where: str = "") -> str:
+    return _RINGCHAIN_CTE_TMPL.format(where=where)
+
+
+_RINGCHAIN_CTE_TMPL = """
+s AS (SELECT s_suppkey AS k, s_nationkey AS nk FROM supplier{where}),
+r AS (
+  SELECT k, nk,
+         row_number() OVER (PARTITION BY nk ORDER BY k) AS rn,
+         count(*) OVER (PARTITION BY nk) AS cnt,
+         lead(k) OVER (PARTITION BY nk ORDER BY k) AS nxt,
+         min(k) OVER (PARTITION BY nk) AS rep
+  FROM s),
+path AS (SELECT k AS src, nxt AS dst, nk, cnt FROM r WHERE nxt IS NOT NULL),
+closing AS (SELECT rep AS src, k AS dst, nk, cnt FROM r WHERE rn = cnt AND cnt >= 3),
+reps AS (
+  SELECT nk, rep, cnt,
+         row_number() OVER (ORDER BY nk) AS i,
+         count(*) OVER () AS kk
+  FROM (SELECT DISTINCT nk, rep, cnt FROM r)),
+chain AS (
+  SELECT least(rep, lead(rep) OVER (ORDER BY nk)) AS src,
+         greatest(rep, lead(rep) OVER (ORDER BY nk)) AS dst
+  FROM reps QUALIFY lead(rep) OVER (ORDER BY nk) IS NOT NULL)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_cols, lang_case = _lang_scores_sql()
     return {
         "pagerank_orders": _pagerank_sql(),
         "pages_pipeline_pagerank": _pipeline_pagerank_sql(),
+        "bridges_suppliers": f"""
+WITH {_ringchain_cte()}
+SELECT src, dst FROM chain
+UNION ALL
+SELECT src, dst FROM path WHERE cnt = 2""",
+        "articulation_suppliers": f"""
+WITH {_ringchain_cte(" WHERE s_nationkey < 8")}
+SELECT rep AS id FROM reps
+WHERE (i > 1 AND i < kk) OR ((i = 1 OR i = kk) AND kk >= 2 AND cnt >= 2)""",
+        "biconn_labels_suppliers": f"""
+WITH {_ringchain_cte()},
+second AS (SELECT nk, k AS k2 FROM r WHERE rn = 2),
+ring AS (
+  SELECT src, dst, nk FROM path WHERE cnt >= 3
+  UNION ALL
+  SELECT src, dst, nk FROM closing
+),
+ringlab AS (
+  SELECT ring.src, ring.dst, r2.rep AS bc_src, second.k2 AS bc_dst
+  FROM ring
+  JOIN (SELECT DISTINCT nk, rep FROM r) r2 ON r2.nk = ring.nk
+  JOIN second ON second.nk = ring.nk
+)
+SELECT src, dst, bc_src, bc_dst FROM ringlab
+UNION ALL
+SELECT src, dst, src AS bc_src, dst AS bc_dst FROM chain
+UNION ALL
+SELECT src, dst, src AS bc_src, dst AS bc_dst FROM path WHERE cnt = 2""",
         "cc_nation_chains": """
 SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer""",

@@ -547,3 +547,43 @@ def triadic_census(spark, edges, nodes=()) -> dict:
 
     g = _as_graph(spark, edges, nodes, directed=True)
     return {r["triad_type"]: r["n_triads"] for r in _tc(g).collect()}
+
+
+def biconnected_components(spark, edges, nodes=()) -> list[set]:
+    """``nx.biconnected_components`` (biconnected.py:166) — node sets,
+    one per block with >= 1 edge."""
+    from .operators.biconnected import biconnected_components as _bc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    blocks: dict[tuple, set] = {}
+    for r in _bc(g).collect():
+        blocks.setdefault((r["bc_src"], r["bc_dst"]), set()).update(
+            (nm[r["src"]], nm[r["dst"]])
+        )
+    return list(blocks.values())
+
+
+def articulation_points(spark, edges, nodes=()) -> set:
+    """``nx.articulation_points`` (biconnected.py:226)."""
+    from .operators.biconnected import articulation_points as _ap
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {nm[r["id"]] for r in _ap(g).collect()}
+
+
+def bridges(spark, edges, nodes=()) -> set:
+    """``nx.bridges`` (bridges.py:12)."""
+    from .operators.biconnected import bridges as _br
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    return {
+        tuple(sorted((nm[r["src"]], nm[r["dst"]]))) for r in _br(g).collect()
+    }
+
+
+def has_bridges(spark, edges, nodes=()) -> bool:
+    """``nx.has_bridges`` (bridges.py:81)."""
+    return bool(bridges(spark, edges, nodes))

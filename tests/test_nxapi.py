@@ -107,3 +107,22 @@ def test_nxapi_structural_surface(spark):
     want = nx.rich_club_coefficient(G, normalized=False)
     assert set(rc) == set(want) and all(abs(rc[k] - want[k]) < 1e-9 for k in want)
     assert abs(nxapi.wiener_index(spark, KAR) - nx.wiener_index(G)) < 1e-6
+
+
+def test_nxapi_biconnectivity(spark):
+    import networkx as nx
+
+    from linkgraph import nxapi
+
+    KAR = list(nx.karate_club_graph().edges())
+    G = nx.Graph(KAR)
+    got_blocks = {
+        frozenset(int(v) for v in b)
+        for b in nxapi.biconnected_components(spark, KAR)
+    }
+    assert got_blocks == {frozenset(b) for b in nx.biconnected_components(G)}
+    aps = {int(v) for v in nxapi.articulation_points(spark, KAR)}
+    assert aps == set(nx.articulation_points(G))
+    brs = {tuple(sorted((int(a), int(b)))) for a, b in nxapi.bridges(spark, KAR)}
+    assert brs == {tuple(sorted(e)) for e in nx.bridges(G)}
+    assert nxapi.has_bridges(spark, KAR) == nx.has_bridges(G)
