@@ -836,6 +836,27 @@ def partsupp_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(vertices=vertices, edges=edges, directed=False)
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    from linkgraph.functions.pipeline import decontaminate
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(train, bench, n=5)
+
+
+def q_doc_split(spark, sf_dir):
+    from linkgraph.functions.pipeline import hash_split
+
+    return hash_split(_read(spark, sf_dir, "documents"))
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    from linkgraph.functions.pipeline import stratified_sample
+
+    return stratified_sample(_read_wide(spark, sf_dir, "documents"), 0.2, by="lang")
+
+
 def supplier_ringchain_graph(
     spark: SparkSession, sf_dir: str, max_nation: int | None = None
 ) -> LinkGraph:
@@ -1161,6 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_split": q_doc_split,
+        "doc_stratified_sample": q_doc_stratified_sample,
         "bridges_suppliers": q_bridges_suppliers,
         "articulation_suppliers": q_articulation_suppliers,
         "biconn_labels_suppliers": q_biconn_labels_suppliers,
@@ -2988,11 +3012,47 @@ chain AS (
 """
 
 
+def _hash_split_sql() -> str:
+    # identical threshold arithmetic to pipeline.hash_split — lowercase
+    # hex prefixes compare like the numbers they encode
+    t1 = format(int(0.9 * 16**8), "08x")
+    t2 = format(int(0.95 * 16**8), "08x")
+    return f"""
+SELECT doc_id,
+  CASE WHEN substr(md5(doc_id || '|split'), 1, 8) < '{t1}' THEN 'train'
+       WHEN substr(md5(doc_id || '|split'), 1, 8) < '{t2}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_cols, lang_case = _lang_scores_sql()
     return {
         "pagerank_orders": _pagerank_sql(),
         "pages_pipeline_pagerank": _pipeline_pagerank_sql(),
+        "doc_decontaminate": r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+g AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS gh
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5
+),
+dg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 20 <> 0),
+bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 20 <> 0""",
+        "doc_split": _hash_split_sql(),
+        "doc_stratified_sample": """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id || '|sample')) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * cnt)""",
         "bridges_suppliers": f"""
 WITH {_ringchain_cte()}
 SELECT src, dst FROM chain

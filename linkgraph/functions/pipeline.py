@@ -130,3 +130,125 @@ def pack_sequences(
         )
     )
     return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene
+    pass: flag every training document sharing any word ``n``-gram
+    with a held-out benchmark/eval set (the 13-gram rule of GPT-3
+    appendix C; ``n`` is the knob).
+
+    Returns (doc_id, n_hits, contaminated): n_hits = #distinct
+    n-grams of the doc that appear anywhere in the benchmark.
+
+    Physical plan: both sides explode to md5(n-gram) — one scan each,
+    all JVM-side — then a **broadcast** equi-join: at 100 TB the
+    training side is huge but the benchmark n-gram set is tiny (eval
+    suites are MBs), so no shuffle of the corpus ever happens; the
+    contaminated flag rides a map-side hash probe.
+    """
+    from .textops import shingles
+
+    dg = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select("id", F.md5("g").alias("gh"))
+        .distinct()
+    )
+    bg = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    hits = dg.join(F.broadcast(bg), "gh").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — (doc_id, split).
+
+    split = first bucket whose cumulative weight covers the doc's
+    md5(id|salt) position. The comparison is done on the md5 HEX
+    PREFIX against precomputed hex thresholds (lowercase hex orders
+    lexicographically like the number it encodes), so the assignment
+    is reproducible bit-for-bit across engines and runs — no RNG, no
+    numeric parsing, stable under repartitioning. One scan, zero
+    shuffles, trivially parallel at any scale.
+    """
+    total = sum(w for _, w in weights)
+    cum, thresholds = 0.0, []
+    for name, w in weights[:-1]:
+        cum += w / total
+        # cum >= 1 would format to 9 hex chars and break the 8-char
+        # lexicographic compare — None marks "covers everything"
+        t = int(cum * 16**8)
+        thresholds.append((name, format(t, "08x") if t < 16**8 else None))
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), 1, 8
+    )
+    expr = F.lit(weights[-1][0])
+    for name, hx in reversed(thresholds):
+        cond = F.lit(True) if hx is None else (h < hx)
+        expr = F.when(cond, name).otherwise(expr)
+    return docs.select(F.col(id_col), expr.alias("split"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    frac: float,
+    by: str = "lang",
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep ceil(frac * |group|)
+    docs per ``by`` group, chosen by md5(id|salt) rank — the
+    language/source-balancing step of a training-mix builder.
+
+    Plan: one shuffle on the group key; rank + group count in a
+    single window pass. Group cardinality skew (one giant language)
+    is the known hazard at scale — for that, pre-aggregate per-group
+    counts and turn the rank filter into a per-group threshold join;
+    here groups are few and the window form is the clearer plan.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(by),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(by)).alias("_cnt"),
+        )
+        .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_cnt")))
+        .select(id_col, by)
+    )

@@ -1,0 +1,67 @@
+"""Unit tests for the curation-pipeline ops added in round 2:
+benchmark decontamination, deterministic hash split, stratified
+sampling. Semantics are checked against hand-computed expectations
+(no reference analog — these are the training-data operators the
+engine adds beyond the reference)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from linkgraph.functions.pipeline import (
+    decontaminate,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "completely unrelated text with no overlap here at all", "en"),
+            (3, "short doc", "en"),
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over me", "en")])
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(train, bench, n=5).collect()}
+    # doc 1 shares the 5-gram "quick brown fox jumps over"
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # < 5 tokens -> no n-grams, never flagged
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    docs = _docs(spark, [(i, f"text {i}", "en") for i in range(400)])
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # bit-for-bit deterministic
+    assert set(a) == set(range(400))
+    frac_train = sum(1 for v in a.values() if v == "train") / 400
+    assert 0.84 <= frac_train <= 0.96  # md5-uniform around 0.9
+    assert set(a.values()) <= {"train", "val", "test"}
+    # custom weights respected
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, weights=(("a", 1.0), ("b", 0.0))).collect()}
+    assert set(c.values()) == {"a"}
+
+
+def test_stratified_sample_quota_per_group(spark):
+    rows = [(i, f"text {i}", "en" if i % 3 else "de") for i in range(90)]
+    docs = _docs(spark, rows)
+    got = stratified_sample(docs, 0.2, by="lang").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    n_en = sum(1 for i in range(90) if i % 3)
+    n_de = 90 - n_en
+    assert len(by_lang["en"]) == math.ceil(0.2 * n_en)
+    assert len(by_lang["de"]) == math.ceil(0.2 * n_de)
+    again = stratified_sample(docs, 0.2, by="lang").collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
