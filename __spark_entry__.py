@@ -836,6 +836,60 @@ def partsupp_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     return LinkGraph(vertices=vertices, edges=edges, directed=False)
 
 
+def nation_ring_graph(
+    spark: SparkSession, sf_dir: str, closed: bool = True, directed: bool = False
+) -> LinkGraph:
+    """Cycle (or open path) over the 25 nations ordered by key —
+    the recognition-predicate fixture: a closed ring is Eulerian, an
+    open path is a tree with an Euler path."""
+    nat = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("id")
+    )
+    e = (
+        nat.select(
+            F.col("id").alias("src"),
+            F.lead("id").over(Window.orderBy("id")).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+    if closed:
+        e = e.unionByName(nat.agg(F.max("id").alias("src"), F.min("id").alias("dst")))
+    return LinkGraph(
+        vertices=nat, edges=e.withColumn("weight", F.lit(1.0)), directed=directed
+    )
+
+
+def q_graph_recognition(spark, sf_dir):
+    from linkgraph.operators.recognition import (
+        has_eulerian_path,
+        is_eulerian,
+        is_forest,
+        is_tree,
+    )
+
+    chains = nation_chain_graph(spark, sf_dir)
+    ring = nation_ring_graph(spark, sf_dir, closed=True)
+    dring = nation_ring_graph(spark, sf_dir, closed=True, directed=True)
+    path = nation_ring_graph(spark, sf_dir, closed=False)
+    row = (
+        is_forest(chains),
+        is_tree(chains),
+        is_eulerian(ring),
+        has_eulerian_path(ring),
+        is_tree(ring),
+        is_eulerian(dring),
+        is_eulerian(path),
+        has_eulerian_path(path),
+        is_tree(path),
+    )
+    return spark.createDataFrame(
+        [row],
+        "forest_chains boolean, tree_chains boolean, euler_ring boolean, "
+        "euler_path_ring boolean, tree_ring boolean, euler_ring_directed boolean, "
+        "euler_circuit_path boolean, euler_path_path boolean, tree_path boolean",
+    )
+
+
 def q_doc_decontaminate(spark, sf_dir):
     from linkgraph.functions.pipeline import decontaminate
 
@@ -1182,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "graph_recognition": q_graph_recognition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_split": q_doc_split,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -3030,6 +3085,23 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_orders": _pagerank_sql(),
         "pages_pipeline_pagerank": _pipeline_pagerank_sql(),
+        # analytic truths of the fixture graphs (exact for the fixed
+        # 25-nation table; formulas hold for any ring size >= 3):
+        # per-nation customer chains are vertex-disjoint paths (forest
+        # always, tree iff one nation); a closed ring is Eulerian and
+        # never a tree; an open path is a tree with an Euler path but
+        # no circuit (two odd-degree endpoints).
+        "graph_recognition": """
+SELECT
+  TRUE AS forest_chains,
+  (SELECT count(DISTINCT c_nationkey) FROM customer) = 1 AS tree_chains,
+  (SELECT count(*) FROM nation) >= 3 AS euler_ring,
+  TRUE AS euler_path_ring,
+  (SELECT count(*) FROM nation) < 3 AS tree_ring,
+  (SELECT count(*) FROM nation) >= 3 AS euler_ring_directed,
+  (SELECT count(*) FROM nation) = 1 AS euler_circuit_path,
+  TRUE AS euler_path_path,
+  TRUE AS tree_path""",
         "doc_decontaminate": r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 g AS (

@@ -587,3 +587,31 @@ def bridges(spark, edges, nodes=()) -> set:
 def has_bridges(spark, edges, nodes=()) -> bool:
     """``nx.has_bridges`` (bridges.py:81)."""
     return bool(bridges(spark, edges, nodes))
+
+
+def is_tree(spark, edges, nodes=()) -> bool:
+    """``nx.is_tree`` (tree/recognition.py:141)."""
+    from .operators.recognition import is_tree as _it
+
+    return _it(_as_graph(spark, edges, nodes, directed=False))
+
+
+def is_forest(spark, edges, nodes=()) -> bool:
+    """``nx.is_forest`` (tree/recognition.py:215)."""
+    from .operators.recognition import is_forest as _if
+
+    return _if(_as_graph(spark, edges, nodes, directed=False))
+
+
+def is_eulerian(spark, edges, nodes=(), directed=False) -> bool:
+    """``nx.is_eulerian`` (euler.py:17)."""
+    from .operators.recognition import is_eulerian as _ie
+
+    return _ie(_as_graph(spark, edges, nodes, directed=directed))
+
+
+def has_eulerian_path(spark, edges, nodes=(), directed=False) -> bool:
+    """``nx.has_eulerian_path`` (euler.py:328)."""
+    from .operators.recognition import has_eulerian_path as _hep
+
+    return _hep(_as_graph(spark, edges, nodes, directed=directed))
