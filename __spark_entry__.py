@@ -859,6 +859,13 @@ def nation_ring_graph(
     )
 
 
+def q_voterank_orders(spark, sf_dir):
+    from linkgraph.operators.voterank import voterank
+
+    g = order_graph(spark, sf_dir)
+    return voterank(g, number_of_nodes=6)
+
+
 def q_graph_recognition(spark, sf_dir):
     from linkgraph.operators.recognition import (
         has_eulerian_path,
@@ -1236,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "voterank_orders": q_voterank_orders,
         "graph_recognition": q_graph_recognition,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_split": q_doc_split,
@@ -3067,6 +3075,50 @@ chain AS (
 """
 
 
+def _voterank_sql(k: int = 6) -> str:
+    """Unrolled VoteRank election over the order graph — one CTE
+    block per round (score gather, top-1 with min-id tie-break,
+    floored ability update), mirroring voterank_alg.py exactly."""
+    head = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+avgd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM nn) AS v FROM e),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+a0 AS MATERIALIZED (SELECT id, 1.0 AS ab FROM nodes)"""
+    steps = []
+    for i in range(k):
+        excl = (
+            "WHERE s.id NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM t{j}" for j in range(i))
+            + ")"
+            if i
+            else ""
+        )
+        steps.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(g.sc, 0) AS sc FROM nodes LEFT JOIN (
+    SELECT e.src AS id, sum(a.ab) AS sc FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src
+  ) g ON g.id = nodes.id
+),
+t{i} AS MATERIALIZED (
+  SELECT s.id, s.sc FROM s{i} s {excl} ORDER BY s.sc DESC, s.id LIMIT 1
+),
+a{i + 1} AS MATERIALIZED (
+  SELECT a.id,
+         CASE WHEN a.id = (SELECT id FROM t{i}) THEN 0.0
+              ELSE greatest(a.ab - COALESCE(d.cnt, 0) / (SELECT v FROM avgd), 0.0)
+         END AS ab
+  FROM a{i} a LEFT JOIN (
+    SELECT dst AS id, count(*) AS cnt FROM e
+    WHERE src = (SELECT id FROM t{i}) GROUP BY dst
+  ) d ON d.id = a.id
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS seed_rank, id FROM t{i} WHERE sc > 0" for i in range(k)
+    )
+    return head + "," + ",".join(steps) + "\n" + finals
+
+
 def _hash_split_sql() -> str:
     # identical threshold arithmetic to pipeline.hash_split — lowercase
     # hex prefixes compare like the numbers they encode
@@ -3091,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "voterank_orders": _voterank_sql(6),
         "graph_recognition": """
 SELECT
   TRUE AS forest_chains,

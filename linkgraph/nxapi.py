@@ -615,3 +615,16 @@ def has_eulerian_path(spark, edges, nodes=(), directed=False) -> bool:
     from .operators.recognition import has_eulerian_path as _hep
 
     return _hep(_as_graph(spark, edges, nodes, directed=directed))
+
+
+def voterank(spark, edges, number_of_nodes=None, nodes=(), directed=False) -> list:
+    """``nx.voterank`` (centrality/voterank_alg.py:9) — ordered seed
+    list."""
+    from .operators.voterank import voterank as _vr
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    return [
+        nm[r["id"]]
+        for r in _vr(g, number_of_nodes).orderBy("seed_rank").collect()
+    ]
