@@ -628,3 +628,48 @@ def voterank(spark, edges, number_of_nodes=None, nodes=(), directed=False) -> li
         nm[r["id"]]
         for r in _vr(g, number_of_nodes).orderBy("seed_rank").collect()
     ]
+
+
+def _ecc_all(spark, edges, nodes=()) -> tuple[dict, int]:
+    """Exact per-node eccentricity via one batched multi-source BFS
+    from EVERY vertex (facade/test scale; the sampled operator is the
+    100 TB path). Raises ValueError on disconnected input like the
+    reference (distance_measures.py:200)."""
+    from .operators.distance_measures import eccentricity_sampled
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    n = len(nm)
+    rows = eccentricity_sampled(g, g.vertices.select("id")).collect()
+    if any(r["n_reached"] != n for r in rows) or len(rows) != n:
+        raise ValueError("Found infinite path length: graph not connected")
+    return {nm[r["source"]]: r["ecc"] for r in rows}, n
+
+
+def eccentricity(spark, edges, nodes=()) -> dict:
+    """``nx.eccentricity`` (distance_measures.py:200)."""
+    return _ecc_all(spark, edges, nodes)[0]
+
+
+def diameter(spark, edges, nodes=()) -> int:
+    """``nx.diameter`` (distance_measures.py:293)."""
+    return max(_ecc_all(spark, edges, nodes)[0].values())
+
+
+def radius(spark, edges, nodes=()) -> int:
+    """``nx.radius`` (distance_measures.py:388)."""
+    return min(_ecc_all(spark, edges, nodes)[0].values())
+
+
+def center(spark, edges, nodes=()) -> set:
+    """``nx.center`` (distance_measures.py:342)."""
+    ecc = _ecc_all(spark, edges, nodes)[0]
+    r = min(ecc.values())
+    return {v for v, e in ecc.items() if e == r}
+
+
+def periphery(spark, edges, nodes=()) -> set:
+    """``nx.periphery`` (distance_measures.py:437)."""
+    ecc = _ecc_all(spark, edges, nodes)[0]
+    d = max(ecc.values())
+    return {v for v, e in ecc.items() if e == d}

@@ -126,3 +126,21 @@ def test_nxapi_biconnectivity(spark):
     brs = {tuple(sorted((int(a), int(b)))) for a, b in nxapi.bridges(spark, KAR)}
     assert brs == {tuple(sorted(e)) for e in nx.bridges(G)}
     assert nxapi.has_bridges(spark, KAR) == nx.has_bridges(G)
+
+
+def test_nxapi_distance_measures(spark):
+    import networkx as nx
+    import pytest as _pytest
+
+    from linkgraph import nxapi
+
+    KAR = list(nx.karate_club_graph().edges())
+    G = nx.Graph(KAR)
+    ecc = {int(k): v for k, v in nxapi.eccentricity(spark, KAR).items()}
+    assert ecc == nx.eccentricity(G)
+    assert nxapi.diameter(spark, KAR) == nx.diameter(G)
+    assert nxapi.radius(spark, KAR) == nx.radius(G)
+    assert {int(v) for v in nxapi.center(spark, KAR)} == set(nx.center(G))
+    assert {int(v) for v in nxapi.periphery(spark, KAR)} == set(nx.periphery(G))
+    with _pytest.raises(ValueError):
+        nxapi.diameter(spark, [("a", "b"), ("c", "d")])
