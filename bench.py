@@ -141,6 +141,19 @@ def main() -> None:
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
+    # xxhash64 scale lane vs the md5 oracle lane (same banding shape,
+    # BIGINT keys, JVM-intrinsic hash — the documented 100 TB swap)
+    from linkgraph.functions.dedup import lsh_band_table
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus)
+    run(
+        "doc_lsh_bands_fast_xxhash64",
+        lambda: lsh_band_table(docs_df, hasher="xxhash64")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

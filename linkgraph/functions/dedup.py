@@ -62,11 +62,16 @@ def lsh_band_table(
     num_bands: int = 4,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    hasher: str = "md5",
 ) -> DataFrame:
-    """(id, band, key) — one row per (doc, band); join key for LSH."""
+    """(id, band, key) — one row per (doc, band); join key for LSH.
+    ``hasher="xxhash64"`` selects the BIGINT-key scale lane (see
+    textops.minhash_signature)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(minhash_bands(F.col(text_col), num_bands, rows_per_band, shingle_n)).alias("b"),
+        F.explode(
+            minhash_bands(F.col(text_col), num_bands, rows_per_band, shingle_n, hasher)
+        ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
 
@@ -77,9 +82,12 @@ def minhash_candidate_pairs(
     num_bands: int = 4,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    hasher: str = "md5",
 ) -> DataFrame:
     """(id_a, id_b) with id_a < id_b: docs sharing ≥1 LSH band."""
-    bt = lsh_band_table(df, text_col, id_col, num_bands, rows_per_band, shingle_n)
+    bt = lsh_band_table(
+        df, text_col, id_col, num_bands, rows_per_band, shingle_n, hasher
+    )
     a = bt.select("band", "key", F.col("id").alias("id_a"))
     b = bt.select("band", "key", F.col("id").alias("id_b"))
     return (

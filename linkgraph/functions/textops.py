@@ -154,18 +154,32 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` min-md5 values over the shingle set.
+def minhash_signature(
+    text: Column,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    hasher: str = "md5",
+) -> Column:
+    """Array of ``num_hashes`` min-hash values over the shingle set.
 
-    Seed s is mixed in by prefixing the shingle — md5 is identical
-    across engines, so signatures are oracle-exact. Empty shingle set →
-    array of nulls (doc too short to minhash)."""
+    Seed s is mixed in by prefixing the shingle. ``hasher="md5"`` is
+    the ORACLE lane — md5 is identical across engines, so signatures
+    are oracle-exact. ``hasher="xxhash64"`` is the SCALE lane: one
+    64-bit JVM-intrinsic hash per (seed, shingle) and BIGINT mins
+    instead of 32-hex-char string mins — severalfold cheaper per
+    token, same banding statistics (any uniform hash family works for
+    MinHash); not expressible in the DuckDB oracle, hence bench-only.
+    Empty shingle set → array of nulls (doc too short to minhash)."""
     sh = shingles(text, shingle_n)
 
     # NB: factory, not default-arg lambda — a 2-param lambda would make
     # F.transform pass (element, index) and clobber the seed
     def _minhash(seed: int) -> Column:
         prefix = f"{seed}|"
+        if hasher == "xxhash64":
+            return F.array_min(
+                F.transform(sh, lambda x: F.xxhash64(F.concat(F.lit(prefix), x)))
+            )
         return F.array_min(
             F.transform(sh, lambda x: F.md5(F.concat(F.lit(prefix), x)))
         )
@@ -174,12 +188,30 @@ def minhash_signature(text: Column, num_hashes: int = 8, shingle_n: int = 3) -> 
 
 
 def minhash_bands(
-    text: Column, num_bands: int = 4, rows_per_band: int = 2, shingle_n: int = 3
+    text: Column,
+    num_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hasher: str = "md5",
 ) -> Column:
     """LSH band keys: array of num_bands structs (band, key) where
-    key = md5 of the band's concatenated minhash rows. Docs sharing any
-    band key are near-duplicate candidates."""
-    sig = minhash_signature(text, num_bands * rows_per_band, shingle_n)
+    key hashes the band's concatenated minhash rows. Docs sharing any
+    band key are near-duplicate candidates. ``hasher`` selects the
+    md5 oracle lane (string keys) or the xxhash64 scale lane (BIGINT
+    keys — cheaper to shuffle and compare)."""
+    sig = minhash_signature(text, num_bands * rows_per_band, shingle_n, hasher)
+    if hasher == "xxhash64":
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("key"),
+                )
+                for b in range(num_bands)
+            ]
+        )
     return F.array(
         *[
             F.struct(

@@ -65,3 +65,26 @@ def test_stratified_sample_quota_per_group(spark):
     assert len(by_lang["de"]) == math.ceil(0.2 * n_de)
     again = stratified_sample(docs, 0.2, by="lang").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+
+
+def test_lsh_xxhash64_scale_lane(spark):
+    from linkgraph.functions.dedup import (
+        lsh_band_table,
+        minhash_candidate_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),  # exact dup of 1
+        (3, "totally different words in this one here", "en"),
+    ]
+    docs = _docs(spark, rows)
+    bt = lsh_band_table(docs, hasher="xxhash64")
+    assert dict(bt.dtypes)["key"] == "bigint"  # BIGINT keys, not hex strings
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, hasher="xxhash64").collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    # md5 lane unchanged (oracle parity lane)
+    assert dict(lsh_band_table(docs).dtypes)["key"] == "string"
