@@ -463,6 +463,33 @@ def q_sssp_orders(spark, sf_dir):
     return d.select("id", F.round("dist", 6).alias("dist_r"))
 
 
+def q_sssp_tree_orders(spark, sf_dir):
+    """Shortest-path TREE from node 1 on the weighted order graph:
+    dist + deterministic min-src tight-edge predecessor (-1 at the
+    source so the column stays BIGINT for the hash compare)."""
+    from linkgraph.operators.shortest_paths import shortest_path_tree
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("long").alias("dst"),
+        (1.0 + F.pmod(F.col("o_orderkey"), F.lit(5)).cast("double")).alias("weight"),
+    )
+    g = LinkGraph(
+        vertices=cust.select(F.col("c_custkey").cast("long").alias("id")),
+        edges=edges,
+        directed=True,
+    )
+    t = shortest_path_tree(g, source=1)
+    return t.select(
+        "id",
+        F.round("dist", 6).alias("dist_r"),
+        F.coalesce("pred", F.lit(-1)).alias("pred"),
+    )
+
+
 def q_topo_generations_orders(spark, sf_dir):
     """Kahn generations on the DAG restriction (src < dst) of the
     order graph — guaranteed acyclic."""
@@ -1197,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_orders": q_reciprocity_orders,
         "overall_reciprocity_orders": q_overall_reciprocity_orders,
         "sssp_orders": q_sssp_orders,
+        "sssp_tree_orders": q_sssp_tree_orders,
         "topo_generations_orders": q_topo_generations_orders,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2588,6 +2616,28 @@ FROM d{rounds} d JOIN customer c ON c.c_custkey = d.id"""
     )
 
 
+def _sssp_tree_sql(rounds: int = 12) -> str:
+    """_sssp_sql's fixpoint + post-hoc tight-edge predecessor: pred(v)
+    = min src with dist(src) + w == dist(v) (exact float equality —
+    the winning relaxation computed dist(v) as exactly that sum)."""
+    base = _sssp_sql(rounds)
+    head, _, _ = base.rpartition("SELECT d.id, round(d.dist, 6) AS dist_r")
+    return (
+        head
+        + f""",
+tight AS (
+  SELECT ew.dst AS id, min(ew.src) AS pred
+  FROM ew JOIN d{rounds} a ON a.id = ew.src JOIN d{rounds} b ON b.id = ew.dst
+  WHERE a.dist + ew.w = b.dist
+  GROUP BY ew.dst
+)
+SELECT d.id, round(d.dist, 6) AS dist_r,
+       CASE WHEN d.id = 1 THEN -1 ELSE COALESCE(t.pred, -1) END AS pred
+FROM d{rounds} d LEFT JOIN tight t ON t.id = d.id
+JOIN customer c ON c.c_custkey = d.id"""
+    )
+
+
 def _topo_generations_sql() -> str:
     """Max-plus longest-path layering on the DAG restriction
     (src < dst): generation(v) = max path length ending at v —
@@ -3427,6 +3477,7 @@ FROM offs""",
         "reciprocity_orders": _reciprocity_sql(per_node=True),
         "overall_reciprocity_orders": _reciprocity_sql(per_node=False),
         "sssp_orders": _sssp_sql(rounds=12),
+        "sssp_tree_orders": _sssp_tree_sql(rounds=12),
         "topo_generations_orders": _topo_generations_sql(),
         "embedding_ivf_topk": _ivf_sql(
             dim=64, n_centroids=8, iters=2, nprobe=2, k=10, n_queries=8

@@ -673,3 +673,39 @@ def periphery(spark, edges, nodes=()) -> set:
     ecc = _ecc_all(spark, edges, nodes)[0]
     d = max(ecc.values())
     return {v for v, e in ecc.items() if e == d}
+
+
+def shortest_path(spark, edges, source, target, nodes=(), directed=False) -> list:
+    """``nx.shortest_path(G, source, target)`` (generic.py:64,
+    unweighted hops) — node-name list source..target; raises
+    ValueError when no path exists (nx raises NetworkXNoPath)."""
+    from .operators.shortest_paths import shortest_path_tree
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    tree = {
+        r["id"]: r["pred"]
+        for r in shortest_path_tree(g, rev[str(source)], weight=False).collect()
+    }
+    tid = rev[str(target)]
+    if tid not in tree:
+        raise ValueError(f"no path between {source} and {target}")
+    path, cur = [], tid
+    while cur is not None:
+        path.append(nm[cur])
+        cur = tree[cur]
+    return path[::-1]
+
+
+def single_source_shortest_path_length(spark, edges, source, nodes=(), directed=False) -> dict:
+    """``nx.single_source_shortest_path_length`` (unweighted.py:23)."""
+    from .operators.shortest_paths import shortest_path_tree
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    return {
+        nm[r["id"]]: int(r["dist"])
+        for r in shortest_path_tree(g, rev[str(source)], weight=False).collect()
+    }

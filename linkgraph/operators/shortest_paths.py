@@ -126,3 +126,55 @@ def single_source_dijkstra_path_length(
     """Alias on non-negative weights (weighted.py:733) — same result
     table as the Bellman–Ford relaxation."""
     return single_source_bellman_ford_path_length(graph, source, weight=weight)
+
+
+def shortest_path_tree(
+    graph: LinkGraph,
+    source: int,
+    weight: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """(id, dist, pred) — the single-source shortest-path TREE: the
+    scalable artifact behind ``nx.shortest_path`` /
+    ``single_source_shortest_path`` (shortest_paths/generic.py:64,
+    unweighted.py:188): every reachable node's distance plus a
+    deterministic predecessor; any individual path is reconstructed by
+    walking ``pred`` (path length <= diameter), while ALL n paths are
+    encoded in n rows — the right shape at 100 TB, where materializing
+    explicit node sequences is O(n·diameter).
+
+    ``pred(v)`` is chosen POST-HOC from the converged distance table:
+    the minimum src among tight edges (dist(src) + w == dist(v)).
+    Post-hoc selection keeps the choice independent of relaxation
+    arrival order (bit-deterministic, oracle-checkable) and costs one
+    extra join instead of carrying predecessors through every
+    superstep. The tight-edge float comparison is exact: the winning
+    relaxation computed dist(v) AS dist(src) + w, so equality holds
+    bitwise. With zero-weight edges the min-src rule can in principle
+    pick preds forming a 0-weight cycle; on positive weights (the
+    link-graph case) dist(pred) < dist(v) strictly, so the result is
+    a proper tree. pred is NULL at the source.
+    """
+    dist = single_source_bellman_ford_path_length(
+        graph, source, weight=weight, **kwargs
+    )
+    base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
+    if not weight:
+        base = base.select("src", "dst", F.lit(1.0).alias("weight"))
+    ew = base.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+    tight = (
+        ew.join(
+            dist.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src"
+        )
+        .join(dist.select(F.col("id").alias("dst"), F.col("dist").alias("dd")), "dst")
+        .where(F.col("ds") + F.col("weight") == F.col("dd"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))
+    )
+    return dist.join(tight, "id", "left").select(
+        "id",
+        "dist",
+        F.when(F.col("id") == int(source), F.lit(None).cast("long"))
+        .otherwise(F.col("pred"))
+        .alias("pred"),
+    )
