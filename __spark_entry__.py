@@ -886,6 +886,19 @@ def nation_ring_graph(
     )
 
 
+def q_link_sh_parts(spark, sf_dir):
+    """Soundarajan–Hopcroft community-aware common-neighbor score on
+    the part co-occurrence graph, community = p_brand."""
+    from linkgraph.operators.links import cn_soundarajan_hopcroft
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    comm = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.col("p_brand").alias("community"),
+    )
+    return cn_soundarajan_hopcroft(g, comm).select("u", "v", "score")
+
+
 def q_voterank_orders(spark, sf_dir):
     from linkgraph.operators.voterank import voterank
 
@@ -1271,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "link_sh_parts": q_link_sh_parts,
         "voterank_orders": q_voterank_orders,
         "graph_recognition": q_graph_recognition,
         "doc_decontaminate": q_doc_decontaminate,
@@ -3193,6 +3207,20 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "link_sh_parts": f"""
+WITH {_PAIRS_CTE},
+sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+tri AS (
+  SELECT a.src AS z, a.dst AS u, b.dst AS v
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+),
+c AS (SELECT p_partkey AS id, p_brand AS community FROM part)
+SELECT t.u, t.v,
+  CAST(count(*) + sum(CASE WHEN cu.community = cv.community
+                        AND cz.community = cu.community THEN 1 ELSE 0 END) AS BIGINT) AS score
+FROM tri t
+JOIN c cz ON cz.id = t.z JOIN c cu ON cu.id = t.u JOIN c cv ON cv.id = t.v
+GROUP BY t.u, t.v""",
         "voterank_orders": _voterank_sql(6),
         "graph_recognition": """
 SELECT

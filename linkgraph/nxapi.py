@@ -709,3 +709,45 @@ def single_source_shortest_path_length(spark, edges, source, nodes=(), directed=
         nm[r["id"]]: int(r["dist"])
         for r in shortest_path_tree(g, rev[str(source)], weight=False).collect()
     }
+
+
+def _communities_df(spark, g, community_attr: dict):
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    return spark.createDataFrame(
+        [(rev[str(k)], v) for k, v in community_attr.items()],
+        "id long, community long",
+    )
+
+
+def cn_soundarajan_hopcroft(spark, edges, community_attr, nodes=()) -> dict:
+    """``nx.cn_soundarajan_hopcroft`` (link_prediction.py:478) over
+    wedge candidates; ``community_attr`` maps node name → community."""
+    from .operators.links import cn_soundarajan_hopcroft as _cn
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    cdf = _communities_df(spark, g, community_attr)
+    return {(nm[r["u"]], nm[r["v"]]): r["score"] for r in _cn(g, cdf).collect()}
+
+
+def ra_index_soundarajan_hopcroft(spark, edges, community_attr, nodes=()) -> dict:
+    """``nx.ra_index_soundarajan_hopcroft`` (link_prediction.py:560)."""
+    from .operators.links import ra_index_soundarajan_hopcroft as _ra
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    cdf = _communities_df(spark, g, community_attr)
+    return {(nm[r["u"]], nm[r["v"]]): r["score"] for r in _ra(g, cdf).collect()}
+
+
+def within_inter_cluster(spark, edges, community_attr, delta=0.001, nodes=()) -> dict:
+    """``nx.within_inter_cluster`` (link_prediction.py:638)."""
+    from .operators.links import within_inter_cluster as _wic
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    cdf = _communities_df(spark, g, community_attr)
+    return {
+        (nm[r["u"]], nm[r["v"]]): r["score"] for r in _wic(g, cdf, delta).collect()
+    }

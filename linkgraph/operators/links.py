@@ -145,3 +145,87 @@ def preferential_attachment(g: LinkGraph, pairs: DataFrame | None = None) -> Dat
         .join(d.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
         .select("u", "v", (F.col("du") * F.col("dv")).alias("pa"))
     )
+
+
+def _wedge_triples(g: LinkGraph) -> DataFrame:
+    """(z, u, v) with u < v — one row per common neighbor z of the
+    candidate pair; the annotated form of :func:`wedge_pairs`."""
+    e = _sym_simple(g)
+    a = e.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = e.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    return a.join(b, "z").where(F.col("u") < F.col("v"))
+
+
+def _with_communities(g: LinkGraph, communities: DataFrame) -> DataFrame:
+    """Wedge triples annotated with the community of z, u, and v.
+    ``communities``: (id, community) — any orderable community type."""
+    c = communities.select("id", "community")
+    t = _wedge_triples(g)
+    return (
+        t.join(
+            c.select(F.col("id").alias("z"), F.col("community").alias("cz")), "z"
+        )
+        .join(c.select(F.col("id").alias("u"), F.col("community").alias("cu")), "u")
+        .join(c.select(F.col("id").alias("v"), F.col("community").alias("cv")), "v")
+    )
+
+
+def cn_soundarajan_hopcroft(g: LinkGraph, communities: DataFrame) -> DataFrame:
+    """(u, v, score BIGINT) = |CN| + |{z ∈ CN : comm(z)=comm(u)=comm(v)}|
+    (link_prediction.py:478, Soundarajan & Hopcroft 2012) over wedge
+    candidates — the same one-wedge-join shape as the other indices,
+    with three community-broadcast annotations."""
+    t = _with_communities(g, communities)
+    return t.groupBy("u", "v").agg(
+        (
+            F.count(F.lit(1))
+            + F.sum(
+                F.when(
+                    (F.col("cu") == F.col("cv")) & (F.col("cz") == F.col("cu")), 1
+                ).otherwise(0)
+            )
+        ).alias("score")
+    )
+
+
+def ra_index_soundarajan_hopcroft(g: LinkGraph, communities: DataFrame) -> DataFrame:
+    """(u, v, score DOUBLE) = Σ_{z ∈ CN, comm(z)=comm(u)=comm(v)} 1/deg(z);
+    0 when comm(u) ≠ comm(v) (link_prediction.py:560)."""
+    d = _degrees(g)
+    t = _with_communities(g, communities).join(
+        d.select(F.col("id").alias("z"), "deg"), "z"
+    )
+    return t.groupBy("u", "v").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("cu") == F.col("cv")) & (F.col("cz") == F.col("cu")),
+                    F.lit(1.0) / F.col("deg"),
+                ).otherwise(0.0)
+            ),
+            F.lit(0.0),
+        ).alias("score")
+    )
+
+
+def within_inter_cluster(
+    g: LinkGraph, communities: DataFrame, delta: float = 0.001
+) -> DataFrame:
+    """(u, v, score DOUBLE) = |within-CN| / (|inter-CN| + delta) when
+    comm(u) = comm(v), else 0 (link_prediction.py:638). Raises on
+    non-positive delta (reference parity)."""
+    if delta <= 0:
+        raise ValueError("Delta must be greater than zero")
+    t = _with_communities(g, communities)
+    same = (F.col("cu") == F.col("cv")).cast("int")
+    within = F.sum(same * (F.col("cz") == F.col("cu")).cast("int"))
+    inter = F.sum(same * (F.col("cz") != F.col("cu")).cast("int"))
+    # cu/cv are constant within a (u, v) group — first() reads the flag
+    return t.groupBy("u", "v").agg(
+        F.when(
+            F.first(F.col("cu") == F.col("cv")),
+            within / (inter + F.lit(float(delta))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score")
+    )

@@ -108,3 +108,50 @@ def test_degree_assortativity_directed_vs_nx(spark):
     g = _g(spark, edges, directed=True)
     ref = nx.degree_assortativity_coefficient(nx_graph(edges, directed=True))
     assert degree_assortativity_coefficient(g) == pytest.approx(ref, abs=1e-9)
+
+
+def test_community_aware_indices(spark):
+    import networkx as nx
+    import pyspark.sql.functions as F
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.links import (
+        cn_soundarajan_hopcroft,
+        ra_index_soundarajan_hopcroft,
+        within_inter_cluster,
+    )
+
+    G = nx.karate_club_graph()
+    comm = {v: (0 if G.nodes[v]["club"] == "Mr. Hi" else 1) for v in G}
+    nx.set_node_attributes(G, comm, "community")
+    e = spark.createDataFrame(
+        [(a, b, None) for a, b in G.edges()], "src long, dst long, weight double"
+    )
+    v = spark.createDataFrame([(i,) for i in range(34)], "id long")
+    g = LinkGraph(vertices=v, edges=e, directed=False)
+    cdf = spark.createDataFrame(list(comm.items()), "id long, community long")
+
+    pairs = [
+        (u, w) for u in G for w in G if u < w and set(G[u]) & set(G[w])
+    ]  # wedge candidates (the engine's documented candidate set)
+
+    got = {(r["u"], r["v"]): r["score"]
+           for r in cn_soundarajan_hopcroft(g, cdf).collect()}
+    want = {(u, w): s for u, w, s in nx.cn_soundarajan_hopcroft(G, pairs)}
+    assert got == want
+
+    got = {(r["u"], r["v"]): r["score"]
+           for r in ra_index_soundarajan_hopcroft(g, cdf).collect()}
+    want = {(u, w): s for u, w, s in nx.ra_index_soundarajan_hopcroft(G, pairs)}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+    got = {(r["u"], r["v"]): r["score"]
+           for r in within_inter_cluster(g, cdf).collect()}
+    want = {(u, w): s for u, w, s in nx.within_inter_cluster(G, pairs)}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        within_inter_cluster(g, cdf, delta=0)
