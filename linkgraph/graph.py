@@ -90,6 +90,26 @@ class LinkGraph:
             "src", "dst", F.coalesce(F.col("weight"), F.lit(1.0)).alias("weight")
         )
 
+    def with_weight(self, weight_fn) -> "LinkGraph":
+        """Weight-as-callable seam (the reference's ``weight``
+        callables, networkx/algorithms/shortest_paths/weighted.py:41
+        ``_weight_function``): ``weight_fn`` maps the edge DataFrame to
+        a weight Column — a plain Column expression (preferred: stays
+        in whole-stage codegen) or a ``pandas_udf`` over edge columns
+        for logic Columns can't express. Every weighted operator then
+        sees the derived weight through the normal ``weight`` column.
+
+        >>> g.with_weight(lambda e: F.log1p(e["weight"]))
+        """
+        e = self.edges
+        return replace(
+            self,
+            edges=e.select(
+                *[c for c in e.columns if c != "weight"],
+                weight_fn(e).cast("double").alias("weight"),
+            ),
+        )
+
     def reverse(self) -> "LinkGraph":
         """Zero-cost reversed view (networkx/classes/graphviews.py:238)."""
         rev = self.edges.select(

@@ -121,3 +121,29 @@ def test_symmetrized_self_loop_once(spark):
     loops = sym.where(F.col("src") == F.col("dst")).count()
     assert loops == 1
     assert sym.count() == 3  # a->a, a->b, b->a
+
+
+def test_with_weight_callable(spark):
+    import networkx as nx
+    import pyspark.sql.functions as F
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.shortest_paths import (
+        single_source_bellman_ford_path_length,
+    )
+
+    wedges = [(0, 1, 2.0), (1, 2, 3.0), (0, 2, 10.0)]
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    g = LinkGraph(vertices=v, edges=e, directed=True)
+    # callable weight: squared edge weight — 0->1->2 costs 4+9=13,
+    # direct 0->2 costs 100
+    g2 = g.with_weight(lambda edf: edf["weight"] * edf["weight"])
+    got = {r["id"]: r["dist"]
+           for r in single_source_bellman_ford_path_length(g2, 0).collect()}
+    G = nx.DiGraph()
+    G.add_weighted_edges_from(wedges)
+    want = nx.single_source_dijkstra_path_length(
+        G, 0, weight=lambda u, v, d: d["weight"] ** 2
+    )
+    assert got == want
