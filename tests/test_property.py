@@ -1,0 +1,75 @@
+"""Property-based parity: hypothesis-generated random graphs checked
+against live networkx for the core operator family. Small graphs,
+bounded example counts — the point is adversarial STRUCTURE (self
+loops, parallel edges, isolates, disconnected pieces), not scale."""
+
+import networkx as nx
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from linkgraph.graph import LinkGraph
+from linkgraph.operators.components import connected_components
+from linkgraph.operators.degrees import degrees
+from linkgraph.operators.triangles import triangles
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=18,
+)
+
+N = 10
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _g(spark, edges):
+    e = spark.createDataFrame(
+        [(a, b, None) for a, b in edges] or [],
+        "src long, dst long, weight double",
+    )
+    v = spark.createDataFrame([(i,) for i in range(N)], "id long")
+    return LinkGraph(vertices=v, edges=e, directed=False)
+
+
+def _G(edges):
+    G = nx.Graph()
+    G.add_nodes_from(range(N))
+    G.add_edges_from(edges)
+    return G
+
+
+@settings(**_SETTINGS)
+@given(edge_lists)
+def test_cc_partition_matches_nx(spark, edges):
+    g = _g(spark, edges)
+    got = {}
+    for r in connected_components(g).collect():
+        got.setdefault(r["component"], set()).add(r["id"])
+    want = {frozenset(c) for c in nx.connected_components(_G(edges))}
+    assert {frozenset(c) for c in got.values()} == want
+
+
+@settings(**_SETTINGS)
+@given(edge_lists)
+def test_degrees_match_nx_multigraph(spark, edges):
+    # edge rows are parallel edges (multigraph semantics, SURVEY §1.2)
+    # — the right oracle is nx.MultiGraph, not nx.Graph
+    g = _g(spark, edges)
+    got = {r["id"]: int(r["degree"]) for r in degrees(g).collect()}
+    G = nx.MultiGraph()
+    G.add_nodes_from(range(N))
+    G.add_edges_from(edges)
+    assert got == dict(G.degree())
+
+
+@settings(**_SETTINGS)
+@given(edge_lists)
+def test_triangles_match_nx(spark, edges):
+    g = _g(spark, edges)
+    got = {r["id"]: r["triangles"] for r in triangles(g).collect()}
+    assert got == nx.triangles(_G(edges))
