@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .graph import LinkGraph, graph_from_edge_names
 from .operators import triangles as tri
@@ -750,4 +751,54 @@ def within_inter_cluster(spark, edges, community_attr, delta=0.001, nodes=()) ->
     cdf = _communities_df(spark, g, community_attr)
     return {
         (nm[r["u"]], nm[r["v"]]): r["score"] for r in _wic(g, cdf, delta).collect()
+    }
+
+
+def all_pairs_shortest_path_length(spark, edges, nodes=(), directed=False) -> dict:
+    """``nx.all_pairs_shortest_path_length`` (unweighted.py:118) — one
+    batched multi-source BFS from every vertex; unreachable pairs
+    absent, exactly like the reference."""
+    from .operators.traversal import multi_source_bfs_layers
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    out: dict = {n: {} for n in nm.values()}
+    for r in multi_source_bfs_layers(g, g.vertices.select("id")).collect():
+        out[nm[r["source"]]][nm[r["id"]]] = r["layer"]
+    return out
+
+
+def average_shortest_path_length(spark, edges, nodes=(), directed=False) -> float:
+    """``nx.average_shortest_path_length`` (generic.py:406) — exact:
+    Σ d(s,t) / (n(n-1)); raises on disconnected input like the
+    reference."""
+    from .operators.traversal import multi_source_bfs_counts
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    n = g.vertices.count()
+    if n <= 1:
+        raise ValueError("average shortest path length undefined below 2 nodes")
+    msb = multi_source_bfs_counts(g, g.vertices.select("id"), directed=directed)
+    agg = msb.agg(
+        F.sum(F.col("layer").cast("long") * F.col("n_src")).alias("s"),
+        F.sum("n_src").alias("pairs"),
+    ).first()
+    if agg["pairs"] != n * n:  # every source must reach every node
+        raise ValueError("Found infinite path length: graph not connected")
+    return agg["s"] / (n * (n - 1))
+
+
+def bfs_tree(spark, edges, source, nodes=(), directed=False) -> set:
+    """``nx.bfs_tree`` edge set (traversal/breadth_first_search.py:100)
+    with deterministic min-id parents — returned as (parent, child)
+    name pairs."""
+    from .operators.shortest_paths import shortest_path_tree
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    return {
+        (nm[r["pred"]], nm[r["id"]])
+        for r in shortest_path_tree(g, rev[str(source)], weight=False).collect()
+        if r["pred"] is not None
     }

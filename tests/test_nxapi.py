@@ -144,3 +144,26 @@ def test_nxapi_distance_measures(spark):
     assert {int(v) for v in nxapi.periphery(spark, KAR)} == set(nx.periphery(G))
     with _pytest.raises(ValueError):
         nxapi.diameter(spark, [("a", "b"), ("c", "d")])
+
+
+def test_nxapi_path_family(spark):
+    import networkx as nx
+
+    from linkgraph import nxapi
+
+    G = nx.karate_club_graph()
+    KAR = list(G.edges())
+    got = nxapi.all_pairs_shortest_path_length(spark, KAR)
+    want = dict(nx.all_pairs_shortest_path_length(G))
+    assert {int(s): {int(t): d for t, d in m.items()} for s, m in got.items()} == {
+        s: dict(m) for s, m in want.items()
+    }
+    assert abs(
+        nxapi.average_shortest_path_length(spark, KAR)
+        - nx.average_shortest_path_length(G)
+    ) < 1e-12
+    bt = {(int(a), int(b)) for a, b in nxapi.bfs_tree(spark, KAR, 0)}
+    # valid BFS tree: spans all nodes, child depth = parent depth + 1
+    dist = nx.single_source_shortest_path_length(G, 0)
+    assert {b for _, b in bt} == set(G) - {0}
+    assert all(dist[b] == dist[a] + 1 for a, b in bt)
