@@ -802,3 +802,17 @@ def bfs_tree(spark, edges, source, nodes=(), directed=False) -> set:
         for r in shortest_path_tree(g, rev[str(source)], weight=False).collect()
         if r["pred"] is not None
     }
+
+
+def girvan_newman(spark, edges, nodes=()) -> set:
+    """First level of ``nx.community.girvan_newman``
+    (community/centrality.py:10) — frozenset partition of node
+    names."""
+    from .operators.girvan_newman import girvan_newman_level
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    out: dict = {}
+    for r in girvan_newman_level(g, levels=1).collect():
+        out.setdefault(r["component"], set()).add(nm[r["id"]])
+    return {frozenset(s) for s in out.values()}
