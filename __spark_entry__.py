@@ -886,6 +886,71 @@ def nation_ring_graph(
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    """8-hour-gap sessionization of the event stream + per-session
+    stats — the canonical clickstream shape."""
+    from linkgraph.functions.events import session_stats
+
+    ev = _read_wide(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=28800)
+
+
+def _synth_urls(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    scheme = F.when(F.pmod("c_custkey", F.lit(3)) == 0, "http").otherwise("https")
+    path = F.concat(
+        F.lit("/c/"),
+        F.col("c_custkey").cast("string"),
+        F.when(F.pmod("c_custkey", F.lit(2)) == 0, F.lit("/items")).otherwise(
+            F.lit("")
+        ),
+    )
+    query = (
+        F.when(
+            F.pmod("c_custkey", F.lit(5)) == 0,
+            F.concat(F.lit("?utm_source=feed&pid="), F.col("c_custkey").cast("string")),
+        )
+        .when(
+            F.pmod("c_custkey", F.lit(5)) == 1,
+            F.concat(F.lit("?pid="), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.concat(
+            scheme,
+            F.lit("://nation"),
+            F.col("c_nationkey").cast("string"),
+            F.lit(".shop.example.com"),
+            path,
+            query,
+        ).alias("url"),
+    )
+
+
+def q_url_parts(spark, sf_dir):
+    """JVM-side URL parsing (parse_url/regexp) over deterministic
+    synthesized customer URLs."""
+    from linkgraph.functions.urls import (
+        is_https,
+        path_depth,
+        registered_domain,
+        strip_tracking_params,
+        url_host,
+    )
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select(
+        "id",
+        url_host(F.col("url")).alias("host"),
+        registered_domain(F.col("url")).alias("domain"),
+        path_depth(F.col("url")).cast("long").alias("depth"),
+        is_https(F.col("url")).alias("https"),
+        strip_tracking_params(F.col("url")).alias("clean_url"),
+    )
+
+
 def q_link_sh_parts(spark, sf_dir):
     """Soundarajan–Hopcroft community-aware common-neighbor score on
     the part co-occurrence graph, community = p_brand."""
@@ -1284,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "event_sessions": q_event_sessions,
+        "url_parts": q_url_parts,
         "link_sh_parts": q_link_sh_parts,
         "voterank_orders": q_voterank_orders,
         "graph_recognition": q_graph_recognition,
@@ -3207,6 +3274,52 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "event_sessions": """
+WITH s AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+m AS (
+  SELECT user_id, us, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > CAST(28800 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS st
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+x AS (
+  SELECT user_id, us, event_type,
+         CAST(sum(st) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       max(us) - min(us) AS duration_us,
+       count(DISTINCT event_type) AS n_types
+FROM x GROUP BY user_id, session_seq""",
+        "url_parts": """
+WITH u AS (
+  SELECT c_custkey AS id,
+         (CASE WHEN c_custkey % 3 = 0 THEN 'http' ELSE 'https' END)
+         || '://nation' || c_nationkey || '.shop.example.com'
+         || '/c/' || c_custkey
+         || (CASE WHEN c_custkey % 2 = 0 THEN '/items' ELSE '' END)
+         || (CASE WHEN c_custkey % 5 = 0 THEN '?utm_source=feed&pid=' || c_custkey
+                  WHEN c_custkey % 5 = 1 THEN '?pid=' || c_custkey
+                  ELSE '' END) AS url
+  FROM customer
+),
+p AS (
+  SELECT id, url,
+         lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                        '^/+|/+$', '', 'g') AS path
+  FROM u
+)
+SELECT id, host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       CAST(CASE WHEN length(path) = 0 THEN 0
+            ELSE len(list_filter(string_split_regex(path, '/+'), x -> x <> ''))
+            END AS BIGINT) AS depth,
+       url LIKE 'https://%' AS https,
+       regexp_replace(regexp_replace(url, '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+                      '[?&]$', '', 'g') AS clean_url
+FROM p""",
         "link_sh_parts": f"""
 WITH {_PAIRS_CTE},
 sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
