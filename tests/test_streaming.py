@@ -123,3 +123,50 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
         .collect()
     }
     assert urls == want
+
+
+def test_session_window_stream(spark, tmp_path):
+    import datetime as dt
+    import json
+
+    from linkgraph.streaming.sessions import session_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iso(m):
+        return (t0 + dt.timedelta(minutes=m)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    rows = [
+        # user 1: events at 0,10,20 min (one session, 30-min gap), then 120 (new)
+        {"user_id": 1, "ts": iso(0), "event_type": "view"},
+        {"user_id": 1, "ts": iso(10), "event_type": "click"},
+        {"user_id": 1, "ts": iso(20), "event_type": "view"},
+        {"user_id": 1, "ts": iso(120), "event_type": "view"},
+        {"user_id": 2, "ts": iso(5), "event_type": "error"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .json(str(src))
+    )
+    q = (
+        session_stream(stream, gap="30 minutes", late_threshold="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions_tbl")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour):
+                r["n_events"]
+            for r in spark.sql("SELECT * FROM sessions_tbl").collect()
+        }
+    finally:
+        q.stop()
+    assert got[(1, 0)] == 3     # 0-20min session
+    assert got[(1, 120)] == 1   # isolated later event
+    assert got[(2, 5)] == 1
