@@ -46,6 +46,9 @@ def assign_dense_ids(df: DataFrame, key: str = "url", num_partitions: int | None
     local = part.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(key))
     )
+    # NB: this unpartitioned window triggers Spark's single-partition
+    # WindowExec warning, but its frame holds exactly #partitions rows
+    # (one per _pid) — driver-scale by construction, never data-scale.
     offsets = (
         part.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
