@@ -886,6 +886,13 @@ def nation_ring_graph(
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    from linkgraph.functions.textops import repetition_features
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
 def q_event_sessions(spark, sf_dir):
     """8-hour-gap sessionization of the event stream + per-session
     stats — the canonical clickstream shape."""
@@ -1349,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "doc_repetition": q_doc_repetition,
         "event_sessions": q_event_sessions,
         "url_parts": q_url_parts,
         "link_sh_parts": q_link_sh_parts,
@@ -3274,6 +3282,31 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "doc_repetition": r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+base AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) > 0
+         THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+         ELSE 0.0 END AS dup_token_frac,
+    CASE WHEN len(t) > 1
+         THEN CAST(len(list_filter(range(1, len(t)), i -> t[i] = t[i+1])) AS DOUBLE)
+              / (len(t) - 1)
+         ELSE 0.0 END AS adjacent_dup_frac
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+share AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS s FROM cnt GROUP BY doc_id)
+SELECT b.doc_id,
+       round(b.dup_token_frac, 8) AS dup_token_frac,
+       round(b.adjacent_dup_frac, 8) AS adjacent_dup_frac,
+       round(COALESCE(share.s, 0.0), 8) AS top_bigram_share
+FROM base b LEFT JOIN share ON share.doc_id = b.doc_id""",
         "event_sessions": """
 WITH s AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
 m AS (

@@ -313,3 +313,65 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(F.col(text_col)).alias("pred_lang"),
         fingerprint(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dup_token_frac, adjacent_dup_frac, top_bigram_share) —
+    the Gopher-style repetition quality signals (Rae et al. 2021 §A1.3
+    repetition filters, adapted to unstructured token streams):
+
+      dup_token_frac    = 1 - |distinct tokens| / |tokens|
+      adjacent_dup_frac = fraction of consecutive equal token pairs
+      top_bigram_share  = occurrences of the most frequent bigram /
+                          total bigrams
+
+    The first two are pure array expressions (one scan, codegen); the
+    bigram share is one explode + two-level aggregate keyed by
+    (doc, bigram) — high-entropy keys, skew-free shuffle. Short docs
+    (< 2 tokens) report 0 for the pairwise signals.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(n > 0, 1.0 - F.size(F.array_distinct(t)) / n)
+        .otherwise(0.0)
+        .alias("dup_token_frac"),
+        F.when(
+            n > 1,
+            F.aggregate(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda a, b: (a == b).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / (n - 1),
+        )
+        .otherwise(0.0)
+        .alias("adjacent_dup_frac"),
+        shingles(F.col(text_col), 2).alias("_bgs"),
+    )
+    bg = (
+        base.select("id", F.explode("_bgs").alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_share"))
+    )
+    return (
+        base.drop("_bgs")
+        .join(bg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round("dup_token_frac", 8).alias("dup_token_frac"),
+            F.round("adjacent_dup_frac", 8).alias("adjacent_dup_frac"),
+            F.round(F.coalesce("top_bigram_share", F.lit(0.0)), 8).alias(
+                "top_bigram_share"
+            ),
+        )
+    )

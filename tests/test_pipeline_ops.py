@@ -88,3 +88,27 @@ def test_lsh_xxhash64_scale_lane(spark):
     assert (1, 2) in pairs  # identical docs always collide in every band
     # md5 lane unchanged (oracle parity lane)
     assert dict(lsh_band_table(docs).dtypes)["key"] == "string"
+
+
+def test_repetition_features(spark):
+    from linkgraph.functions.textops import repetition_features
+
+    rows = [
+        (1, "a a a a", "en"),                 # all dup, all adjacent, one bigram
+        (2, "w x y z", "en"),                 # no repetition
+        (3, "a b a b a b", "en"),             # alternating
+        (4, "solo", "en"),                    # 1 token: pairwise signals 0
+    ]
+    docs = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["adjacent_dup_frac"] == 1.0
+    assert got[1]["top_bigram_share"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["adjacent_dup_frac"] == 0.0
+    assert abs(got[2]["top_bigram_share"] - 1 / 3) < 1e-8
+    assert abs(got[3]["top_bigram_share"] - 3 / 5) < 1e-8  # 'a b' x3 of 5
+    assert got[3]["adjacent_dup_frac"] == 0.0
+    assert got[4]["dup_token_frac"] == 0.0
+    assert got[4]["adjacent_dup_frac"] == 0.0
+    assert got[4]["top_bigram_share"] == 0.0
