@@ -886,6 +886,13 @@ def nation_ring_graph(
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    from linkgraph.functions.pipeline import chunk_documents
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=128, overlap=64)
+
+
 def q_doc_repetition(spark, sf_dir):
     from linkgraph.functions.textops import repetition_features
 
@@ -1356,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "louvain_parts": q_louvain_parts,
+        "doc_chunks": q_doc_chunks,
         "doc_repetition": q_doc_repetition,
         "event_sessions": q_event_sessions,
         "url_parts": q_url_parts,
@@ -3282,6 +3290,18 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "doc_chunks": r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 128 THEN 1
+              ELSE CAST(ceil((len(t) - 128) / 64.0) AS BIGINT) + 1 END AS nc
+  FROM toks
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(len(t[k*64+1 : k*64+128]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[k*64+1 : k*64+128], ' ') AS chunk_text
+FROM n, UNNEST(range(0, nc)) AS u(k)""",
         "doc_repetition": r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 base AS (

@@ -252,3 +252,56 @@ def stratified_sample(
         .where(F.col("_rn") <= F.ceil(F.lit(frac) * F.col("_cnt")))
         .select(id_col, by)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the long-context preprocessing twin of :func:`pack_sequences`
+    (packing joins short docs; chunking splits long ones).
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text): chunk k
+    covers tokens [k·stride, k·stride + size) with
+    stride = size - overlap; the final chunk is the remainder (never
+    empty, never duplicated: a doc with <= size tokens yields exactly
+    one chunk). One scan, array slicing only — the explode multiplies
+    rows by ceil(n/stride), which is the output's inherent size, not
+    overhead.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    from .textops import tokens
+
+    stride = size - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(size)) / F.lit(stride)) + 1
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id", "_k"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, size).alias(
+                "_chunk"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )

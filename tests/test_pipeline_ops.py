@@ -112,3 +112,31 @@ def test_repetition_features(spark):
     assert got[4]["dup_token_frac"] == 0.0
     assert got[4]["adjacent_dup_frac"] == 0.0
     assert got[4]["top_bigram_share"] == 0.0
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    from linkgraph.functions.pipeline import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    docs = _docs(spark, [(1, " ".join(toks), "en"), (2, "a b c", "en")])
+    got = {(r["doc_id"], r["chunk_id"]): r
+           for r in chunk_documents(docs, size=10, overlap=2).collect()}
+    # doc 1: 25 tokens, stride 8 -> chunks at 0,8,16 (ceil((25-10)/8)+1 = 3)
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)]["chunk_text"].split() == toks[0:10]
+    assert got[(1, 1)]["chunk_text"].split() == toks[8:18]
+    assert got[(1, 2)]["chunk_text"].split() == toks[16:25]
+    assert got[(1, 2)]["n_chunk_tokens"] == 9
+    # short doc: exactly one chunk, whole text
+    assert {k for k in got if k[0] == 2} == {(2, 0)}
+    assert got[(2, 0)]["chunk_text"] == "a b c"
+    # overlap coverage: every token index appears in some chunk
+    covered = set()
+    for k, r in got.items():
+        if k[0] == 1:
+            covered.update(r["chunk_text"].split())
+    assert covered == set(toks)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=10, overlap=10)
