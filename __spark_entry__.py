@@ -321,6 +321,22 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_quantized_topk(spark, sf_dir):
+    """int8-quantized exact cosine top-k — the 4x-smaller-corpus ANN
+    lane; ranks only (scores are quantization-dependent by design)."""
+    from linkgraph.functions.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    top = quantized_cosine_topk(q, q.where(F.col("vec_id") < 8), k=10)
+    return top.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 def q_event_type_stats(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1303,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
         "doc_simhash": q_doc_simhash,
         "embedding_topk": q_embedding_topk,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
         "event_type_stats": q_event_type_stats,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "kcore_parts": q_kcore_parts,
@@ -3290,6 +3307,37 @@ def oracle_sql() -> dict[str, str]:
         # always, tree iff one nation); a closed ring is Eulerian and
         # never a tree; an open path is a tree with an Euler path but
         # no circuit (two odd-degree endpoints).
+        "embedding_quantized_topk": """
+WITH qn AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+  FROM qn
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                      i -> a.q[i] * b.q[i])) AS DOUBLE) AS idot,
+         sqrt(CAST(list_sum(list_transform(a.q, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)) AS na,
+         sqrt(CAST(list_sum(list_transform(b.q, x -> CAST(x * x AS DOUBLE))) AS DOUBLE)) AS nb
+  FROM qv a, qv b
+  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(idot / greatest(na * nb, 1e-300), 6) DESC,
+                                     neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""",
         "doc_chunks": r"""
 WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
 n AS (

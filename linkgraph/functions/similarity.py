@@ -351,3 +351,89 @@ def lsh_self_join(
     if threshold is not None:
         pairs = pairs.where(F.col("score") >= threshold)
     return pairs
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, qvec ARRAY<TINYINT>, scale DOUBLE) — symmetric per-
+    vector int8 quantization: q_i = round(127 · x_i / max|x|),
+    x_i ≈ q_i · scale with scale = max|x| / 127.
+
+    The standard ANN memory/bandwidth lever: a float32 corpus shrinks
+    4× (float64 arrays 8×) before shuffling or caching; at 100 TB the
+    quantized corpus is the one that fits in executor memory. Pure
+    column expressions. Vectors that are all zeros get scale 0 and a
+    zero qvec (dequantizes exactly)."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(0.0))
+    qvec = F.transform(
+        v,
+        lambda x: F.when(amax > 0, F.round(x.cast("double") * 127.0 / amax))
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return df.select(F.col(id_col), qvec.alias("qvec"), scale.alias("scale"))
+
+
+def quantized_cosine_topk(
+    qcorpus: DataFrame,
+    qqueries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-within-quantization top-k by cosine over int8 vectors:
+    (query_id, neighbor_id, score, rank). Same plan shape as
+    :func:`cosine_topk` (broadcast queries, one corpus pass, per-query
+    window); the integer dot product is the hot loop — scale factors
+    cancel in the cosine, so scores depend on the int8 codes only."""
+    from pyspark.sql.window import Window
+
+    q = qqueries.select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qv")
+    )
+    c = qcorpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("cv")
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cv"), lambda a, b: a.cast("long") * b.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    inorm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                idot
+                / F.greatest(
+                    inorm(F.col("qv")) * inorm(F.col("cv")), F.lit(1e-300)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "score", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

@@ -140,3 +140,33 @@ def test_chunk_documents(spark):
     assert covered == set(toks)
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=10, overlap=10)
+
+
+def test_embedding_quantization(spark):
+    import math
+
+    from linkgraph.functions.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, -2.0]),
+        (5, [0.0, 0.0, 0.0]),  # zero vector
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    # dequantization error bounded by scale/2 per dim
+    for vid, orig in vecs:
+        r = rows[vid]
+        for qi, xi in zip(r["qvec"], orig):
+            assert abs(qi * r["scale"] - xi) <= r["scale"] / 2 + 1e-12
+    assert rows[5]["scale"] == 0.0 and all(v == 0 for v in rows[5]["qvec"])
+    # quantized top-1 neighbor of vec 1 is vec 2 (closest direction)
+    topk = quantized_cosine_topk(q, q.where("vec_id = 1"), k=2)
+    got = [r["neighbor_id"] for r in topk.orderBy("rank").collect()]
+    assert got[0] == 2
