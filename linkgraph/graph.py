@@ -171,6 +171,28 @@ class LinkGraph:
     # -- point predicates / lookups (driver-boundary scalars; parity
     # with graph.py:891 has_node, :1303 has_edge, :509 neighbors,
     # :1468 nbunch_iter) --------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the graph as partitioned Parquet (vertices/, edges/)
+        plus a one-row _meta table carrying directedness — the
+        cluster-native round-trip (every read is a parallel scan; no
+        driver materialization at any size)."""
+        self.vertices.write.mode("overwrite").parquet(f"{path}/vertices")
+        self.edges.write.mode("overwrite").parquet(f"{path}/edges")
+        self.spark.createDataFrame(
+            [(bool(self.directed),)], "directed boolean"
+        ).write.mode("overwrite").parquet(f"{path}/_meta")
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "LinkGraph":
+        directed = (
+            spark.read.parquet(f"{path}/_meta").first()["directed"]
+        )
+        return LinkGraph(
+            vertices=spark.read.parquet(f"{path}/vertices"),
+            edges=spark.read.parquet(f"{path}/edges"),
+            directed=bool(directed),
+        )
+
     def has_node(self, node_id: int) -> bool:
         return (
             self.vertices.where(F.col("id") == node_id).limit(1).count() == 1

@@ -147,3 +147,23 @@ def test_with_weight_callable(spark):
         G, 0, weight=lambda u, v, d: d["weight"] ** 2
     )
     assert got == want
+
+
+def test_graph_save_load_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from linkgraph.graph import LinkGraph
+
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, None)], "src long, dst long, weight double"
+    )
+    v = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    g = LinkGraph(vertices=v, edges=e, directed=True)
+    p = str(tmp_path / "g")
+    g.save(p)
+    g2 = LinkGraph.load(spark, p)
+    assert g2.directed is True
+    assert sorted(r["id"] for r in g2.vertices.collect()) == [0, 1, 2]
+    assert {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()} == {
+        (0, 1, 2.0), (1, 2, None)
+    }
