@@ -138,6 +138,10 @@ def main() -> None:
         "walks_orders",
         "mis_orders",
         "harmonic_sampled_orders",
+        "event_sessions",
+        "doc_chunks",
+        "doc_decontaminate",
+        "doc_repetition",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
