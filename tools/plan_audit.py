@@ -36,6 +36,7 @@ SCALAR_BROADCAST = {
     "rich_club_parts",
     "modularity_nations",
     "embedding_topk",
+    "embedding_quantized_topk",
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
