@@ -231,6 +231,20 @@ def q_doc_exact_dedup(spark, sf_dir):
     return ddp.exact_dedup_groups(docs).select("text_hash", "keep_id", "n_dups")
 
 
+def q_doc_dup_spans(spark, sf_dir):
+    """Per-doc duplicated-span fraction (Lee et al. 2022 substring
+    dedup at fixed 4-token span granularity; dedup.duplicated_span_stats)."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    return ddp.duplicated_span_stats(docs, n=4, stride=4)
+
+
+def q_doc_span_dedup(spark, sf_dir):
+    """Span-deduplicated corpus: repeated 4-token spans removed except
+    the globally first occurrence (dedup.drop_duplicated_spans)."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    return ddp.drop_duplicated_spans(docs, n=4, stride=4)
+
+
 def q_doc_stats(spark, sf_dir):
     docs = _read_wide(spark, sf_dir, "documents")
     s = tx.text_stats(docs)
@@ -1313,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_parts": q_clustering_parts,
         "bfs_layers_orders": q_bfs_layers_orders,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_span_dedup": q_doc_span_dedup,
         "doc_stats": q_doc_stats,
         "doc_lang_counts": q_doc_lang_counts,
         "doc_lsh_bands": q_doc_lsh_bands,
@@ -3604,6 +3620,47 @@ GROUP BY r.id""",
         "doc_exact_dedup": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) - 1 AS n_dups
 FROM documents GROUP BY md5(text)""",
+        "doc_dup_spans": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1, CAST(ceil(len(toks)/4.0) AS INT)))) AS k
+  FROM t
+),
+s AS (
+  SELECT doc_id, k, md5(array_to_string(toks[k*4+1 : k*4+4], ' ')) AS h FROM e
+),
+c AS (SELECT h, count(*) AS c FROM s GROUP BY h)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+FROM s JOIN c ON c.h = s.h
+GROUP BY s.doc_id""",
+        "doc_span_dedup": """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1, CAST(ceil(len(toks)/4.0) AS INT)))) AS k
+  FROM t
+),
+s AS (
+  SELECT doc_id, k, array_to_string(toks[k*4+1 : k*4+4], ' ') AS span_text,
+         md5(array_to_string(toks[k*4+1 : k*4+4], ' ')) AS h
+  FROM e
+),
+w AS (
+  SELECT *, count(*) OVER (PARTITION BY h) AS c,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, k) AS rn
+  FROM s
+)
+SELECT doc_id, string_agg(span_text, ' ' ORDER BY k) AS text
+FROM w WHERE c = 1 OR rn = 1
+GROUP BY doc_id""",
         "doc_stats": f"""
 WITH base AS (
   SELECT doc_id, text,

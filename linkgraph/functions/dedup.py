@@ -179,6 +179,113 @@ def simhash_near_dup_pairs(
     )
 
 
+def span_hash_table(
+    df: DataFrame,
+    n: int = 4,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, k, span_text, h): md5 of each ``n``-token span starting at
+    token offset ``k*stride`` (non-overlapping when stride == n).
+
+    This is the substring-dedup shape of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    approximated at fixed span granularity so it stays a hash-groupBy
+    over one corpus scan instead of a suffix array. Empty docs emit
+    one empty span (md5 of "") — deterministic across engines.
+
+    Scale: one scan, explode fan-out = ~tokens/stride rows per doc,
+    hash keys are high-entropy md5 → the downstream groupBy/join on
+    ``h`` is skew-free by construction.
+    """
+    t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    nspan = F.greatest(
+        F.lit(1), F.ceil(F.size("toks") / F.lit(float(stride))).cast("int")
+    )
+    return (
+        t.select("id", "toks", F.explode(F.sequence(F.lit(0), nspan - 1)).alias("k"))
+        .select(
+            "id",
+            "k",
+            F.array_join(
+                F.slice("toks", F.col("k") * stride + 1, n), " "
+            ).alias("span_text"),
+        )
+        .withColumn("h", F.md5("span_text"))
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 4,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span quality signal:
+    (doc_id, n_spans, n_dup_spans, dup_frac) where a span is
+    "duplicated" when its hash occurs >1 time corpus-wide.
+
+    High dup_frac docs are boilerplate/templated — the standard
+    pretraining-corpus filter signal. Two shuffles total: groupBy(h)
+    for corpus counts (map-side partial agg), then groupBy(id)."""
+    sh = span_hash_table(df, n, stride, text_col, id_col)
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        sh.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).cast("double").alias("dup_frac"),
+        )
+    )
+
+
+def drop_duplicated_spans(
+    df: DataFrame,
+    n: int = 4,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The span-deduplicated corpus: (doc_id, text) where every span
+    whose hash repeats corpus-wide is removed EXCEPT its globally
+    first occurrence (min (doc_id, k) — deterministic), and each doc's
+    surviving spans are re-joined in original order. Lee et al. 2022
+    remove-all-but-one policy at span granularity."""
+    sh = span_hash_table(df, n, stride, text_col, id_col)
+    first = sh.groupBy("h").agg(
+        F.min(F.struct("id", "k")).alias("_first"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    kept = sh.join(first, "h").where(
+        (F.col("_c") == 1)
+        | ((F.col("id") == F.col("_first.id")) & (F.col("k") == F.col("_first.k")))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "span_text"))),
+                    lambda s: s.span_text,
+                ),
+                " ",
+            ).alias(text_col)
+        )
+        .select(F.col("id").alias(id_col), text_col)
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     threshold: float = 0.8,

@@ -170,3 +170,35 @@ def test_embedding_quantization(spark):
     topk = quantized_cosine_topk(q, q.where("vec_id = 1"), k=2)
     got = [r["neighbor_id"] for r in topk.orderBy("rank").collect()]
     assert got[0] == 2
+
+
+def test_duplicated_span_stats(spark):
+    from linkgraph.functions.dedup import duplicated_span_stats
+
+    # spans of 2 tokens, stride 2: doc 1 = [a b][c d], doc 2 = [a b][x y],
+    # doc 3 = [c d] -> "a b" dup (docs 1,2), "c d" dup (docs 1,3)
+    docs = _docs(
+        spark,
+        [(1, "a b c d", "en"), (2, "a b x y", "en"), (3, "c d", "en")],
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicated_span_stats(docs, n=2, stride=2).collect()
+    }
+    assert got == {1: (2, 2), 2: (2, 1), 3: (1, 1)}
+
+
+def test_drop_duplicated_spans_keeps_first_occurrence(spark):
+    from linkgraph.functions.dedup import drop_duplicated_spans
+
+    docs = _docs(
+        spark,
+        [(1, "a b c d", "en"), (2, "a b x y", "en"), (3, "c d", "en")],
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicated_spans(docs, n=2, stride=2).collect()
+    }
+    # "a b" kept only in doc 1 (min (doc_id, k)); "c d" kept only in doc 1.
+    # doc 3 loses its only span -> absent from output.
+    assert got == {1: "a b c d", 2: "x y"}
