@@ -414,6 +414,34 @@ def q_scc_orders(spark, sf_dir):
     return strongly_connected_components(g).select("id", "component")
 
 
+def q_flow_hierarchy_orders(spark, sf_dir):
+    """Luo–Magee flow hierarchy of the order graph (fraction of edges
+    outside any cycle; hierarchy.py:10). Edges deduped to match the
+    oracle's DISTINCT edge CTE."""
+    from linkgraph.operators.strongly_connected import flow_hierarchy_df
+
+    g = order_graph(spark, sf_dir)
+    g2 = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select("src", "dst")
+        .distinct()
+        .withColumn("weight", F.lit(1.0)),
+        directed=True,
+    )
+    return flow_hierarchy_df(g2)
+
+
+def q_wl_hashes_chains(spark, sf_dir):
+    """Weisfeiler-Lehman subgraph hashes (2 iterations, md5 lane) on
+    the undirected nation-chain graph (graph_hashing.py)."""
+    from linkgraph.operators.graph_hashing import wl_subgraph_hashes
+
+    g = nation_chain_graph(spark, sf_dir)
+    return wl_subgraph_hashes(g, iterations=2).select(
+        "id", F.col("iteration").cast("long").alias("iteration"), "label"
+    )
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1341,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
         "scc_orders": q_scc_orders,
+        "flow_hierarchy_orders": q_flow_hierarchy_orders,
+        "wl_hashes_chains": q_wl_hashes_chains,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -3767,6 +3797,56 @@ SELECT doc_id, n_tokens, start_offset,
   start_offset % 512 AS pack_offset
 FROM offs""",
         "scc_orders": _scc_sql(),
+        "flow_hierarchy_orders": """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+nodes AS (SELECT c_custkey AS id FROM customer),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+comp AS (
+  SELECT r1.a AS id, max(r1.b) AS component
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+)
+SELECT CAST(sum(CASE WHEN cs.component <> cd.component THEN 1 ELSE 0 END) AS DOUBLE)
+       / count(*) AS flow_hierarchy
+FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
+        "wl_hashes_chains": """
+WITH ch AS (
+  SELECT c_custkey AS src,
+         lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+  FROM customer
+),
+e0 AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+v AS (SELECT c_custkey AS id FROM customer),
+d AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+l0 AS (
+  SELECT v.id, CAST(coalesce(d.d, 0) AS VARCHAR) AS lab
+  FROM v LEFT JOIN d ON d.id = v.id
+),
+n1 AS (
+  SELECT e.src AS id, string_agg(l0.lab, '' ORDER BY l0.lab) AS agg
+  FROM e JOIN l0 ON l0.id = e.dst GROUP BY e.src
+),
+l1 AS (
+  SELECT l0.id, md5(l0.lab || coalesce(n1.agg, '')) AS lab
+  FROM l0 LEFT JOIN n1 ON n1.id = l0.id
+),
+n2 AS (
+  SELECT e.src AS id, string_agg(l1.lab, '' ORDER BY l1.lab) AS agg
+  FROM e JOIN l1 ON l1.id = e.dst GROUP BY e.src
+),
+l2 AS (
+  SELECT l1.id, md5(l1.lab || coalesce(n2.agg, '')) AS lab
+  FROM l1 LEFT JOIN n2 ON n2.id = l1.id
+)
+SELECT id, CAST(0 AS BIGINT) AS iteration, lab AS label FROM l0
+UNION ALL SELECT id, CAST(1 AS BIGINT), lab FROM l1
+UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
         "assortativity_parts": _assortativity_sql(),
         "link_embeddedness_parts": _link_embeddedness_sql(),

@@ -142,6 +142,7 @@ def main() -> None:
         "doc_chunks",
         "doc_decontaminate",
         "doc_repetition",
+        "doc_dup_spans",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

@@ -192,3 +192,46 @@ def condensation_edges(graph: LinkGraph) -> DataFrame:
         .distinct()
     )
     return e
+
+
+def flow_hierarchy(graph: LinkGraph, weighted: bool = False) -> float:
+    """Fraction of edge weight NOT participating in any cycle — i.e.
+    edges whose endpoints lie in different SCCs (reference
+    networkx/algorithms/hierarchy.py:10 ``flow_hierarchy``; Luo &
+    Magee 2011). Directed graphs only, matching the reference's
+    NetworkXError on undirected input.
+
+    One SCC pass + two label joins + a one-row aggregate (documented
+    driver boundary). ``weighted=True`` weighs edges by their
+    ``weight`` column; the reference's default counts edges."""
+    row = flow_hierarchy_df(graph, weighted=weighted).first()
+    if row["flow_hierarchy"] is None:
+        raise ZeroDivisionError("flow_hierarchy of a graph with no edges")
+    return float(row["flow_hierarchy"])
+
+
+def flow_hierarchy_df(graph: LinkGraph, weighted: bool = False) -> DataFrame:
+    """One-row DataFrame form of :func:`flow_hierarchy` — the whole
+    fraction rides the plan (entry-query / composition surface)."""
+    if not graph.directed:
+        raise ValueError("flow_hierarchy is not applicable to undirected graphs")
+    scc = strongly_connected_components(graph)
+    w = F.coalesce(F.col("weight"), F.lit(1.0)) if weighted else F.lit(1.0)
+    return (
+        graph.edges.join(
+            scc.select(F.col("id").alias("src"), F.col("component").alias("_cs")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("id").alias("dst"), F.col("component").alias("_cd")),
+            "dst",
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("_cs") != F.col("_cd"), w).otherwise(F.lit(0.0))
+                ).cast("double")
+                / F.sum(w)
+            ).alias("flow_hierarchy")
+        )
+    )
