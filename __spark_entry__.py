@@ -442,6 +442,76 @@ def q_wl_hashes_chains(spark, sf_dir):
     )
 
 
+def q_node_class_chains(spark, sf_dir):
+    """Zhu harmonic-function label spreading on the nation-chain
+    graph; seeds = every 10th customer labeled by market segment.
+    Chain degrees are 1/2, so every mass is a dyadic rational —
+    bit-exact across engines (node_classification.py)."""
+    from linkgraph.operators.node_classification import harmonic_function
+
+    g = nation_chain_graph(spark, sf_dir)
+    cust = _read(spark, sf_dir, "customer")
+    seeds = cust.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    return harmonic_function(g, seeds, max_iter=6)
+
+
+def _harmonic_sql(iters: int = 6) -> str:
+    """Unrolled harmonic-function oracle on the nation-chain graph
+    (same device as _pagerank_sql): f1 = seed one-hot block, then
+    ``iters - 1`` spread CTEs — seeds clamped, unlabeled rows =
+    degree-normalized neighbor sums."""
+    ctes = []
+    for k in range(2, iters + 1):
+        ctes.append(f"""f{k} AS (
+  SELECT id, lid, mass FROM sl1
+  UNION ALL
+  SELECT e.src AS id, f.lid, sum(f.mass / d.deg) AS mass
+  FROM e JOIN f{k - 1} f ON f.id = e.dst JOIN d ON d.id = e.src
+  WHERE e.src NOT IN (SELECT id FROM sl)
+  GROUP BY e.src, f.lid
+)""")
+    spread_ctes = ",\n".join(ctes)
+    return f"""
+WITH ch AS (
+  SELECT c_custkey AS src,
+         lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+  FROM customer
+),
+e0 AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+v AS (SELECT c_custkey AS id FROM customer),
+d AS (
+  SELECT v.id,
+         CASE WHEN coalesce(dd.s, 0) = 0 THEN 1.0 ELSE dd.s END AS deg
+  FROM v LEFT JOIN (SELECT src AS id, sum(1.0) AS s FROM e GROUP BY src) dd
+    ON dd.id = v.id
+),
+seeds AS (
+  SELECT c_custkey AS id, c_mktsegment AS label
+  FROM customer WHERE c_custkey % 10 = 0
+),
+ldict AS (
+  SELECT label, row_number() OVER (ORDER BY min(id), label) - 1 AS lid
+  FROM seeds GROUP BY label
+),
+sl AS (SELECT s.id, l.lid FROM seeds s JOIN ldict l ON l.label = s.label),
+sl1 AS (SELECT id, lid, CAST(1.0 AS DOUBLE) AS mass FROM sl),
+f1 AS (SELECT * FROM sl1),
+{spread_ctes},
+ranked AS (
+  SELECT id, lid,
+         row_number() OVER (PARTITION BY id ORDER BY round(mass, 9) DESC, lid ASC) AS rn
+  FROM f{iters}
+)
+SELECT v.id, l.label
+FROM v
+LEFT JOIN ranked b ON b.id = v.id AND b.rn = 1
+JOIN ldict l ON l.lid = coalesce(b.lid, 0)"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1371,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_orders": q_scc_orders,
         "flow_hierarchy_orders": q_flow_hierarchy_orders,
         "wl_hashes_chains": q_wl_hashes_chains,
+        "node_class_chains": q_node_class_chains,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -3814,6 +3885,7 @@ comp AS (
 SELECT CAST(sum(CASE WHEN cs.component <> cd.component THEN 1 ELSE 0 END) AS DOUBLE)
        / count(*) AS flow_hierarchy
 FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
+        "node_class_chains": _harmonic_sql(),
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,
