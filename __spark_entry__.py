@@ -1028,6 +1028,49 @@ def q_doc_repetition(spark, sf_dir):
     return repetition_features(docs)
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction counts + scrubbed-text digest. The synthetic
+    corpus contains no digits at all, so each doc's text is first
+    augmented with a deterministic doc_id-derived contact block (one
+    email, SSN, phone, IPv4 each) — same expression in the oracle —
+    making every PII class exercise nonzero matches."""
+    from linkgraph.functions.scrub import pii_scrub_table
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-6789 ip 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+        ).alias("text"),
+    )
+    t = pii_scrub_table(aug)
+    return t.select(
+        "doc_id",
+        *[F.col(f"n_{k}").cast("long").alias(f"n_{k}")
+          for k in ("email", "ssn", "phone", "ipv4")],
+        F.md5("scrubbed").alias("scrub_md5"),
+    )
+
+
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram-LM quality score per document (the
+    perplexity-filter proxy; scrub.unigram_logprob)."""
+    from linkgraph.functions.scrub import unigram_logprob
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob_r")
+    )
+
+
 def q_event_sessions(spark, sf_dir):
     """8-hour-gap sessionization of the event stream + per-session
     stats — the canonical clickstream shape."""
@@ -1499,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_parts": q_louvain_parts,
         "doc_chunks": q_doc_chunks,
         "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "event_sessions": q_event_sessions,
         "url_parts": q_url_parts,
         "link_sh_parts": q_link_sh_parts,
@@ -3492,6 +3537,49 @@ SELECT b.doc_id,
        round(b.adjacent_dup_frac, 8) AS adjacent_dup_frac,
        round(COALESCE(share.s, 0.0), 8) AS top_bigram_share
 FROM base b LEFT JOIN share ON share.doc_id = b.doc_id""",
+        # doc_id-derived contact block + the same four Java∩RE2
+        # patterns as linkgraph/functions/scrub.py PII_PATTERNS,
+        # applied in the same email→ssn→phone→ipv4 order
+        "doc_pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-6789 ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+  ) AS scrub_md5
+FROM aug""",
+        "doc_unigram_logprob": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+sc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, avg(ln(v.cnt / tot.total)) AS lp
+  FROM toks t JOIN vocab v USING (tok), tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(sc.lp, 6) AS avg_logprob_r
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
         "event_sessions": """
 WITH s AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
 m AS (

@@ -37,6 +37,7 @@ SCALAR_BROADCAST = {
     "modularity_nations",
     "embedding_topk",
     "embedding_quantized_topk",
+    "doc_unigram_logprob",  # corpus-total scalar rides the plan
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
