@@ -512,6 +512,121 @@ LEFT JOIN ranked b ON b.id = v.id AND b.rn = 1
 JOIN ldict l ON l.lid = coalesce(b.lid, 0)"""
 
 
+def q_simrank_chains(spark, sf_dir):
+    """Four SimRank iterations on the undirected nation-chain graph
+    (operators/simrank.py); off-diagonal pairs with sim > 0, a < b
+    (the table is symmetric)."""
+    from linkgraph.operators.simrank import simrank_similarity
+
+    g = nation_chain_graph(spark, sf_dir)
+    s = simrank_similarity(g, max_iter=4)
+    # +1e-12 before rounding: four iterations of 0.9^k over dyadic
+    # chain degrees give FINITE decimal expansions that can land
+    # exactly on a half boundary of the 9th decimal (e.g.
+    # 0.1588359375); the nudge resolves the tie identically in both
+    # engines while double noise stays ~1e-16
+    return s.where(F.col("a") < F.col("b")).select(
+        "a", "b", F.round(F.col("sim") + F.lit(1e-12), 9).alias("sim_r")
+    )
+
+
+def _simrank_sql(iters: int = 4, c: float = 0.9) -> str:
+    """Unrolled SimRank on the nation-chain graph: s0 = identity, each
+    step = diagonal UNION ALL the C/(din·din')-scaled two-hop spread
+    (mirror of operators/simrank.py one iteration)."""
+    ctes = []
+    for k in range(1, iters + 1):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT id AS a, id AS b, CAST(1.0 AS DOUBLE) AS sim FROM v
+  UNION ALL
+  SELECT ea.dst AS a, eb.dst AS b,
+         {c} * sum(s.sim) / (max(da.din) * max(db.din)) AS sim
+  FROM s{k - 1} s
+  JOIN e ea ON ea.src = s.a
+  JOIN e eb ON eb.src = s.b
+  JOIN d da ON da.id = ea.dst
+  JOIN d db ON db.id = eb.dst
+  WHERE ea.dst <> eb.dst
+  GROUP BY ea.dst, eb.dst
+)""")
+    spread_ctes = ",\n".join(ctes)
+    return f"""
+WITH ch AS (
+  SELECT c_custkey AS src,
+         lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS dst
+  FROM customer
+),
+e0 AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+v AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+d AS MATERIALIZED (SELECT dst AS id, count(*) AS din FROM e GROUP BY dst),
+s0 AS (SELECT id AS a, id AS b, CAST(1.0 AS DOUBLE) AS sim FROM v),
+{spread_ctes}
+SELECT a, b, round(sim + 1e-12, 9) AS sim_r FROM s{iters} WHERE a < b"""
+
+
+def q_lca_orders(spark, sf_dir):
+    """Deterministic lowest common ancestors on the DAG restriction
+    (src < dst) of the order graph, for 15 fixed customer pairs
+    (operators/dag.py lowest_common_ancestors)."""
+    from linkgraph.operators.dag import lowest_common_ancestors
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")),
+        directed=True,
+    )
+    n = g.vertices.count()
+    cust = _read(spark, sf_dir, "customer")
+    pairs = cust.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long").alias("u"),
+        ((F.col("c_custkey") * 3) % n + 1).cast("long").alias("v"),
+    )
+    return lowest_common_ancestors(dag, pairs)
+
+
+_LCA_SQL = """
+WITH RECURSIVE nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+),
+lp(id, len) AS (
+  SELECT CAST(c_custkey AS BIGINT), 0 FROM customer
+  UNION
+  SELECT e.dst, lp.len + 1 FROM lp JOIN e ON e.src = lp.id
+),
+gen AS MATERIALIZED (SELECT id, max(len) AS generation FROM lp GROUP BY id),
+qp AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS u,
+         CAST((c_custkey * 3) % (SELECT n FROM nn) + 1 AS BIGINT) AS v
+  FROM customer WHERE c_custkey % 100 = 0
+),
+qn AS MATERIALIZED (SELECT u AS q FROM qp UNION SELECT v FROM qp),
+anc(q, a) AS (
+  SELECT q, q FROM qn
+  UNION
+  SELECT anc.q, e.src FROM anc JOIN e ON e.dst = anc.a
+),
+cand AS (
+  SELECT qp.u, qp.v, au.a, gen.generation
+  FROM qp
+  JOIN anc au ON au.q = qp.u
+  JOIN anc av ON av.q = qp.v AND av.a = au.a
+  JOIN gen ON gen.id = au.a
+),
+ranked AS (
+  SELECT u, v, a,
+         row_number() OVER (PARTITION BY u, v
+                            ORDER BY generation DESC, a ASC) AS rn
+  FROM cand
+)
+SELECT u, v, a AS lca FROM ranked WHERE rn = 1"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1485,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_hierarchy_orders": q_flow_hierarchy_orders,
         "wl_hashes_chains": q_wl_hashes_chains,
         "node_class_chains": q_node_class_chains,
+        "simrank_chains": q_simrank_chains,
+        "lca_orders": q_lca_orders,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -3974,6 +4091,8 @@ SELECT CAST(sum(CASE WHEN cs.component <> cd.component THEN 1 ELSE 0 END) AS DOU
        / count(*) AS flow_hierarchy
 FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
         "node_class_chains": _harmonic_sql(),
+        "simrank_chains": _simrank_sql(),
+        "lca_orders": _LCA_SQL,
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,

@@ -162,3 +162,75 @@ def topological_sort(graph: LinkGraph) -> DataFrame:
         "generation",
         (F.col("_rn") - 1 + F.col("_off")).cast("long").alias("topo_rank"),
     )
+
+
+def ancestor_closure(graph: LinkGraph, sources: DataFrame) -> DataFrame:
+    """(q, anc) — every ancestor of every queried node, each node its
+    own ancestor (the reference's LCA convention). Multi-source
+    reverse BFS: all queried nodes advance in lock-step, so rounds =
+    ancestor-DAG depth regardless of |sources|; per-round state is the
+    new frontier only (anti-joined against seen)."""
+    rev = graph.edges.select(
+        F.col("dst").alias("anc"), F.col("src").alias("_nxt")
+    ).distinct().persist()
+    seen = sources.select(F.col("q"), F.col("q").alias("anc")).localCheckpoint()
+    frontier = seen
+    while True:
+        nxt = (
+            frontier.join(rev, "anc")
+            .select("q", F.col("_nxt").alias("anc"))
+            .distinct()
+            .join(seen, ["q", "anc"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return seen
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+
+
+def lowest_common_ancestors(graph: LinkGraph, pairs: DataFrame) -> DataFrame:
+    """(u, v, lca) for each queried pair that has a common ancestor
+    (pairs without one are omitted, as the reference's
+    all_pairs_lowest_common_ancestor yields nothing for them;
+    dag.py:42,72 ancestors/descendants, lowest_common_ancestors.py).
+
+    The reference returns an ARBITRARY lowest common ancestor (dict
+    iteration order); this engine picks deterministically: the common
+    ancestor with the maximum topological generation — any descendant
+    of a common ancestor w has a strictly larger generation, so a
+    max-generation common ancestor can have no common-ancestor
+    descendant and is therefore lowest — with ties broken by smallest
+    id. Documented divergence: always *a* valid LCA, stable across
+    runs and engines.
+
+    Physical plan: one ancestor closure (O(depth) lock-step rounds
+    shared by ALL pair endpoints), one equi-join of the two closures
+    on the ancestor, one per-pair top-1 window. Raises
+    GraphContainsCycle on non-DAG input (via the generations pass,
+    which the ranking needs anyway).
+    """
+    from pyspark.sql.window import Window
+
+    gens = topological_generations(graph)
+    qnodes = (
+        pairs.select(F.col("u").alias("q"))
+        .unionByName(pairs.select(F.col("v").alias("q")))
+        .distinct()
+    )
+    closure = ancestor_closure(graph, qnodes)
+    anc_u = closure.select(F.col("q").alias("u"), "anc")
+    anc_v = closure.select(F.col("q").alias("v"), "anc")
+    cand = (
+        pairs.join(anc_u, "u")
+        .join(anc_v, ["v", "anc"])
+        .join(gens.select(F.col("id").alias("anc"), "generation"), "anc")
+    )
+    w = Window.partitionBy("u", "v").orderBy(
+        F.col("generation").desc(), F.col("anc").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("u", "v", F.col("anc").alias("lca"))
+    )
