@@ -627,6 +627,61 @@ ranked AS (
 SELECT u, v, a AS lca FROM ranked WHERE rn = 1"""
 
 
+def q_trophic_orders(spark, sf_dir):
+    """Trophic levels on the DAG restriction (src < dst) of the order
+    graph — acyclic, so the Jacobi fixpoint is exact after depth
+    supersteps (operators/trophic.py)."""
+    from linkgraph.operators.trophic import trophic_levels
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")),
+        directed=True,
+    )
+    lv = trophic_levels(dag, max_iter=60)
+    return lv.select(
+        "id", F.round(F.col("level") + F.lit(1e-12), 8).alias("level_r")
+    )
+
+
+def _trophic_sql(iters: int = 30) -> str:
+    """Unrolled Jacobi t = 1 + P·t on the order-DAG (depth 25 at
+    sf0.01, so ``iters`` = 30 reaches the exact fixpoint); levels =
+    t + 1 for non-basal nodes, 1 for basal — mirror of
+    operators/trophic.py."""
+    ctes = []
+    for k in range(1, iters + 1):
+        ctes.append(f"""t{k} AS MATERIALIZED (
+  SELECT r.id, 1.0 + COALESCE(g.v, 0.0) AS t
+  FROM rs r LEFT JOIN (
+    SELECT p.id, sum(p.p * t.t) AS v
+    FROM p JOIN t{k - 1} t ON t.id = p.prey GROUP BY p.id
+  ) g ON g.id = r.id
+)""")
+    spread_ctes = ",\n".join(ctes)
+    return f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+),
+ew AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+rs AS MATERIALIZED (SELECT dst AS id, sum(w) AS s FROM ew GROUP BY dst),
+p AS MATERIALIZED (
+  SELECT ew.dst AS id, ew.src AS prey, ew.w / rs.s AS p
+  FROM ew JOIN rs ON rs.id = ew.dst
+  WHERE ew.src IN (SELECT id FROM rs)
+),
+t0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS t FROM rs),
+{spread_ctes}
+SELECT c.c_custkey AS id,
+       round(CASE WHEN t.id IS NULL THEN 1.0 ELSE t.t + 1.0 END + 1e-12, 8) AS level_r
+FROM customer c LEFT JOIN t{iters} t ON t.id = c.c_custkey"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1602,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_class_chains": q_node_class_chains,
         "simrank_chains": q_simrank_chains,
         "lca_orders": q_lca_orders,
+        "trophic_orders": q_trophic_orders,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -4093,6 +4149,7 @@ FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
         "node_class_chains": _harmonic_sql(),
         "simrank_chains": _simrank_sql(),
         "lca_orders": _LCA_SQL,
+        "trophic_orders": _trophic_sql(),
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,
