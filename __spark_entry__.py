@@ -682,6 +682,63 @@ SELECT c.c_custkey AS id,
 FROM customer c LEFT JOIN t{iters} t ON t.id = c.c_custkey"""
 
 
+def q_mst_custlattice(spark, sf_dir):
+    """Borůvka minimum spanning forest on a 400-node customer lattice
+    (edges (u, u+d), d = 1..4) with deterministic ALL-DISTINCT weights
+    — the MSF is therefore unique, so the oracle can verify it by the
+    cycle property (an edge is in the MSF iff its endpoints are NOT
+    connected using strictly lighter edges)."""
+    from linkgraph.operators.mst import minimum_spanning_forest
+
+    cust = _read(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    ids = cust.select(F.col("c_custkey").cast("long").alias("id"))
+    base = ids.select(
+        "id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4))).alias("d")
+    )
+    edges = (
+        base.where(F.col("id") + F.col("d") <= 400)
+        .select(
+            F.col("id").alias("src"),
+            (F.col("id") + F.col("d")).cast("long").alias("dst"),
+            (
+                ((F.col("id") * 131 + F.col("d") * 77) % 97).cast("double")
+                + F.col("id") / F.lit(1000000.0)
+                + F.col("d") / F.lit(100000000.0)
+            ).alias("weight"),
+        )
+    )
+    g = LinkGraph(vertices=ids, edges=edges, directed=False)
+    mst = minimum_spanning_forest(g)
+    return mst.select(
+        "a", "b", F.round(F.col("w") + F.lit(1e-12), 6).alias("w_r")
+    )
+
+
+_MST_SQL = """
+WITH RECURSIVE ew AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS a,
+         CAST(c_custkey + d AS BIGINT) AS b,
+         CAST((c_custkey * 131 + d * 77) % 97 AS DOUBLE)
+           + c_custkey / 1000000.0 + d / 100000000.0 AS w
+  FROM customer, UNNEST([1, 2, 3, 4]) AS t(d)
+  WHERE c_custkey <= 400 AND c_custkey + d <= 400
+),
+eid AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY a, b) AS eid, a, b, w FROM ew
+),
+sym AS MATERIALIZED (
+  SELECT a AS x, b AS y, w FROM eid UNION ALL SELECT b, a, w FROM eid
+),
+r(eid, node, w) AS (
+  SELECT eid, a, w FROM eid
+  UNION
+  SELECT r.eid, s.y, r.w FROM r JOIN sym s ON s.x = r.node AND s.w < r.w
+)
+SELECT e.a, e.b, round(e.w + 1e-12, 6) AS w_r
+FROM eid e
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.eid = e.eid AND r.node = e.b)"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1658,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank_chains": q_simrank_chains,
         "lca_orders": q_lca_orders,
         "trophic_orders": q_trophic_orders,
+        "mst_custlattice": q_mst_custlattice,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -4150,6 +4208,7 @@ FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
         "simrank_chains": _simrank_sql(),
         "lca_orders": _LCA_SQL,
         "trophic_orders": _trophic_sql(),
+        "mst_custlattice": _MST_SQL,
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,
