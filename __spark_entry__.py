@@ -739,6 +739,62 @@ FROM eid e
 WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.eid = e.eid AND r.node = e.b)"""
 
 
+def q_kclique_parts(spark, sf_dir):
+    """Triangle (k=3 clique) percolation communities on the part
+    co-occurrence graph restricted to partkey < 250 (864 triangles at
+    sf0.01 — the recursive-closure oracle stays sub-second);
+    overlapping membership rows labeled by the lexicographically
+    smallest member triangle."""
+    from linkgraph.operators.kclique import k_clique_communities
+
+    g0 = part_cooccurrence_graph(spark, sf_dir)
+    g = LinkGraph(
+        vertices=g0.vertices.where(F.col("id") < 250),
+        edges=g0.edges.where((F.col("src") < 250) & (F.col("dst") < 250)),
+        directed=False,
+    )
+    return k_clique_communities(g, 3)
+
+
+_KCLIQUE_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS s, CAST(b.l_partkey AS BIGINT) AS d
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey AND a.l_partkey < 250 AND b.l_partkey < 250
+),
+tri AS MATERIALIZED (
+  SELECT e1.s AS x, e1.d AS y, e2.d AS z,
+         row_number() OVER (ORDER BY e1.s, e1.d, e2.d) AS tid
+  FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+),
+tedge AS MATERIALIZED (
+  SELECT tid, x AS u, y AS v FROM tri
+  UNION ALL SELECT tid, x, z FROM tri
+  UNION ALL SELECT tid, y, z FROM tri
+),
+tadj AS MATERIALIZED (
+  SELECT a.tid AS ta, b.tid AS tb
+  FROM tedge a JOIN tedge b ON a.u = b.u AND a.v = b.v AND a.tid <> b.tid
+),
+reach(t, l) AS (
+  SELECT tid, tid FROM tri
+  UNION
+  SELECT tadj.tb, reach.l FROM reach JOIN tadj ON tadj.ta = reach.t
+),
+lbl AS (SELECT t, min(l) AS c FROM reach GROUP BY t),
+lt AS (
+  SELECT lbl.t, tc.x AS ca, tc.y AS cb, tc.z AS cc
+  FROM lbl JOIN tri tc ON tc.tid = lbl.c
+),
+mem AS (
+  SELECT tid, x AS id FROM tri
+  UNION ALL SELECT tid, y FROM tri
+  UNION ALL SELECT tid, z FROM tri
+)
+SELECT DISTINCT lt.ca, lt.cb, lt.cc, mem.id
+FROM lt JOIN mem ON mem.tid = lt.t"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1716,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lca_orders": q_lca_orders,
         "trophic_orders": q_trophic_orders,
         "mst_custlattice": q_mst_custlattice,
+        "kclique_parts": q_kclique_parts,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -4209,6 +4266,7 @@ FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
         "lca_orders": _LCA_SQL,
         "trophic_orders": _trophic_sql(),
         "mst_custlattice": _MST_SQL,
+        "kclique_parts": _KCLIQUE_SQL,
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,
