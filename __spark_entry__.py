@@ -795,6 +795,88 @@ SELECT DISTINCT lt.ca, lt.cb, lt.cc, mem.id
 FROM lt JOIN mem ON mem.tid = lt.t"""
 
 
+def q_numeric_assortativity_orders(spark, sf_dir):
+    """Numeric (c_acctbal) assortativity of the directed order graph
+    — one corr aggregate (operators/assortativity.py
+    numeric_assortativity_coefficient)."""
+    from linkgraph.operators.assortativity import (
+        numeric_assortativity_coefficient,
+    )
+
+    g = order_graph(spark, sf_dir)
+    cust = _read(spark, sf_dir, "customer")
+    g = LinkGraph(
+        vertices=g.vertices.join(
+            cust.select(
+                F.col("c_custkey").cast("long").alias("id"),
+                F.col("c_acctbal").cast("double").alias("bal"),
+            ),
+            "id",
+        ),
+        edges=g.edges,
+        directed=True,
+    )
+    r = numeric_assortativity_coefficient(g, "bal")
+    return spark.createDataFrame([(round(r, 8),)], "r double")
+
+
+_NUMERIC_ASSORT_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+)
+SELECT round(corr(ca.c_acctbal, cb.c_acctbal), 8) AS r
+FROM e
+JOIN customer ca ON ca.c_custkey = e.src
+JOIN customer cb ON cb.c_custkey = e.dst"""
+
+
+def q_tfidf_topk_docs(spark, sf_dir):
+    """Sparse TF-IDF cosine top-5 neighbors over a deterministic 10%
+    document slice (functions/tfidf.py tfidf_topk — inverted-index
+    self-join, no cross join). The slice bounds the dense all-pairs
+    blow-up the synthetic 31-token vocabulary would otherwise force;
+    the operator itself is posting-list-bounded via max_df at scale."""
+    from linkgraph.functions.tfidf import tfidf_topk
+
+    docs = _read_wide(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    return tfidf_topk(docs, k=5)
+
+
+_TFIDF_TOPK_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+tk AS (SELECT doc_id AS id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       FROM d),
+tf AS (SELECT id, tok, CAST(count(*) AS DOUBLE) AS tf
+       FROM tk GROUP BY id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+vec AS (SELECT id, tf.tok, tf * ln((SELECT n FROM nn) / df) AS w
+        FROM tf JOIN dfq USING (tok)),
+nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM vec GROUP BY id),
+dots AS (SELECT a.id AS ida, b.id AS idb, sum(a.w * b.w) AS dot
+         FROM vec a JOIN vec b ON a.tok = b.tok AND a.id < b.id
+         GROUP BY a.id, b.id),
+sym AS (SELECT ida, idb, dot FROM dots
+        UNION ALL SELECT idb, ida, dot FROM dots),
+sims AS (SELECT sym.ida AS query_id, sym.idb AS neighbor_id,
+                round(dot / (na.nrm * nb.nrm) + 1e-12, 6) AS s
+         FROM sym
+         JOIN nrm na ON na.id = sym.ida
+         JOIN nrm nb ON nb.id = sym.idb),
+rk AS (SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, neighbor_id ASC) AS rnk
+       FROM sims)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 5"""
+
+
 def q_kcore_parts(spark, sf_dir):
     sub = k_core(part_cooccurrence_graph(spark, sf_dir), k=3)
     return sub.edges.select("src", "dst")
@@ -1773,6 +1855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trophic_orders": q_trophic_orders,
         "mst_custlattice": q_mst_custlattice,
         "kclique_parts": q_kclique_parts,
+        "numeric_assortativity_orders": q_numeric_assortativity_orders,
+        "tfidf_topk_docs": q_tfidf_topk_docs,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -4267,6 +4351,8 @@ FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst""",
         "trophic_orders": _trophic_sql(),
         "mst_custlattice": _MST_SQL,
         "kclique_parts": _KCLIQUE_SQL,
+        "numeric_assortativity_orders": _NUMERIC_ASSORT_SQL,
+        "tfidf_topk_docs": _TFIDF_TOPK_SQL,
         "wl_hashes_chains": """
 WITH ch AS (
   SELECT c_custkey AS src,

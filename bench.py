@@ -143,6 +143,7 @@ def main() -> None:
         "doc_decontaminate",
         "doc_repetition",
         "doc_dup_spans",
+        "tfidf_topk_docs",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

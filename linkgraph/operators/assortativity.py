@@ -241,3 +241,34 @@ def attribute_assortativity_coefficient(
     if sab == 1.0:
         return float("nan")
     return float((trace_frac - sab) / (1.0 - sab))
+
+
+def numeric_assortativity_coefficient(graph: LinkGraph, attr: str) -> float:
+    """Numeric attribute assortativity
+    (networkx/algorithms/assortativity/correlation.py:190
+    ``numeric_assortativity_coefficient``): the Pearson correlation of
+    (x(src), x(dst)) over endpoint pairs — the reference computes it
+    on the value mixing matrix, which is algebraically the same
+    correlation. Undirected edges count in both orientations, mirror
+    of ``attribute_assortativity_coefficient``. One doubly-joined
+    edge scan + a corr aggregate (JVM-side, no mixing matrix)."""
+    va = graph.vertices.select("id", F.col(attr).cast("double").alias("_x"))
+    e = graph.edges.select("src", "dst")
+    if graph.directed:
+        e = e.distinct()
+    else:
+        canon = e.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).distinct()
+        e = canon.unionByName(
+            canon.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    row = (
+        e.join(va.select(F.col("id").alias("src"), F.col("_x").alias("xv")), "src")
+        .join(va.select(F.col("id").alias("dst"), F.col("_x").alias("yv")), "dst")
+        .agg(F.corr("xv", "yv").alias("r"))
+        .first()
+    )
+    return float("nan") if row["r"] is None else float(row["r"])

@@ -551,3 +551,27 @@ def test_edge_betweenness_unnormalized_path(spark):
     }
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+# ----------------------------------------------- numeric assortativity
+@pytest.mark.parametrize("directed", [False, True])
+def test_numeric_assortativity_vs_nx(spark, directed):
+    from linkgraph.operators.assortativity import (
+        numeric_assortativity_coefficient,
+    )
+
+    G = nx.gnp_random_graph(30, 0.15, seed=7, directed=directed)
+    attr = {n: float((n * 13) % 7 + 1) for n in G.nodes}
+    nx.set_node_attributes(G, attr, "size")
+    g = graph_from_edge_names(spark, list(G.edges()), nodes=list(G.nodes),
+                              directed=directed)
+    inv = ids_by_name(g)
+    adf = spark.createDataFrame(
+        [(inv[str(n)], x) for n, x in attr.items()], "id long, size double"
+    )
+    g = type(g)(
+        vertices=g.vertices.join(adf, "id"), edges=g.edges, directed=directed
+    )
+    got = numeric_assortativity_coefficient(g, "size")
+    want = nx.numeric_assortativity_coefficient(G, "size")
+    assert got == pytest.approx(want, abs=1e-9)
