@@ -1294,6 +1294,23 @@ def q_modularity_nations(spark, sf_dir):
     )
 
 
+def q_partition_quality_nations(spark, sf_dir):
+    """Coverage + performance (community/quality.py
+    ``partition_quality``) of the nation partition over the
+    nation-chain graph."""
+    from linkgraph.operators.community_metrics import partition_quality
+
+    g = nation_chain_graph(spark, sf_dir)
+    labels = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("label"),
+    )
+    return partition_quality(g, labels).select(
+        F.round("coverage", 8).alias("coverage_r"),
+        F.round("performance", 8).alias("performance_r"),
+    )
+
+
 def q_assortativity_parts(spark, sf_dir):
     from linkgraph.operators.assortativity import degree_assortativity_coefficient
 
@@ -1807,6 +1824,162 @@ def q_bipartite_color_partsupp(spark, sf_dir):
     return bipartite_color(g).select("id", "color")
 
 
+def q_dag_longest_path_orders(spark, sf_dir):
+    """Weighted longest-path-ending-at-v labels (dag_longest_path's
+    length table) on the DAG restriction (src < dst) of the order
+    graph, deterministic integer weights w = (src + dst) % 4 + 1."""
+    from linkgraph.operators.dag import longest_path_lengths
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")).select(
+            "src",
+            "dst",
+            (F.pmod(F.col("src") + F.col("dst"), F.lit(4)) + 1)
+            .cast("double")
+            .alias("weight"),
+        ),
+        directed=True,
+    )
+    return longest_path_lengths(dag, weighted=True).select(
+        "id", F.round("dist", 6).alias("dist_r")
+    )
+
+
+def skip_chain_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """Directed per-nation customer chains with lead-2 and lead-4 skip
+    edges — a DAG whose transitive reduction is exactly the lead-1
+    chain (every skip edge is covered by consecutive hops)."""
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    parts = []
+    for k in (1, 2, 4):
+        parts.append(
+            cust.select(
+                F.col("c_custkey").cast("long").alias("src"),
+                F.lead("c_custkey", k).over(w).cast("long").alias("dst"),
+            ).where(F.col("dst").isNotNull())
+        )
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).withColumn(
+        "weight", F.lit(1.0)
+    )
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("id"))
+    return LinkGraph(vertices=vertices, edges=edges, directed=True)
+
+
+def q_transitive_reduction_chains(spark, sf_dir):
+    from linkgraph.operators.dag import transitive_reduction
+
+    g = skip_chain_graph(spark, sf_dir)
+    return transitive_reduction(g).select("src", "dst")
+
+
+_DAG_LONGEST_PATH_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT src, dst, CAST((src + dst) % 4 + 1 AS DOUBLE) AS w FROM (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+           CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+    FROM orders
+    WHERE o_custkey < o_orderkey % (SELECT n FROM nn)
+  )
+),
+g(id, d) AS (
+  SELECT CAST(c_custkey AS BIGINT), CAST(0 AS DOUBLE) FROM customer
+  UNION
+  SELECT e.dst, g.d + e.w FROM g JOIN e ON e.src = g.id
+),
+m AS (SELECT id, max(d) AS dist FROM g GROUP BY id)
+SELECT id, round(dist, 6) AS dist_r FROM m"""
+
+
+_TRANSITIVE_REDUCTION_SQL = """
+WITH RECURSIVE ch AS (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST(lead(c_custkey, 1) OVER w AS BIGINT) AS d1,
+         CAST(lead(c_custkey, 2) OVER w AS BIGINT) AS d2,
+         CAST(lead(c_custkey, 4) OVER w AS BIGINT) AS d4
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+),
+e AS (
+  SELECT src, d1 AS dst FROM ch WHERE d1 IS NOT NULL
+  UNION SELECT src, d2 FROM ch WHERE d2 IS NOT NULL
+  UNION SELECT src, d4 FROM ch WHERE d4 IS NOT NULL
+),
+clos(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT c.src, e.dst FROM clos c JOIN e ON e.src = c.dst
+),
+redundant AS (
+  SELECT DISTINCT e.src, c.dst
+  FROM e JOIN clos c ON c.src = e.dst
+  WHERE c.dst <> e.src
+)
+SELECT e.src, e.dst FROM e
+LEFT JOIN redundant r ON r.src = e.src AND r.dst = e.dst
+WHERE r.src IS NULL"""
+
+
+def _mod3_order_graph(spark, sf_dir):
+    """The restricted order graph shared with q_condensation_orders:
+    ~500 SCCs with real cross edges."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.pmod(F.col("o_orderkey"), F.lit(3)) != 0
+    )
+    n = cust.count()
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return LinkGraph(
+        vertices=cust.select(F.col("c_custkey").cast("long").alias("id")),
+        edges=edges,
+        directed=True,
+    )
+
+
+def q_attracting_orders(spark, sf_dir):
+    """Vertices of attracting (sink-SCC) components of the restricted
+    order graph."""
+    from linkgraph.operators.strongly_connected import attracting_components
+
+    return attracting_components(_mod3_order_graph(spark, sf_dir)).select(
+        "id", "component"
+    )
+
+
+_ATTRACTING_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+nodes AS (SELECT c_custkey AS id FROM customer),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+scc AS (
+  SELECT r1.a AS id, max(r1.b) AS component
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+  GROUP BY r1.a
+),
+has_out AS (
+  SELECT DISTINCT cs.component
+  FROM e JOIN scc cs ON cs.id = e.src JOIN scc cd ON cd.id = e.dst
+  WHERE cs.component <> cd.component
+)
+SELECT s.id, s.component FROM scc s
+LEFT JOIN has_out h ON h.component = s.component
+WHERE h.component IS NULL"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -1900,6 +2073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_boundary_orders": q_edge_boundary_orders,
         "weighted_clustering_parts": q_weighted_clustering_parts,
         "bipartite_color_partsupp": q_bipartite_color_partsupp,
+        "dag_longest_path_orders": q_dag_longest_path_orders,
+        "transitive_reduction_chains": q_transitive_reduction_chains,
+        "attracting_orders": q_attracting_orders,
+        "partition_quality_nations": q_partition_quality_nations,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -4440,4 +4617,28 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "eccentricity_orders": _eccentricity_sql(),
         "distance_summary_orders": _distance_summary_sql(),
         "mis_orders": _mis_sql(),
+        "dag_longest_path_orders": _DAG_LONGEST_PATH_SQL,
+        "transitive_reduction_chains": _TRANSITIVE_REDUCTION_SQL,
+        "attracting_orders": _ATTRACTING_SQL,
+        "partition_quality_nations": """
+WITH ce AS (
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+    CAST(lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS BIGINT) AS dst
+  FROM customer
+),
+e AS (SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+      FROM ce WHERE dst IS NOT NULL),
+lab AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        CAST(c_nationkey AS BIGINT) AS label FROM customer),
+ee AS (SELECT a.label AS ls, b.label AS ld
+       FROM e JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst),
+cnt AS (SELECT count(*) AS m,
+        sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS intra FROM ee),
+sz AS (SELECT label, count(*) AS nc FROM lab GROUP BY label),
+ps AS (SELECT sum(nc) AS n, sum(nc * (nc - 1) / 2.0) AS intra_possible FROM sz)
+SELECT
+  round(CAST(intra AS DOUBLE) / m, 8) AS coverage_r,
+  round((intra + (n * (n - 1) / 2.0 - intra_possible - (m - intra)))
+        / (n * (n - 1) / 2.0), 8) AS performance_r
+FROM cnt, ps""",
     }

@@ -74,3 +74,55 @@ def modularity(
             * (F.col("degc") / (F.lit(2.0) * F.col("m"))) ** 2
         ).alias("modularity")
     )
+
+
+def partition_quality(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """One row (coverage DOUBLE, performance DOUBLE) — reference
+    community/quality.py ``partition_quality``:
+
+    * coverage = intra-community edges / total edges
+    * performance = (intra edges + absent inter pairs) / C(n, 2)
+
+    Simple-undirected semantics (the reference's performance formula
+    assumes a simple graph): the canonical deduped undirected edge set
+    with self-loops excluded. Never enumerates non-edges — absent
+    inter pairs come from label sizes alone:
+    inter_possible = C(n,2) − Σ_c C(n_c,2);
+    inter_non_edges = inter_possible − (m − intra). Two label joins +
+    three hash aggregates, all combiner-friendly."""
+    e = (
+        graph.undirected_edges()
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ls")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("ld")),
+            "dst",
+        )
+    )
+    counts = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("ls") == F.col("ld"), 1).otherwise(0)).alias("intra"),
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("nc"))
+    pair_sums = sizes.agg(
+        F.sum("nc").alias("n"),
+        F.sum(F.col("nc") * (F.col("nc") - 1) / 2).alias("intra_possible"),
+    )
+    return counts.crossJoin(F.broadcast(pair_sums)).select(
+        (F.col("intra") / F.col("m")).alias("coverage"),
+        (
+            (
+                F.col("intra")
+                + (
+                    F.col("n") * (F.col("n") - 1) / 2
+                    - F.col("intra_possible")
+                    - (F.col("m") - F.col("intra"))
+                )
+            )
+            / (F.col("n") * (F.col("n") - 1) / 2)
+        ).alias("performance"),
+    )

@@ -189,6 +189,237 @@ def ancestor_closure(graph: LinkGraph, sources: DataFrame) -> DataFrame:
         frontier = nxt
 
 
+def longest_path_lengths(
+    graph: LinkGraph, weighted: bool = False, num_partitions: int | None = None
+) -> DataFrame:
+    """(id BIGINT, dist DOUBLE) — weight of the heaviest directed path
+    ending at each vertex (0 for roots). The weighted max-plus form of
+    :func:`topological_generations`: d(v) = max_{(u,v)} d(u) + w(u,v),
+    reference ``dag_longest_path_length`` (networkx/algorithms/dag.py
+    dag_longest_path, default_weight=1 when ``weighted=False``).
+
+    Same physical profile as the generations pass: one gather join +
+    map-side-combined groupBy max per superstep over an edge table
+    partitioned once by src; only still-moving vertices ride the
+    frontier, so round cost decays. Raises :class:`GraphContainsCycle`
+    when rounds exceed |V| (a cycle never reaches the fixpoint).
+    """
+    spark = graph.spark
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        graph.weighted_edges()
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") if weighted else F.lit(1.0)).alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))  # parallel edges: heaviest wins
+        .join(graph.vertices.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(graph.vertices.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    if (
+        graph.edges.where(F.col("src") == F.col("dst"))
+        .join(graph.vertices.select(F.col("id").alias("src")), "src", "left_semi")
+        .limit(1)
+        .count()
+    ):
+        edges.unpersist()
+        raise GraphContainsCycle("self-loop")
+    edges.count()
+
+    n = graph.vertices.count()
+    d = (
+        graph.vertices.select("id", F.lit(0.0).alias("dist"))
+        .repartition(num_partitions, "id")
+        .persist()
+    )
+    d.count()
+    frontier = d
+    try:
+        rounds = 0
+        while True:
+            cand = (
+                edges.join(frontier.select(F.col("id").alias("src"), "dist"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            moved = (
+                cand.join(d, "id")
+                .where(F.col("nd") > F.col("dist"))
+                .select("id", F.col("nd").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            n_moved = moved.count()
+            if frontier is not d:
+                frontier.unpersist()
+            if n_moved == 0:
+                moved.unpersist()
+                return d
+            rounds += 1
+            if rounds > n:
+                raise GraphContainsCycle(
+                    f"longest-path labels still growing after {n} rounds"
+                )
+            new_d = (
+                d.join(moved.select("id"), "id", "left_anti")
+                .unionByName(moved)
+                .repartition(num_partitions, "id")
+                .localCheckpoint(eager=True)
+            )
+            d.unpersist()
+            d = new_d
+            frontier = moved
+    finally:
+        edges.unpersist()
+
+
+def dag_longest_path(graph: LinkGraph, weighted: bool = False) -> DataFrame:
+    """(pos BIGINT, id BIGINT) — one heaviest directed path, pos 0 at
+    its start. Reference ``dag_longest_path`` (dag.py) returns an
+    ARBITRARY argmax path (DFS/insertion order); this engine picks
+    deterministically: endpoint = max dist, ties to smallest id;
+    predecessor of v = the in-neighbor u with d(u) + w(u,v) = d(v)
+    ("tight" edge), ties to smallest id. Documented divergence —
+    always *a* maximum-weight path, stable across runs.
+
+    Physical plan: one :func:`longest_path_lengths` pass, ONE join to
+    pick every vertex's tight predecessor (no per-step lookups), then
+    the endpoint's predecessor chain is materialized by pointer
+    doubling over the tight-predecessor forest — O(log path-length)
+    self-joins, never a driver-side walk.
+    """
+    dist = longest_path_lengths(graph, weighted=weighted).persist()
+    dist.count()
+    from pyspark.sql.window import Window
+
+    end_row = dist.orderBy(F.col("dist").desc(), F.col("id").asc()).first()
+    end_id, end_dist = end_row["id"], end_row["dist"]
+
+    edges = (
+        graph.weighted_edges()
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") if weighted else F.lit(1.0)).alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+    )
+    tight = (
+        edges.join(dist.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src")
+        .join(dist.select(F.col("id").alias("dst"), F.col("dist").alias("dd")), "dst")
+        .where(F.col("ds") + F.col("w") == F.col("dd"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("src").asc())
+    pred = (
+        tight.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("dst").alias("id"), F.col("src").alias("pred"))
+    )
+    dist.unpersist()
+
+    # pointer doubling: chain(k) holds ancestors of the endpoint at
+    # every back-offset reachable with jumps of stride < 2^k; jump is
+    # the 2^(k-1)-step predecessor table. Rounds = ceil(log2(L)).
+    spark = graph.spark
+    chain = spark.createDataFrame(
+        [(int(end_id), 0)], "id LONG, back LONG"
+    ).localCheckpoint()
+    jump = pred.select("id", F.col("pred").alias("anc"), F.lit(1).alias("hops"))
+    jump = jump.localCheckpoint()
+    while True:
+        ext = (
+            chain.join(jump, "id")
+            .select(F.col("anc").alias("id"), (F.col("back") + F.col("hops")).alias("back"))
+            .join(chain, ["id", "back"], "left_anti")
+            .localCheckpoint()
+        )
+        if ext.isEmpty():
+            break
+        chain = chain.unionByName(ext).localCheckpoint()
+        jump = (
+            jump.join(
+                jump.select(
+                    F.col("id").alias("anc"),
+                    F.col("anc").alias("anc2"),
+                    F.col("hops").alias("hops2"),
+                ),
+                "anc",
+            )
+            .select("id", F.col("anc2").alias("anc"), (F.col("hops") + F.col("hops2")).alias("hops"))
+            .localCheckpoint()
+        )
+        if jump.isEmpty():
+            # strides exhausted; remaining chain fills via 1-step jumps
+            jump = pred.select(
+                "id", F.col("pred").alias("anc"), F.lit(1).alias("hops")
+            ).localCheckpoint()
+    path_len = chain.agg(F.max("back")).first()[0]
+    return chain.select(
+        (F.lit(path_len) - F.col("back")).cast("long").alias("pos"), "id"
+    )
+
+
+def transitive_closure(graph: LinkGraph) -> DataFrame:
+    """(src, dst) — every ordered pair with a directed path of length
+    >= 1 (reference ``transitive_closure``, dag.py, reflexive=False).
+    Output is O(n·reach) — quadratic on dense DAGs; the per-query form
+    is :func:`ancestor_closure`. Path doubling: C <- C ∪ C∘C, so
+    rounds = ceil(log2(longest path)), each one equi-join + distinct.
+    Works on any digraph (cycles close onto themselves)."""
+    c = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    while True:
+        ext = (
+            c.join(
+                c.select(F.col("src").alias("dst"), F.col("dst").alias("d2")),
+                "dst",
+            )
+            .select("src", F.col("d2").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(c, ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if ext.isEmpty():
+            return c
+        c = c.unionByName(ext).localCheckpoint()
+
+
+def transitive_reduction(graph: LinkGraph) -> DataFrame:
+    """(src, dst) — the unique minimal edge set with the same
+    reachability (reference ``transitive_reduction``, dag.py; DAG
+    only — raises :class:`GraphContainsCycle` via the generations
+    pass). An edge (u,v) is redundant iff some 2+-step path u→v
+    exists, i.e. ∃w: (u,w) ∈ E, w ≠ v, w reaches v — one join of the
+    edge table against the closure, then an anti-join."""
+    topological_generations(graph)  # cycle check (cheap, O(depth))
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    closure = transitive_closure(graph)
+    via = (
+        e.select("src", F.col("dst").alias("mid"))
+        .join(
+            closure.select(F.col("src").alias("mid"), "dst"),
+            "mid",
+        )
+        .where(F.col("mid") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return e.join(via, ["src", "dst"], "left_anti")
+
+
 def lowest_common_ancestors(graph: LinkGraph, pairs: DataFrame) -> DataFrame:
     """(u, v, lca) for each queried pair that has a common ancestor
     (pairs without one are omitted, as the reference's

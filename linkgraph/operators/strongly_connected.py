@@ -194,6 +194,115 @@ def condensation_edges(graph: LinkGraph) -> DataFrame:
     return e
 
 
+def attracting_components(graph: LinkGraph) -> DataFrame:
+    """(id, component) for every vertex in an attracting component —
+    an SCC with no condensation out-edge, so a random walk entering it
+    never leaves (reference
+    networkx/algorithms/components/attracting.py:9
+    ``attracting_components``: the condensation nodes with
+    out_degree 0). One SCC pass, one per-edge label join, one
+    anti-join of components against the set with outgoing
+    cross-component edges."""
+    scc = strongly_connected_components(graph)
+    has_out = (
+        graph.edges.select("src", "dst")
+        .join(
+            scc.select(F.col("id").alias("src"), F.col("component").alias("c_src")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("id").alias("dst"), F.col("component").alias("c_dst")),
+            "dst",
+        )
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("component"))
+        .distinct()
+    )
+    return scc.join(has_out, "component", "left_anti").select("id", "component")
+
+
+def number_attracting_components(graph: LinkGraph) -> int:
+    """attracting.py:60 ``number_attracting_components``."""
+    return (
+        attracting_components(graph).agg(F.countDistinct("component")).first()[0]
+    )
+
+
+def is_attracting_component(graph: LinkGraph) -> bool:
+    """attracting.py:89 — True iff the whole graph is one attracting
+    component (i.e. strongly connected and non-null)."""
+    ac = attracting_components(graph).persist()
+    try:
+        n_comp = ac.agg(F.countDistinct("component")).first()[0]
+        n_in = ac.count()
+    finally:
+        ac.unpersist()
+    return n_comp == 1 and n_in == graph.num_vertices()
+
+
+def is_semiconnected(graph: LinkGraph) -> bool:
+    """True iff for every vertex pair (u, v) at least one of u→v, v→u
+    holds (reference networkx/algorithms/connectivity... semiconnected.py:11
+    ``is_semiconnected``): the condensation's topological order must
+    form a Hamiltonian chain — every consecutive component pair in
+    topological order joined by an edge. Raises ValueError on the null
+    graph (NetworkXPointlessConcept parity).
+
+    One SCC pass + condensation, one O(depth) generations loop on the
+    condensation, one window lag + edge semi-join — then a two-scalar
+    comparison. The reference sorts the condensation topologically and
+    checks the same consecutive-pair property."""
+    from pyspark.sql.window import Window
+
+    from .dag import topological_sort
+
+    if graph.num_vertices() == 0:
+        raise ValueError(
+            "Connectivity is undefined for the null graph "
+            "(NetworkXPointlessConcept parity)"
+        )
+    scc = strongly_connected_components(graph).persist()
+    try:
+        comp_vertices = scc.select(F.col("component").alias("id")).distinct()
+        ce = (
+            graph.edges.select("src", "dst")
+            .join(
+                scc.select(F.col("id").alias("src"), F.col("component").alias("c_src")),
+                "src",
+            )
+            .join(
+                scc.select(F.col("id").alias("dst"), F.col("component").alias("c_dst")),
+                "dst",
+            )
+            .where(F.col("c_src") != F.col("c_dst"))
+            .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+            .distinct()
+            .persist()
+        )
+        cond = LinkGraph(
+            vertices=comp_vertices,
+            edges=ce.withColumn("weight", F.lit(1.0)),
+            directed=True,
+        )
+        order = topological_sort(cond)
+        # the single-partition window here ranks CONDENSATION nodes
+        # (#SCCs after contraction), not raw vertices; for web graphs
+        # the giant SCC collapses most mass. Consecutive pairs:
+        w = Window.orderBy("topo_rank")
+        pairs = (
+            order.select("id", "topo_rank")
+            .withColumn("_next", F.lead("id").over(w))
+            .where(F.col("_next").isNotNull())
+            .select(F.col("id").alias("src"), F.col("_next").alias("dst"))
+        )
+        n_pairs = pairs.count()
+        n_linked = pairs.join(ce, ["src", "dst"], "left_semi").count()
+        ce.unpersist()
+        return n_linked == n_pairs
+    finally:
+        scc.unpersist()
+
+
 def flow_hierarchy(graph: LinkGraph, weighted: bool = False) -> float:
     """Fraction of edge weight NOT participating in any cycle — i.e.
     edges whose endpoints lie in different SCCs (reference
