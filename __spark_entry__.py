@@ -1980,6 +1980,227 @@ LEFT JOIN has_out h ON h.component = s.component
 WHERE h.component IS NULL"""
 
 
+def _c4_synth_docs(spark, sf_dir):
+    """documents with deterministic line structure: ' table ' becomes
+    a sentence break, every 17th doc gets a code brace, every 23rd a
+    'lorem ipsum' — the corpus has no newlines/punctuation of its own,
+    so the C4 rules need synthetic-but-deterministic structure to be a
+    real check (oracle applies the identical expression)."""
+    docs = _read_wide(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.when(F.pmod(did, F.lit(23)) == 0, F.lit("lorem ipsum ")).otherwise(
+            F.lit("")
+        ),
+        F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+        F.when(F.pmod(did, F.lit(17)) == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", synth.alias("text"))
+
+
+def q_doc_c4_signals(spark, sf_dir):
+    from linkgraph.functions.quality import c4_signals
+
+    return c4_signals(_c4_synth_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_lorem_ipsum",
+        "has_brace",
+        "c4_keep",
+    )
+
+
+def q_doc_c4_clean(spark, sf_dir):
+    from linkgraph.functions.quality import c4_clean
+
+    return c4_clean(_c4_synth_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+_C4_SYNTH_SQL = """
+synth AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 23 = 0 THEN 'lorem ipsum ' ELSE '' END)
+    || replace(text, ' table ', '.' || chr(10))
+    || (CASE WHEN doc_id % 17 = 0 THEN ' {' ELSE '' END) AS text
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, text,
+    len(string_split(text, chr(10))) AS n_lines,
+    list_filter(string_split(text, chr(10)),
+      ln -> right(trim(ln), 1) IN ('.', '!', '?', '"')
+        AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 5
+        AND NOT contains(lower(ln), 'javascript')) AS kl
+  FROM synth
+),
+sig AS (
+  SELECT doc_id, text, n_lines,
+    len(kl) AS n_kept_lines,
+    CAST(length(coalesce(array_to_string(kl, chr(10)), ''))
+      - length(translate(coalesce(array_to_string(kl, chr(10)), ''), '.!?', ''))
+      AS BIGINT) AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{') AS has_brace,
+    coalesce(array_to_string(kl, chr(10)), '') AS kept_text
+  FROM kept
+)"""
+
+
+_C4_SIGNALS_SQL = (
+    "WITH "
+    + _C4_SYNTH_SQL.lstrip()
+    + """
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_kept_lines AS BIGINT) AS n_kept_lines, n_sentences,
+  has_lorem_ipsum, has_brace,
+  (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 3) AS c4_keep
+FROM sig"""
+)
+
+
+_C4_CLEAN_SQL = (
+    "WITH "
+    + _C4_SYNTH_SQL.lstrip()
+    + """
+SELECT doc_id, kept_text AS text FROM sig
+WHERE NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 3"""
+)
+
+
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023) for every
+    document against the English subset as the target distribution."""
+    from linkgraph.functions.pipeline import dsir_logweights
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_logweights(docs, target, n_buckets=64).select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight_r")
+    )
+
+
+def _dsir_sql(n_buckets: int = 64) -> str:
+    hex8 = _hex8_duck("md5(gram)")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, lang, unnest(tk) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, lang,
+    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]))
+  FROM t
+),
+bkt AS (
+  SELECT doc_id, lang, {hex8} % {n_buckets} AS bucket FROM grams
+),
+rawc AS (SELECT bucket, count(*) AS c FROM bkt GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*) AS c FROM bkt WHERE lang = 'en' GROUP BY bucket),
+rt AS (SELECT sum(c) AS tot FROM rawc),
+tt AS (SELECT sum(c) AS tot FROM tgtc),
+buckets AS (SELECT unnest(range({n_buckets})) AS bucket),
+ratio AS (
+  SELECT b.bucket,
+    (ln(coalesce(tc.c, 0) + 1.0) - ln((SELECT tot FROM tt) + {n_buckets}.0))
+    - (ln(coalesce(rc.c, 0) + 1.0) - ln((SELECT tot FROM rt) + {n_buckets}.0))
+    AS log_ratio
+  FROM buckets b
+  LEFT JOIN tgtc tc ON tc.bucket = b.bucket
+  LEFT JOIN rawc rc ON rc.bucket = b.bucket
+)
+SELECT bkt.doc_id, count(*) AS n_grams,
+  round(sum(r.log_ratio), 6) AS log_weight_r
+FROM bkt JOIN ratio r ON r.bucket = bkt.bucket
+GROUP BY bkt.doc_id"""
+
+
+def q_embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup survivorship over the embeddings table (threshold low
+    enough that the synthetic corpus yields real near-dup groups)."""
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, threshold=0.3, n_centroids=8, kmeans_iters=2
+    ).select("vec_id", "cluster", "is_survivor")
+
+
+def _semantic_dedup_sql(
+    dim: int = 64,
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> str:
+    """Mirror of ``similarity.semantic_dedup``: the `_ivf_sql` k-means
+    unroll, within-cell pairs with cosine rounded to 6 >= threshold,
+    transitive closure by recursive reachability, cluster = min
+    reachable id, survivor = own cluster min."""
+    d_expr = _sqdist_duck("e.ed", "c.c", dim)
+    parts = [f"""
+WITH RECURSIVE emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+cent0 AS MATERIALIZED (
+  SELECT vec_id AS cid, ed AS c FROM emb WHERE vec_id < {n_centroids}
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, ed, cid FROM (
+    SELECT e.vec_id, e.ed, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({d_expr}, 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent{t - 1} c
+  ) WHERE rn = 1
+),
+m{t} AS MATERIALIZED (
+  SELECT cid, i AS pos, round(avg(ed[i]), 9) AS m
+  FROM asg{t}, UNNEST(range(1, {dim + 1})) AS u(i)
+  GROUP BY cid, i
+),
+cent{t} AS MATERIALIZED (
+  SELECT c.cid, COALESCE(lst.l, c.c) AS c
+  FROM cent{t - 1} c LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS l FROM m{t} GROUP BY cid
+  ) lst ON lst.cid = c.cid
+)""")
+    parts.append(f""",
+fa AS MATERIALIZED (
+  SELECT vec_id, ed, cid AS cluster FROM (
+    SELECT e.vec_id, e.ed, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({d_expr}, 6) ASC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+),
+ed AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM fa a JOIN fa b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.ed, b.ed)
+    / greatest(sqrt(list_dot_product(a.ed, a.ed))
+        * sqrt(list_dot_product(b.ed, b.ed)), 1e-300), 6) >= {threshold}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM ed
+  UNION SELECT id_b, id_a FROM ed
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b WHERE s.b <> r.a
+),
+cl AS (
+  SELECT e.vec_id,
+    least(e.vec_id, coalesce(min(r.b), e.vec_id)) AS cluster
+  FROM emb e LEFT JOIN reach r ON r.a = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT vec_id, cluster, (vec_id = cluster) AS is_survivor FROM cl""")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2077,6 +2298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitive_reduction_chains": q_transitive_reduction_chains,
         "attracting_orders": q_attracting_orders,
         "partition_quality_nations": q_partition_quality_nations,
+        "doc_c4_signals": q_doc_c4_signals,
+        "doc_c4_clean": q_doc_c4_clean,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -4620,6 +4845,12 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "dag_longest_path_orders": _DAG_LONGEST_PATH_SQL,
         "transitive_reduction_chains": _TRANSITIVE_REDUCTION_SQL,
         "attracting_orders": _ATTRACTING_SQL,
+        "doc_c4_signals": _C4_SIGNALS_SQL,
+        "doc_c4_clean": _C4_CLEAN_SQL,
+        "doc_dsir_weights": _dsir_sql(64),
+        "embedding_semantic_dedup": _semantic_dedup_sql(
+            dim=64, n_centroids=8, iters=2, threshold=0.3
+        ),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

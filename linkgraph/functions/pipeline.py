@@ -305,3 +305,107 @@ def chunk_documents(
             F.array_join("_chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def _gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, bucket) one row per token unigram AND bigram occurrence —
+    the DSIR hashed n-gram feature space (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", §3:
+    hashed unigram+bigram bag features). Bucket = first 8 md5 hex
+    digits mod ``n_buckets`` (the repo's md5 oracle lane; swap to
+    xxhash64 for the scale lane exactly as in dedup.py)."""
+    from .textops import tokens
+
+    toks = tokens(F.col(text_col))
+    grams = F.concat(
+        toks,
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    ).select(
+        "id",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(doc_id, n_grams, log_weight) — per-raw-document DSIR
+    importance log-weight log p_target(doc)/p_raw(doc) under hashed
+    unigram+bigram bag-of-buckets multinomials with add-1 smoothing
+    (Xie et al. 2023 §3; the resampling step is then a weighted
+    :func:`stratified_sample`-style draw or a top-k cut on
+    ``log_weight``).
+
+    Physical plan: both corpora explode once into (id, bucket); two
+    ``n_buckets``-row count aggregates become ONE broadcast log-ratio
+    table; every raw doc's score is a broadcast equi-join + one
+    partial-agg groupBy(sum). No driver loop, no per-row Python; the
+    bucket table is O(n_buckets) regardless of corpus size."""
+    raw_b = _gram_buckets(raw, text_col, id_col, n_buckets).persist()
+    tgt_b = _gram_buckets(target, text_col, id_col, n_buckets)
+
+    def _dist(b: DataFrame, name: str) -> DataFrame:
+        counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        total = counts.agg(F.sum("c").alias("tot"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                "bucket",
+                (
+                    F.log((F.col("c") + 1.0))
+                    - F.log(F.col("tot") + F.lit(float(n_buckets)))
+                ).alias(name),
+            )
+        )
+
+    # all n_buckets rows, including zero-count buckets on either side
+    all_buckets = raw.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    raw_tot = raw_b.count()  # materializes the persist; scalar reused below
+    # zero-count buckets still carry smoothed mass log(1/(tot+B)) —
+    # two one-row totals as driver scalars make the coalesce exact
+    tgt_tot = tgt_b.count()
+    import math
+
+    lp_t0 = math.log(1.0) - math.log(tgt_tot + float(n_buckets))
+    lp_r0 = math.log(1.0) - math.log(raw_tot + float(n_buckets))
+    ratio = (
+        all_buckets.join(_dist(tgt_b, "lp_t"), "bucket", "left")
+        .join(_dist(raw_b, "lp_r"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.coalesce("lp_t", F.lit(lp_t0))
+                - F.coalesce("lp_r", F.lit(lp_r0))
+            ).alias("log_ratio"),
+        )
+    )
+    out = (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+    return out

@@ -437,3 +437,92 @@ def quantized_cosine_topk(
     return scored.select(
         "query_id", "neighbor_id", "score", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+def semantic_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(id_a, id_b, score) — embedding pairs in the SAME k-means cell
+    with cosine >= threshold, id_a < id_b. The candidate-generation
+    step of SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster
+    first, then compare only within cells, so the join is an equi-join
+    on ``cluster`` (candidate volume ~ Σ|cell|², never corpus²).
+    Pairs split across cells are missed by construction — the
+    method's documented approximation.
+
+    The centroid table rides the plan as literals (broadcast-k-means
+    shape, no shuffle for assignment); the pair join shuffles once on
+    ``cluster``."""
+    cents = kmeans_fit(
+        corpus,
+        n_centroids=n_centroids,
+        iters=kmeans_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _nearest_centroid(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents
+        ).alias("cluster"),
+    )
+    a = assigned.select(
+        "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("id").alias("id_b"), F.col("v").alias("vb")
+    )
+    score = cosine(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, is_survivor) — SemDeDup survivorship:
+    :func:`semantic_near_pairs` edges -> connected components ->
+    keep the minimum id of every near-dup group (the same transitive
+    closure + min-id-survivor contract as ``dedup.near_dup_clusters``,
+    so downstream curation composes identically). Abbas et al. keep
+    the cluster member FARTHEST from the centroid; min-id is this
+    engine's deterministic, oracle-hashable choice (documented
+    divergence)."""
+    from ..graph import LinkGraph
+    from ..operators.components import connected_components
+
+    pairs = semantic_near_pairs(
+        corpus, threshold, n_centroids, kmeans_iters, id_col, vec_col
+    )
+    verts = corpus.select(F.col(id_col).cast("long").alias("id")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    g = LinkGraph(verts, edges, directed=False)
+    labels = connected_components(g)
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_survivor"),
+    )
