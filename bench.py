@@ -144,6 +144,10 @@ def main() -> None:
         "doc_repetition",
         "doc_dup_spans",
         "tfidf_topk_docs",
+        "doc_c4_signals",
+        "doc_dsir_weights",
+        "embedding_semantic_dedup",
+        "dag_longest_path_orders",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
