@@ -2201,6 +2201,54 @@ SELECT vec_id, cluster, (vec_id = cluster) AS is_survivor FROM cl""")
     return "".join(parts)
 
 
+def q_reaching_orders(spark, sf_dir):
+    """Per-node local reaching centrality on the restricted order
+    graph (directed unweighted reaching.py semantics)."""
+    from linkgraph.operators.reaching import local_reaching_centrality
+
+    return local_reaching_centrality(_mod3_order_graph(spark, sf_dir)).select(
+        "id", F.round("lrc", 8).alias("lrc_r")
+    )
+
+
+def q_grc_orders(spark, sf_dir):
+    from linkgraph.operators.reaching import global_reaching_centrality
+
+    return global_reaching_centrality(_mod3_order_graph(spark, sf_dir)).select(
+        F.round("grc", 8).alias("grc_r")
+    )
+
+
+_REACHING_CTE = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+lrc AS (
+  SELECT n0.id,
+    CAST(count(r.b) FILTER (r.b <> n0.id) AS DOUBLE)
+      / ((SELECT n FROM nn) - 1) AS lrc
+  FROM nodes n0 LEFT JOIN reach r ON r.a = n0.id
+  GROUP BY n0.id
+)"""
+
+
+_REACHING_SQL = _REACHING_CTE + """
+SELECT id, round(lrc, 8) AS lrc_r FROM lrc"""
+
+
+_GRC_SQL = _REACHING_CTE + """
+SELECT round(sum((SELECT max(lrc) FROM lrc) - lrc)
+  / ((SELECT n FROM nn) - 1), 8) AS grc_r FROM lrc"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2302,6 +2350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": q_doc_c4_clean,
         "doc_dsir_weights": q_doc_dsir_weights,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "reaching_orders": q_reaching_orders,
+        "grc_orders": q_grc_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -4851,6 +4901,8 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "embedding_semantic_dedup": _semantic_dedup_sql(
             dim=64, n_centroids=8, iters=2, threshold=0.3
         ),
+        "reaching_orders": _REACHING_SQL,
+        "grc_orders": _GRC_SQL,
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,
