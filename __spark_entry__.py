@@ -2249,6 +2249,52 @@ SELECT round(sum((SELECT max(lrc) FROM lrc) - lrc)
   / ((SELECT n FROM nn) - 1), 8) AS grc_r FROM lrc"""
 
 
+def q_snap_orders(spark, sf_dir):
+    """SNAP AR-compatible grouping of the order graph by market
+    segment, 3 fixed refinement supersteps (idempotent past the
+    fixpoint; the oracle unrolls the same 3 rounds)."""
+    from linkgraph.operators.summarization import snap_groups
+
+    g = order_graph(spark, sf_dir)
+    attrs = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_mktsegment").alias("attr"),
+    )
+    return snap_groups(g, attrs, rounds=3).select("id", "group")
+
+
+def _snap_sql(rounds: int = 3) -> str:
+    parts = ["""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+),
+l0 AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, md5(c_mktsegment) AS label
+  FROM customer
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+s{t} AS (
+  SELECT e.src AS id,
+    array_to_string(list_sort(list_distinct(list(l.label || ':'))), '|') AS sig
+  FROM e JOIN l{t - 1} l ON l.id = e.dst
+  GROUP BY e.src
+),
+l{t} AS (
+  SELECT l.id, md5(l.label || '|' || coalesce(s.sig, '')) AS label
+  FROM l{t - 1} l LEFT JOIN s{t} s ON s.id = l.id
+)""")
+    parts.append(f"""
+SELECT l.id, g.grp AS "group"
+FROM l{rounds} l JOIN (
+  SELECT label, min(id) AS grp FROM l{rounds} GROUP BY label
+) g ON g.label = l.label""")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2352,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "reaching_orders": q_reaching_orders,
         "grc_orders": q_grc_orders,
+        "snap_orders": q_snap_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -4903,6 +4950,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         ),
         "reaching_orders": _REACHING_SQL,
         "grc_orders": _GRC_SQL,
+        "snap_orders": _snap_sql(3),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,
