@@ -2295,6 +2295,59 @@ FROM l{rounds} l JOIN (
     return "".join(parts)
 
 
+def q_aperiodic_orders(spark, sf_dir):
+    """Markov-chain aperiodicity of the (strongly connected) order
+    graph and periodicity of a directed nation ring — two driver
+    booleans surfaced as one row."""
+    from linkgraph.operators.strongly_connected import is_aperiodic
+
+    g = order_graph(spark, sf_dir)
+    dring = nation_ring_graph(spark, sf_dir, closed=True, directed=True)
+    return spark.createDataFrame(
+        [(bool(is_aperiodic(g)), bool(is_aperiodic(dring)))],
+        "orders_aperiodic BOOLEAN, ring_aperiodic BOOLEAN",
+    )
+
+
+def _aperiodic_sql(rounds: int = 8) -> str:
+    """BFS levels from the min-id source unrolled ``rounds`` min-relax
+    steps (>= graph eccentricity), then period = gcd over all edges of
+    level[u] - level[v] + 1 (tree-consistent edges contribute 0). The
+    ring half: per-nation cycle length = nation size, gcd > 1 unless a
+    nation has a single customer (self-loop)."""
+    parts = ["""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey IN (SELECT id FROM nodes)
+    AND o_orderkey % (SELECT n FROM nn) IN (SELECT id FROM nodes)
+),
+l0 AS (SELECT (SELECT min(id) FROM nodes) AS id, 0 AS l)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+l{t} AS (
+  SELECT id, min(l) AS l FROM (
+    SELECT id, l FROM l{t - 1}
+    UNION ALL
+    SELECT e.dst, p.l + 1 FROM l{t - 1} p JOIN e ON e.src = p.id
+  ) GROUP BY id
+)""")
+    parts.append(f""",
+diffs AS (
+  SELECT DISTINCT lu.l - lv.l + 1 AS d
+  FROM e JOIN l{rounds} lu ON lu.id = e.src JOIN l{rounds} lv ON lv.id = e.dst
+)
+SELECT
+  (list_reduce(list_prepend(0, list(d)), (a, b) -> gcd(a, b)) = 1)
+    AS orders_aperiodic,
+  (SELECT count(*) = 1 FROM nation) AS ring_aperiodic
+FROM diffs""")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2399,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reaching_orders": q_reaching_orders,
         "grc_orders": q_grc_orders,
         "snap_orders": q_snap_orders,
+        "aperiodic_orders": q_aperiodic_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -4951,6 +5005,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "reaching_orders": _REACHING_SQL,
         "grc_orders": _GRC_SQL,
         "snap_orders": _snap_sql(3),
+        "aperiodic_orders": _aperiodic_sql(8),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

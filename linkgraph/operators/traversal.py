@@ -59,12 +59,17 @@ def bfs_layers(
     visited.count()
     try:
         for depth in range(1, max_depth + 1):
+            # localCheckpoint (not bare persist): the frontier feeds the
+            # next round's semi-join, so an unbroken lineage chain grows
+            # one plan level per round — O(rounds) analysis cost and an
+            # eventual driver OOM stringifying the plan on deep BFS over
+            # graphs with window/union-shaped edge plans
             nxt = (
                 edges.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(visited.select("id"), "id", "left_anti")
-                .persist()
+                .localCheckpoint(eager=True)
             )
             n = nxt.count()
             frontier.unpersist()

@@ -38,6 +38,9 @@ SCALAR_BROADCAST = {
     "embedding_topk",
     "embedding_quantized_topk",
     "doc_unigram_logprob",  # corpus-total scalar rides the plan
+    "partition_quality_nations",  # (n, Σ C(nc,2)) one-row agg rides the plan
+    "doc_dsir_weights",  # corpus gram-total one-row agg rides the plan
+    "grc_orders",  # max-lrc one-row agg rides the plan
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
