@@ -2348,6 +2348,48 @@ FROM diffs""")
     return "".join(parts)
 
 
+def q_voronoi_orders(spark, sf_dir):
+    """Outward Voronoi cells of the order graph from 5 fixed centers
+    (min-center-id tie-break)."""
+    from linkgraph.operators.traversal import voronoi_cells
+
+    g = order_graph(spark, sf_dir)
+    return voronoi_cells(g, [0, 1, 2, 3, 4]).select(
+        "id", "center", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def _voronoi_sql(rounds: int = 10, n_centers: int = 5) -> str:
+    """Min-relax over encoded (dist, center) keys: enc = dist * 1e6 +
+    center, so BIGINT min is lexicographic (dist, center) min — the
+    engine's nearest-center-then-smallest-id rule."""
+    parts = [f"""
+WITH nn AS (SELECT count(*) AS n FROM customer),
+nodes AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey IN (SELECT id FROM nodes)
+    AND o_orderkey % (SELECT n FROM nn) IN (SELECT id FROM nodes)
+),
+l0 AS (
+  SELECT id, id AS enc FROM nodes WHERE id < {n_centers}
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+l{t} AS (
+  SELECT id, min(enc) AS enc FROM (
+    SELECT id, enc FROM l{t - 1}
+    UNION ALL
+    SELECT e.dst, p.enc + 1000000 FROM l{t - 1} p JOIN e ON e.src = p.id
+  ) GROUP BY id
+)""")
+    parts.append(f"""
+SELECT id, enc % 1000000 AS center, enc // 1000000 AS dist FROM l{rounds}""")
+    return "".join(parts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2453,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grc_orders": q_grc_orders,
         "snap_orders": q_snap_orders,
         "aperiodic_orders": q_aperiodic_orders,
+        "voronoi_orders": q_voronoi_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5006,6 +5049,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "grc_orders": _GRC_SQL,
         "snap_orders": _snap_sql(3),
         "aperiodic_orders": _aperiodic_sql(8),
+        "voronoi_orders": _voronoi_sql(10, 5),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

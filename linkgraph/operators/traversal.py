@@ -136,12 +136,13 @@ def multi_source_bfs_layers(
     visited.count()
     try:
         for depth in range(1, max_depth + 1):
+            # localCheckpoint, not bare persist — see bfs_layers note
             nxt = (
                 edges.join(frontier.withColumnRenamed("id", "src"), "src")
                 .select("source", F.col("dst").alias("id"))
                 .distinct()
                 .join(visited.select("source", "id"), ["source", "id"], "left_anti")
-                .persist()
+                .localCheckpoint(eager=True)
             )
             n = nxt.count()
             frontier.unpersist()
@@ -300,3 +301,66 @@ def multi_source_bfs_counts(
     for part in out_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+def voronoi_cells(
+    graph: LinkGraph,
+    centers: Iterable[int] | DataFrame,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """(id, center, dist) — every reachable vertex assigned to its
+    nearest center by hop distance (reference networkx voronoi.py
+    ``voronoi_cells``, Erwig 2000; unweighted form). The reference
+    breaks equidistant ties by its dijkstra's dict order — this engine
+    picks the SMALLEST center id among nearest centers (deterministic,
+    oracle-hashable; documented divergence). Unreachable vertices are
+    absent (the reference collects them in an 'unreachable' cell —
+    recoverable as an anti-join against the vertex table).
+
+    Physical profile: identical to :func:`bfs_layers` (one semi-joined
+    gather + min-aggregate per superstep, frontier localCheckpointed),
+    with the center id riding the frontier as payload. All centers
+    advance in lock-step, so rounds = graph eccentricity bound
+    regardless of |centers|; equidistant arrivals for a vertex land in
+    the same round, where groupBy-min resolves the tie."""
+    spark = graph.spark
+    if isinstance(centers, DataFrame):
+        cdf = centers.select(F.col("id").cast("long"))
+    else:
+        rows = [(int(c),) for c in centers]
+        if not rows:
+            raise ValueError("center_nodes must not be empty")
+        cdf = spark.createDataFrame(rows, "id long")
+    cdf = cdf.join(graph.vertices.select("id"), "id", "left_semi")
+
+    edges = (
+        (graph.weighted_edges() if graph.directed else graph.symmetrized_edges())
+        .select("src", "dst")
+        .distinct()
+        .join(
+            graph.vertices.select(F.col("id").alias("dst")), "dst", "left_semi"
+        )
+        .persist()
+    )
+    edges.count()
+    settled = cdf.select(
+        "id", F.col("id").alias("center"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                edges.join(frontier.select(F.col("id").alias("src"), "center"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("center").alias("center"))
+                .join(settled.select("id"), "id", "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return settled
+    finally:
+        edges.unpersist()
