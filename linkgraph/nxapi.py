@@ -816,3 +816,137 @@ def girvan_newman(spark, edges, nodes=()) -> set:
     for r in girvan_newman_level(g, levels=1).collect():
         out.setdefault(r["component"], set()).add(nm[r["id"]])
     return {frozenset(s) for s in out.values()}
+
+
+def dag_longest_path(spark, edges, nodes=(), weighted=False) -> list:
+    """``nx.dag_longest_path`` (dag.py) — node-name list of one
+    maximum-weight path (deterministic tight-predecessor choice)."""
+    from .operators.dag import dag_longest_path as _dlp
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    rows = sorted(_dlp(g, weighted=weighted).collect(), key=lambda r: r["pos"])
+    return [nm[r["id"]] for r in rows]
+
+
+def dag_longest_path_length(spark, edges, nodes=(), weighted=False) -> float:
+    from pyspark.sql import functions as F
+
+    from .operators.dag import longest_path_lengths
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    v = longest_path_lengths(g, weighted=weighted).agg(F.max("dist")).first()[0]
+    return float(v)
+
+
+def transitive_closure(spark, edges, nodes=()) -> set:
+    """``nx.transitive_closure`` (reflexive=False) edge set."""
+    from .operators.dag import transitive_closure as _tc
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    return {(nm[r["src"]], nm[r["dst"]]) for r in _tc(g).collect()}
+
+
+def transitive_reduction(spark, edges, nodes=()) -> set:
+    from .operators.dag import transitive_reduction as _tr
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    return {(nm[r["src"]], nm[r["dst"]]) for r in _tr(g).collect()}
+
+
+def attracting_components(spark, edges, nodes=()) -> list[set]:
+    from .operators.strongly_connected import attracting_components as _ac
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    nm = _name_map(g)
+    out: dict = {}
+    for r in _ac(g).collect():
+        out.setdefault(r["component"], set()).add(nm[r["id"]])
+    return list(out.values())
+
+
+def is_semiconnected(spark, edges, nodes=()) -> bool:
+    from .operators.strongly_connected import is_semiconnected as _sc
+
+    return _sc(_as_graph(spark, edges, nodes, directed=True))
+
+
+def is_aperiodic(spark, edges, nodes=()) -> bool:
+    from .operators.strongly_connected import is_aperiodic as _ap
+
+    return _ap(_as_graph(spark, edges, nodes, directed=True))
+
+
+def voronoi_cells(spark, edges, center_nodes, nodes=(), directed=False) -> dict:
+    """``nx.voronoi_cells`` — {center name: set of member names};
+    unreachable nodes collected under 'unreachable' (reference
+    contract)."""
+    from .operators.traversal import voronoi_cells as _vc
+
+    g = _as_graph(spark, edges, nodes, directed=directed)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    centers = [rev[str(c)] for c in center_nodes]
+    out: dict = {str(c): set() for c in center_nodes}
+    reached = set()
+    for r in _vc(g, centers).collect():
+        out[nm[r["center"]]].add(nm[r["id"]])
+        reached.add(r["id"])
+    unreachable = {nm[i] for i in nm if i not in reached}
+    if unreachable:
+        out["unreachable"] = unreachable
+    return out
+
+
+def partition_quality(spark, edges, communities, nodes=()) -> tuple:
+    """``nx.community.partition_quality`` — (coverage, performance)
+    for a list-of-sets partition."""
+    from .operators.community_metrics import partition_quality as _pq
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    rows = [
+        (rev[str(n)], i) for i, comm in enumerate(communities) for n in comm
+    ]
+    labels = spark.createDataFrame(rows, "id LONG, label LONG")
+    r = _pq(g, labels).first()
+    return (r["coverage"], r["performance"])
+
+
+def global_reaching_centrality(spark, edges, nodes=()) -> float:
+    from .operators.reaching import global_reaching_centrality as _grc
+
+    g = _as_graph(spark, edges, nodes, directed=True)
+    return float(_grc(g).first()["grc"])
+
+
+def snap_aggregation(spark, edges, node_attributes, edge_attributes=None, nodes=()) -> set:
+    """``nx.snap_aggregation`` partition — set of frozensets of node
+    names (supernode identity is engine-specific by design).
+    ``node_attributes`` maps node name -> attr string;
+    ``edge_attributes`` optionally maps (u, v) -> type string."""
+    from .operators.summarization import snap_groups
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    rev = {v: k for k, v in nm.items()}
+    attrs = spark.createDataFrame(
+        [(rev[str(k)], str(v)) for k, v in node_attributes.items()],
+        "id LONG, attr STRING",
+    )
+    et = None
+    if edge_attributes:
+        et = spark.createDataFrame(
+            [
+                (rev[str(u)], rev[str(v)], str(t))
+                for (u, v), t in edge_attributes.items()
+            ],
+            "src LONG, dst LONG, etype STRING",
+        )
+    out: dict = {}
+    for r in snap_groups(g, attrs, edge_types=et).collect():
+        out.setdefault(r["group"], set()).add(nm[r["id"]])
+    return {frozenset(s) for s in out.values()}

@@ -167,3 +167,37 @@ def test_nxapi_path_family(spark):
     dist = nx.single_source_shortest_path_length(G, 0)
     assert {b for _, b in bt} == set(G) - {0}
     assert all(dist[b] == dist[a] + 1 for a, b in bt)
+
+
+def test_nxapi_dag_extras(spark):
+    dag = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    assert nxapi.dag_longest_path(spark, dag) == ["0", "1", "2", "3"]
+    assert nxapi.dag_longest_path_length(spark, dag) == 3.0
+    red = nxapi.transitive_reduction(spark, dag)
+    assert red == {("0", "1"), ("1", "2"), ("2", "3")}
+    clo = nxapi.transitive_closure(spark, [(0, 1), (1, 2)])
+    assert clo == {("0", "1"), ("1", "2"), ("0", "2")}
+
+
+def test_nxapi_components_extras(spark):
+    cyc = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)]
+    comps = nxapi.attracting_components(spark, cyc)
+    assert sorted(map(sorted, comps)) == [["2", "3"]]
+    assert nxapi.is_semiconnected(spark, cyc) is True
+    assert nxapi.is_aperiodic(spark, [(0, 1), (1, 0)]) is False
+
+
+def test_nxapi_voronoi_quality_snap(spark):
+    path = [(i, i + 1) for i in range(5)]
+    cells = nxapi.voronoi_cells(spark, path, [0, 3])
+    assert cells == {"0": {"0", "1"}, "3": {"2", "3", "4", "5"}}
+    cov, perf = nxapi.partition_quality(
+        spark, path, [{0, 1, 2}, {3, 4, 5}]
+    )
+    assert cov == pytest.approx(4 / 5)
+    grc = nxapi.global_reaching_centrality(spark, [(0, 1), (0, 2)])
+    assert grc == pytest.approx(1.0)
+    part = nxapi.snap_aggregation(
+        spark, [(0, 2), (1, 2)], {0: "a", 1: "a", 2: "b"}
+    )
+    assert part == {frozenset({"0", "1"}), frozenset({"2"})}

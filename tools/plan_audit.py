@@ -41,6 +41,7 @@ SCALAR_BROADCAST = {
     "partition_quality_nations",  # (n, Σ C(nc,2)) one-row agg rides the plan
     "doc_dsir_weights",  # corpus gram-total one-row agg rides the plan
     "grc_orders",  # max-lrc one-row agg rides the plan
+    "tfidf_topk_docs",  # corpus-size N one-row agg rides the IDF plan
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
