@@ -2390,6 +2390,37 @@ SELECT id, enc % 1000000 AS center, enc // 1000000 AS dist FROM l{rounds}""")
     return "".join(parts)
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination: corpus items too similar to
+    the 8-vector 'benchmark' slice (broadcast side)."""
+    from linkgraph.functions.pipeline import semantic_decontaminate
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 8)
+    return semantic_decontaminate(emb, bench, threshold=0.35).select(
+        "vec_id", "max_benchmark_sim", "contaminated"
+    )
+
+
+_EMB_DECONTAM_SQL = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+),
+bench AS (SELECT vec_id AS bid, ed AS bv FROM emb WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id,
+    max(round(list_dot_product(e.ed, b.bv)
+      / greatest(sqrt(list_dot_product(e.ed, e.ed))
+          * sqrt(list_dot_product(b.bv, b.bv)), 1e-300), 6))
+      AS max_benchmark_sim
+  FROM emb e CROSS JOIN bench b
+  GROUP BY e.vec_id
+)
+SELECT vec_id, max_benchmark_sim,
+  (max_benchmark_sim >= 0.35) AS contaminated
+FROM scored"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2496,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_orders": q_snap_orders,
         "aperiodic_orders": q_aperiodic_orders,
         "voronoi_orders": q_voronoi_orders,
+        "embedding_decontaminate": q_embedding_decontaminate,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5050,6 +5082,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "snap_orders": _snap_sql(3),
         "aperiodic_orders": _aperiodic_sql(8),
         "voronoi_orders": _voronoi_sql(10, 5),
+        "embedding_decontaminate": _EMB_DECONTAM_SQL,
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

@@ -409,3 +409,41 @@ def dsir_logweights(
         )
     )
     return out
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, max_benchmark_sim, contaminated) — embedding-level
+    benchmark decontamination: a corpus item is contaminated when its
+    cosine similarity to ANY benchmark embedding reaches ``threshold``
+    (the semantic complement of the n-gram ``decontaminate``; the
+    pair is the standard eval-leakage sweep for pretraining sets).
+
+    Physical plan: benchmark side broadcast (the precondition — eval
+    sets are small), corpus scanned once, per-item max over the
+    broadcast side; no shuffle at all on the corpus. For
+    benchmark sets too large to broadcast, run
+    ``similarity.lsh_self_join`` on the union instead."""
+    from .similarity import cosine
+
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(b))
+        .groupBy(id_col)
+        .agg(F.max(F.round(cosine(F.col("_cv"), F.col("_bv")), 6)).alias(
+            "max_benchmark_sim"
+        ))
+    )
+    return scored.select(
+        id_col,
+        "max_benchmark_sim",
+        (F.col("max_benchmark_sim") >= threshold).alias("contaminated"),
+    )

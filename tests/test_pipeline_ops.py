@@ -202,3 +202,26 @@ def test_drop_duplicated_spans_keeps_first_occurrence(spark):
     # "a b" kept only in doc 1 (min (doc_id, k)); "c d" kept only in doc 1.
     # doc 3 loses its only span -> absent from output.
     assert got == {1: "a b c d", 2: "x y"}
+
+
+def test_semantic_decontaminate(spark):
+    from linkgraph.functions.pipeline import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.97, 0.24, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    out = {
+        r["vec_id"]: (r["max_benchmark_sim"], r["contaminated"])
+        for r in semantic_decontaminate(corpus, bench, threshold=0.95).collect()
+    }
+    assert out[0] == (1.0, True)
+    assert out[1][1] is False and out[1][0] == 0.0
+    assert out[2][1] is True  # cos ~0.971

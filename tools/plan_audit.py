@@ -42,6 +42,7 @@ SCALAR_BROADCAST = {
     "doc_dsir_weights",  # corpus gram-total one-row agg rides the plan
     "grc_orders",  # max-lrc one-row agg rides the plan
     "tfidf_topk_docs",  # corpus-size N one-row agg rides the IDF plan
+    "embedding_decontaminate",  # tiny benchmark side broadcast (stated precondition)
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
