@@ -2421,6 +2421,105 @@ SELECT vec_id, max_benchmark_sim,
 FROM scored"""
 
 
+def q_salsa_orders(spark, sf_dir):
+    """SALSA hubs/authorities at 6 fixed supersteps on the order
+    graph."""
+    from linkgraph.operators.hits import salsa
+
+    g = order_graph(spark, sf_dir)
+    return salsa(g, fixed_iter=6).select(
+        "id",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("authority", 8).alias("authority_r"),
+    )
+
+
+def _salsa_sql(iters: int = 6) -> str:
+    parts = ["""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+e0 AS MATERIALIZED (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders GROUP BY 1, 2
+),
+os AS MATERIALIZED (SELECT src, sum(w) AS os FROM e0 GROUP BY src),
+ivs AS MATERIALIZED (SELECT dst, sum(w) AS iv FROM e0 GROUP BY dst),
+e AS MATERIALIZED (
+  SELECT e0.src, e0.dst, e0.w / os.os AS w_out, e0.w / ivs.iv AS w_in
+  FROM e0 JOIN os ON os.src = e0.src JOIN ivs ON ivs.dst = e0.dst
+),
+h0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT n FROM nn) AS hub FROM nodes
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+ar{t} AS MATERIALIZED (
+  SELECT n0.id, COALESCE(g.v, 0.0) AS authority FROM nodes n0 LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub * e.w_out) AS v
+    FROM e JOIN h{t - 1} h ON h.id = e.src GROUP BY e.dst
+  ) g ON g.id = n0.id
+),
+a{t} AS MATERIALIZED (
+  SELECT id, authority / (SELECT sum(authority) FROM ar{t}) AS authority
+  FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT n0.id, COALESCE(g.v, 0.0) AS hub FROM nodes n0 LEFT JOIN (
+    SELECT e.src AS id, sum(a.authority * e.w_in) AS v
+    FROM e JOIN a{t} a ON a.id = e.dst GROUP BY e.src
+  ) g ON g.id = n0.id
+),
+h{t} AS MATERIALIZED (
+  SELECT id, hub / (SELECT sum(hub) FROM hr{t}) AS hub FROM hr{t}
+)""")
+    parts.append(f"""
+SELECT h.id, round(h.hub, 8) AS hub_r, round(a.authority, 8) AS authority_r
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id""")
+    return "".join(parts)
+
+
+def q_cocitation_orders(spark, sf_dir):
+    from linkgraph.operators.links import cocitation
+
+    g = order_graph(spark, sf_dir)
+    return cocitation(g, min_count=2).select("a", "b", "n_citers")
+
+
+def q_coupling_orders(spark, sf_dir):
+    from linkgraph.operators.links import bibliographic_coupling
+
+    g = order_graph(spark, sf_dir)
+    return bibliographic_coupling(g, min_count=2).select(
+        "a", "b", "n_shared_refs"
+    )
+
+
+_COCITATION_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+)
+SELECT x.dst AS a, y.dst AS b, count(*) AS n_citers
+FROM e x JOIN e y ON y.src = x.src AND x.dst < y.dst
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+_COUPLING_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+)
+SELECT x.src AS a, y.src AS b, count(*) AS n_shared_refs
+FROM e x JOIN e y ON y.dst = x.dst AND x.src < y.src
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2528,6 +2627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aperiodic_orders": q_aperiodic_orders,
         "voronoi_orders": q_voronoi_orders,
         "embedding_decontaminate": q_embedding_decontaminate,
+        "salsa_orders": q_salsa_orders,
+        "cocitation_orders": q_cocitation_orders,
+        "coupling_orders": q_coupling_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5083,6 +5185,9 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "aperiodic_orders": _aperiodic_sql(8),
         "voronoi_orders": _voronoi_sql(10, 5),
         "embedding_decontaminate": _EMB_DECONTAM_SQL,
+        "salsa_orders": _salsa_sql(6),
+        "cocitation_orders": _COCITATION_SQL,
+        "coupling_orders": _COUPLING_SQL,
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

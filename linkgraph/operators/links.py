@@ -229,3 +229,36 @@ def within_inter_cluster(
         .otherwise(F.lit(0.0))
         .alias("score")
     )
+
+
+def cocitation(graph: LinkGraph, min_count: int = 1) -> DataFrame:
+    """(a, b, n_citers) with a < b — pairs of pages cited by the same
+    source, counted over distinct citers (Small 1973 co-citation; not
+    in the reference — a §2.10 link-analysis extension). One
+    self-join of the distinct edge table on ``src`` + a count
+    aggregate; output volume is Σ_i C(outdeg(i), 2), bounded by
+    capping hub out-degree upstream when needed."""
+    e = graph.edges.select("src", "dst").distinct()
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.src") == F.col("y.src"))
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_citers"))
+    )
+    return pairs.where(F.col("n_citers") >= min_count)
+
+
+def bibliographic_coupling(graph: LinkGraph, min_count: int = 1) -> DataFrame:
+    """(a, b, n_shared_refs) with a < b — pairs of pages citing the
+    same target (Kessler 1963): the co-citation join on the reversed
+    view."""
+    e = graph.edges.select("src", "dst").distinct()
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.dst") == F.col("y.dst"))
+        .where(F.col("x.src") < F.col("y.src"))
+        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_refs"))
+    )
+    return pairs.where(F.col("n_shared_refs") >= min_count)
