@@ -2520,6 +2520,59 @@ FROM e x JOIN e y ON y.dst = x.dst AND x.src < y.src
 GROUP BY 1, 2 HAVING count(*) >= 2"""
 
 
+def q_trustrank_orders(spark, sf_dir):
+    """TrustRank: teleport + dangling mass restricted to the BUILDING
+    market-segment customers as the trusted seed set."""
+    from linkgraph.operators.pagerank import trustrank
+
+    g = order_graph(spark, sf_dir)
+    seeds = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").cast("long").alias("id"))
+    return trustrank(g, seeds, alpha=PR_ALPHA, fixed_iter=PR_ITERS).select(
+        "id", F.round("rank", 8).alias("rank_r")
+    )
+
+
+def _trustrank_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA) -> str:
+    """`_ppr_sql` with the seed-indicator personalization (uniform
+    over BUILDING customers), dangling weights = the same vector —
+    the VLDB'04 TrustRank semantics the engine wrapper encodes."""
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+os AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec GROUP BY src),
+ne AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w / os.s AS w FROM ec JOIN os ON os.src = ec.src),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+praw AS MATERIALIZED (
+  SELECT c_custkey AS id,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS v
+  FROM customer),
+p AS MATERIALIZED (SELECT id, v / (SELECT sum(v) FROM praw) AS p FROM praw),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM os)),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT p.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM x{i} x JOIN dang d ON d.id = x.id)
+        * p.p)
+    + {1.0 - alpha} * p.p AS r
+  FROM p
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(x.r * ne.w) AS gathered
+    FROM x{i} x JOIN ne ON ne.src = x.id GROUP BY ne.dst
+  ) g ON g.id = p.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"\nSELECT id, round(r, 8) AS rank_r FROM x{iters}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2630,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_orders": q_salsa_orders,
         "cocitation_orders": q_cocitation_orders,
         "coupling_orders": q_coupling_orders,
+        "trustrank_orders": q_trustrank_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5188,6 +5242,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "salsa_orders": _salsa_sql(6),
         "cocitation_orders": _COCITATION_SQL,
         "coupling_orders": _COUPLING_SQL,
+        "trustrank_orders": _trustrank_sql(),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

@@ -332,3 +332,38 @@ def pagerank(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         adj.unpersist()
         static.unpersist()
+
+
+def trustrank(
+    graph: LinkGraph,
+    trusted: "DataFrame | list[int]",
+    alpha: float = 0.85,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """(id, rank) — TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with teleportation restricted to a trusted
+    seed set, so trust mass decays along links away from the seeds.
+    Not in the reference — the canonical web-spam companion of the
+    north rule's PageRank, and exactly the personalization vector this
+    operator already supports: personalization = uniform over the
+    seeds, dangling mass redistributed to the seeds too (the paper's
+    behavior: leaked mass returns to trusted pages). Everything else
+    (salted CSR gather, N·tol convergence, checkpoint/resume) is
+    inherited verbatim."""
+    spark = graph.spark
+    if isinstance(trusted, list):
+        seeds = spark.createDataFrame(
+            [(int(s),) for s in trusted], "id long"
+        )
+    else:
+        seeds = trusted.select(F.col(trusted.columns[0]).alias("id"))
+    pers = seeds.join(graph.vertices.select("id"), "id", "left_semi").select(
+        "id", F.lit(1.0).alias("value")
+    )
+    return pagerank(
+        graph,
+        alpha=alpha,
+        personalization=pers,
+        dangling=pers,
+        **pagerank_kwargs,
+    )

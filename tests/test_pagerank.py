@@ -173,3 +173,26 @@ def test_resume_mid_algorithm(spark, tmp_ckpt):
     second_seg = recs[len(first_seg):]
     assert second_seg and min(r["iteration"] for r in second_seg) == 5
     assert all("l1_error" in r for r in second_seg)
+
+
+def test_trustrank_vs_nx_personalized(spark):
+    """TrustRank == nx pagerank with seed-restricted personalization
+    AND dangling vectors (the VLDB'04 semantics)."""
+    from linkgraph.operators.pagerank import trustrank
+    from nx_oracle import nx_graph, oracle_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 3)]  # 5 dangles
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    rev = {v: k for k, v in nm.items()}
+    seeds = [rev["1"], rev["6"]]
+    got = {nm[r["id"]]: r["rank"] for r in trustrank(g, seeds, tol=1e-10).collect()}
+    pv = {1: 1.0, 6: 1.0}
+    want = oracle_pagerank(
+        nx_graph(edges, directed=True),
+        personalization=pv, dangling=pv, tol=1e-10,
+    )
+    for k, v in want.items():
+        assert got[str(k)] == pytest.approx(v, abs=1e-7)
+    # trust decays with distance from the seeds: non-seed mass smaller
+    assert got["5"] < got["3"]
