@@ -2573,6 +2573,37 @@ x{i + 1} AS MATERIALIZED (
     )
 
 
+def q_skipgram_orders(spark, sf_dir):
+    """Skip-gram (center, context, offset) pairs from the same walks
+    as q_walks_orders, window 2 — the DeepWalk corpus step."""
+    from linkgraph.operators.walks import random_walks, skipgram_pairs
+
+    g = order_graph(spark, sf_dir)
+    starts = g.vertices.where(F.pmod(F.col("id"), F.lit(10)) == 1).select("id")
+    walks = random_walks(g, walk_length=6, seed=1, starts=starts)
+    return (
+        skipgram_pairs(walks, window=2)
+        .groupBy("center", "context", "offset")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _skipgram_sql(window: int = 2) -> str:
+    """The `_walks_sql` replay wrapped as a derived table, self-joined
+    on walk with the bounded step offset."""
+    inner = _walks_sql()
+    return f"""
+WITH wt AS MATERIALIZED (SELECT * FROM ({inner}) _w)
+SELECT a.node AS center, b.node AS context,
+  CAST(b.step - a.step AS BIGINT) AS "offset",
+  count(*) AS n_pairs
+FROM wt a JOIN wt b ON b.walk = a.walk
+  AND b.step BETWEEN a.step - {window} AND a.step + {window}
+  AND b.step <> a.step
+WHERE a.node <> b.node
+GROUP BY 1, 2, 3"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2684,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_orders": q_cocitation_orders,
         "coupling_orders": q_coupling_orders,
         "trustrank_orders": q_trustrank_orders,
+        "skipgram_orders": q_skipgram_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5243,6 +5275,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "cocitation_orders": _COCITATION_SQL,
         "coupling_orders": _COUPLING_SQL,
         "trustrank_orders": _trustrank_sql(),
+        "skipgram_orders": _skipgram_sql(2),
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

@@ -277,3 +277,40 @@ def node2vec_walks(
     finally:
         csr.unpersist()
         edges.unpersist()
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, keep_self: bool = False
+) -> DataFrame:
+    """(center, context, offset) — word2vec-style training pairs from
+    a walk table (walk, step, node): for every walk position, each
+    neighbor within ``offset`` ∈ [-window, window] \\ {0} becomes one
+    (center, context) row. The standard DeepWalk/node2vec corpus step
+    (Perozzi et al. 2014 §4.2 feed walks to skip-gram).
+
+    One equi-join of the walk table with itself on ``walk`` plus a
+    bounded BETWEEN on step — Spark plans it as a hash join on walk
+    with the range predicate as a post-filter; output is
+    O(total_steps · 2·window). No windows/UDFs, whole-stage codegen."""
+    a = walks.select(
+        F.col("walk"), F.col("step").alias("s_a"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk"), F.col("step").alias("s_b"), F.col("node").alias("context")
+    )
+    out = (
+        a.join(b, "walk")
+        .where(
+            (F.col("s_b") >= F.col("s_a") - window)
+            & (F.col("s_b") <= F.col("s_a") + window)
+            & (F.col("s_b") != F.col("s_a"))
+        )
+        .select(
+            "center",
+            "context",
+            (F.col("s_b") - F.col("s_a")).cast("long").alias("offset"),
+        )
+    )
+    if not keep_self:
+        out = out.where(F.col("center") != F.col("context"))
+    return out
