@@ -148,6 +148,9 @@ def main() -> None:
         "doc_dsir_weights",
         "embedding_semantic_dedup",
         "dag_longest_path_orders",
+        "salsa_orders",
+        "cocitation_orders",
+        "trustrank_orders",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
