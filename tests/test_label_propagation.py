@@ -117,3 +117,28 @@ def test_l4_karate_distributed_path(spark):
     for c in got:
         sub = kg.subgraph(int(n) for n in c)
         assert nx.is_connected(sub)
+
+
+def test_greedy_coloring_pluggable_priority(spark):
+    """The strategy seam (reference greedy_color(strategy=...)): a
+    custom priority still yields a PROPER coloring, and the id-order
+    priority reproduces deterministic largest-id-first behavior."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.operators.label_propagation import greedy_coloring
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    sym = g.symmetrized_edges().select("src", "dst")
+    verts = g.vertices.select("id")
+
+    for prio in (None, lambda c: F.col(c)):  # default hash vs plain id
+        colors = {
+            r["id"]: r["color"]
+            for r in greedy_coloring(sym, verts, priority=prio).collect()
+        }
+        nm = {r["url"].rsplit("/", 1)[-1]: r["id"] for r in g.vertices.collect()}
+        for u, v in edges:
+            assert colors[nm[str(u)]] != colors[nm[str(v)]]
+        # triangle 0-1-2 forces >= 3 colors
+        assert len({colors[nm[s]] for s in "012"}) == 3
