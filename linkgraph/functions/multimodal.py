@@ -80,7 +80,7 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
-_DECODER: Callable[[bytes], dict] = fake_decode
+_DECODER: Callable[[bytes], dict] | None = None  # None -> auto_decode
 
 
 def set_decoder(fn: Callable[[bytes], dict]) -> None:
@@ -92,11 +92,113 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 
 def real_decode(payload: bytes) -> dict:  # pragma: no cover - no lib here
-    """Where a real decoder would go; kept as an explicit marked stub."""
+    """Where a codec-library decoder would go; kept as an explicit
+    marked stub for formats that need PIL/opencv (JPEG, PNG, ...).
+    PPM (P6) payloads decode for real via :func:`ppm_decode` — no
+    library needed — and :func:`auto_decode` dispatches on the magic
+    bytes."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv, not present in this container; "
-        "use set_decoder() with a real implementation on a real cluster"
+        "JPEG/PNG decode requires PIL/opencv, not present in this container; "
+        "use set_decoder() with a real implementation on a real cluster "
+        "(PPM payloads already decode for real via auto_decode)"
     )
+
+
+# ---------------------------------------------------------------- PPM (P6)
+# A REAL image codec with zero dependencies: binary PPM is a plain
+# header + raw RGB bytes, so decode/resize/feature-extraction run on
+# actual pixels here, exactly as they would on a cluster with PIL for
+# JPEG. numpy only.
+
+
+def encode_ppm(pixels) -> bytes:
+    """H×W×3 uint8 array -> binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype="uint8")
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_ppm expects an H x W x 3 uint8 array")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm_pixels(payload: bytes):
+    """P6 bytes -> (H, W, 3) uint8 numpy array. Handles comment lines
+    per the PPM spec; raises ValueError on non-P6 input."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    pos += 1  # single whitespace after maxval
+    raw = payload[pos : pos + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(raw, dtype="uint8").reshape(h, w, 3)
+
+
+def ppm_decode(payload: bytes) -> dict:
+    """REAL decode for P6 payloads in the decoder-contract shape:
+    dimensions from the actual header, 16-dim embedding from actual
+    pixels (per-channel mean/std + a 10-bin luma histogram, all in
+    [0, 1])."""
+    import numpy as np
+
+    px = decode_ppm_pixels(payload).astype("float64")
+    h, w = px.shape[:2]
+    means = px.mean(axis=(0, 1)) / 255.0
+    stds = px.std(axis=(0, 1)) / 255.0
+    luma = px @ [0.299, 0.587, 0.114]
+    hist, _ = np.histogram(luma, bins=10, range=(0.0, 255.0))
+    hist = hist / luma.size
+    emb = [float(x) for x in (*means, *stds, *hist)]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": 3,
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "embedding": emb,
+    }
+
+
+def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample for P6 payloads, re-encoded as
+    P6 — pure numpy fancy indexing."""
+    import numpy as np
+
+    px = decode_ppm_pixels(payload)
+    h, w = px.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_ppm(px[rows][:, cols])
+
+
+def auto_decode(payload: bytes) -> dict:
+    """Dispatch on magic bytes: P6 decodes for real, anything else
+    falls back to the deterministic stub (the honest boundary — a
+    cluster image pipeline dispatches on format exactly like this)."""
+    if payload and payload.startswith(b"P6"):
+        try:
+            return ppm_decode(payload)
+        except ValueError:  # P6-looking but malformed: stub, don't die
+            return fake_decode(payload)
+    return fake_decode(payload)
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -104,7 +206,7 @@ def image_features(media: DataFrame) -> DataFrame:
 
     The iterator-of-batches form means one in-flight pandas frame per
     task regardless of partition size — blobs never accumulate."""
-    decoder = _DECODER
+    decoder = _DECODER or auto_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -139,14 +241,24 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize transform: payload -> payload', meta gains resized_w/h.
 
-    Stub semantics (deterministic, no codec): payload' is a sha256-seeded
-    byte string of length width*height — standing in for re-encoded
-    pixels; swap the inner function for a real resampler on a cluster."""
+    P6 payloads are resampled for REAL (:func:`ppm_resize`,
+    nearest-neighbor numpy); codec-bound formats fall back to the
+    deterministic stub (sha256-seeded bytes of length width*height)
+    until a library resampler is swapped in on a cluster."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
+                if p is not None and bytes(p).startswith(b"P6"):
+                    try:
+                        out_payloads.append(ppm_resize(bytes(p), width, height))
+                        m = dict(m or {})
+                        m["resized_w"], m["resized_h"] = str(width), str(height)
+                        metas.append(m)
+                        continue
+                    except ValueError:
+                        pass
                 d = hashlib.sha256((p or b"") + b"|resize").digest()
                 reps = (width * height) // len(d) + 1
                 out_payloads.append((d * reps)[: width * height])
@@ -219,7 +331,23 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 i = int(i)
                 kind = kinds[i % 3]
                 seed = hashlib.sha256(str(i).encode()).digest()
-                payload = seed * (1 + i % 7)
+                if kind == "image":
+                    # REAL P6 payload: deterministic gradient pattern
+                    import numpy as np
+
+                    w, h = 8 + i % 5, 6 + i % 4
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 31 + i) % 256,
+                            (yy * 17 + seed[0]) % 256,
+                            (xx + yy + seed[1]) % 256,
+                        ],
+                        axis=2,
+                    ).astype("uint8")
+                    payload = encode_ppm(px)
+                else:
+                    payload = seed * (1 + i % 7)
                 meta = {"source": f"synth/{i}"}
                 if kind == "video":
                     meta["duration_ms"] = str(500 * (1 + i % 8))

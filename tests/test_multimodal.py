@@ -1,8 +1,10 @@
 """Multimodal binary-column pipeline: schema, mapInPandas batch shape,
-determinism of the stubbed decode, 1->N frame explosion."""
+REAL PPM decode/resize on actual pixels, deterministic stub for
+codec-bound formats, 1->N frame explosion."""
 
 import hashlib
 
+import numpy as np
 import pytest
 
 from linkgraph.functions import multimodal as mm
@@ -22,34 +24,79 @@ def test_media_schema(media):
     assert kinds == {"image", "audio", "video"}
 
 
-def test_image_features_deterministic(media):
+def test_ppm_roundtrip():
+    px = (np.arange(5 * 4 * 3).reshape(4, 5, 3) % 256).astype("uint8")
+    enc = mm.encode_ppm(px)
+    assert enc.startswith(b"P6\n5 4\n255\n")
+    assert (mm.decode_ppm_pixels(enc) == px).all()
+    # comments in the header survive
+    commented = b"P6\n# a comment\n5 4\n255\n" + enc.split(b"255\n", 1)[1]
+    assert (mm.decode_ppm_pixels(commented) == px).all()
+    with pytest.raises(ValueError):
+        mm.decode_ppm_pixels(b"\x89PNG....")
+
+
+def test_image_features_real_ppm(media):
     feats = mm.image_features(media)
     assert feats.schema == mm.IMAGE_FEATURE_SCHEMA
     rows = {r["media_id"]: r for r in feats.collect()}
     n_images = media.where("kind = 'image'").count()
     assert len(rows) == n_images
-    # independently recompute one row from the fixture payload
-    payload = media.where("media_id = 0").collect()[0]["payload"]
-    want = mm.fake_decode(bytes(payload))
+    # fixture images are REAL P6 payloads: header dims must match
+    payload = bytes(media.where("media_id = 0").collect()[0]["payload"])
+    px = mm.decode_ppm_pixels(payload)
     got = rows[0]
-    assert got["sha256"] == want["sha256"]
     assert (got["width"], got["height"], got["channels"]) == (
-        want["width"], want["height"], want["channels"])
+        px.shape[1], px.shape[0], 3)
+    assert got["sha256"] == hashlib.sha256(payload).hexdigest()
     assert got["n_bytes"] == len(payload)
-    assert len(got["embedding"]) == 16
+    # embedding = real pixel statistics: channel means in [0,1],
+    # histogram sums to 1
+    emb = got["embedding"]
+    assert len(emb) == 16
+    assert emb[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
+    assert sum(emb[6:]) == pytest.approx(1.0, abs=1e-6)
     # second run identical (pure function of bytes)
     again = {r["media_id"]: r["sha256"] for r in mm.image_features(media).collect()}
     assert again == {k: v["sha256"] for k, v in rows.items()}
 
 
-def test_resize_updates_meta_and_payload(media):
-    out = mm.resize_images(media, 32, 8)
+def test_auto_decode_stub_for_unknown_formats():
+    d = mm.auto_decode(b"\x89PNG not a ppm")
+    assert d == mm.fake_decode(b"\x89PNG not a ppm")
+    # P6-prefixed garbage falls back rather than dying
+    assert mm.auto_decode(b"P6 garbage") == mm.fake_decode(b"P6 garbage")
+
+
+def test_resize_real_ppm(media):
+    out = mm.resize_images(media, 6, 3)
     rows = out.collect()
-    assert rows and all(len(r["payload"]) == 32 * 8 for r in rows)
-    assert all(r["meta"]["resized_w"] == "32" for r in rows)
-    assert all(r["meta"]["resized_h"] == "8" for r in rows)
-    # original meta preserved
-    assert all(r["meta"]["source"].startswith("synth/") for r in rows)
+    assert rows
+    for r in rows:
+        p = bytes(r["payload"])
+        assert p.startswith(b"P6")  # image fixtures are all PPM
+        px = mm.decode_ppm_pixels(p)
+        assert px.shape == (3, 6, 3)
+        assert r["meta"]["resized_w"] == "6" and r["meta"]["resized_h"] == "3"
+        assert r["meta"]["source"].startswith("synth/")
+    # nearest-neighbor correctness on one payload
+    src = bytes(media.where("media_id = 0").collect()[0]["payload"])
+    spx = mm.decode_ppm_pixels(src)
+    rpx = mm.decode_ppm_pixels(mm.ppm_resize(src, 6, 3))
+    h, w = spx.shape[:2]
+    for y in range(3):
+        for x in range(6):
+            assert (rpx[y, x] == spx[(y * h) // 3, (x * w) // 6]).all()
+
+
+def test_resize_stub_for_non_ppm(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = [(0, "image", b"\x89PNG not ppm", {"source": "x"})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.resize_images(df, 32, 8).collect()
+    assert len(out) == 1 and len(out[0]["payload"]) == 32 * 8
 
 
 def test_frame_sampling_explodes_by_duration(media):
