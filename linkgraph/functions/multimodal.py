@@ -346,6 +346,17 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                         axis=2,
                     ).astype("uint8")
                     payload = encode_ppm(px)
+                elif kind == "audio":
+                    # REAL 16-bit PCM WAV: two-tone sine mixture
+                    import numpy as np
+
+                    rate = 8000
+                    t = np.arange(rate // 10 + 40 * (i % 5)) / rate
+                    f1, f2 = 200 + 50 * (i % 7), 900 + 30 * (i % 11)
+                    x = 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(
+                        2 * np.pi * f2 * t
+                    )
+                    payload = encode_wav(x, sample_rate=rate)
                 else:
                     payload = seed * (1 + i % 7)
                 meta = {"source": f"synth/{i}"}
@@ -355,3 +366,131 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
     return spark.range(n).repartition(partitions).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------- WAV (PCM)
+# The audio twin of the PPM codec: RIFF/WAVE with 16-bit PCM is a
+# fixed 44-byte header + raw samples — real decode, real features
+# (RMS, zero-crossings, spectral bands via numpy rfft), no librosa.
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """1-D float array in [-1, 1] -> 16-bit PCM mono WAV bytes."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="float64")
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    n = len(data)
+    hdr = (
+        b"RIFF"
+        + (36 + n).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + n.to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav_samples(payload: bytes):
+    """WAV bytes -> (samples float64 in [-1, 1], sample_rate). 16-bit
+    PCM mono only; raises ValueError otherwise."""
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt " or len(payload) < 44:
+        raise ValueError("unsupported WAV layout")
+    audio_fmt = int.from_bytes(payload[20:22], "little")
+    channels = int.from_bytes(payload[22:24], "little")
+    rate = int.from_bytes(payload[24:28], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    if (audio_fmt, channels, bits) != (1, 1, 16):
+        raise ValueError("only 16-bit PCM mono supported")
+    if payload[36:40] != b"data":
+        raise ValueError("unsupported WAV chunk layout")
+    n = int.from_bytes(payload[40:44], "little")
+    raw = payload[44 : 44 + n]
+    if len(raw) != n:
+        raise ValueError("truncated WAV payload")
+    return np.frombuffer(raw, dtype="<i2").astype("float64") / 32767.0, rate
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+        T.StructField("spectrum", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def wav_features(payload: bytes) -> dict:
+    """REAL audio features from PCM samples: RMS, zero-crossing rate,
+    and an 8-band normalized magnitude spectrum (numpy rfft)."""
+    import numpy as np
+
+    x, rate = decode_wav_samples(payload)
+    n = len(x)
+    rms = float(np.sqrt((x**2).mean())) if n else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+    if n:
+        mag = np.abs(np.fft.rfft(x))
+        bands = np.array_split(mag, 8)
+        spec = np.array([b.mean() for b in bands])
+        tot = spec.sum()
+        spec = spec / tot if tot > 0 else spec
+    else:
+        spec = np.zeros(8)
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "duration_ms": int(n * 1000 // rate) if rate else 0,
+        "rms": rms,
+        "zero_crossing_rate": zcr,
+        "spectrum": [float(v) for v in spec],
+    }
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """kind='audio' rows -> typed feature rows; RIFF payloads decode
+    for real, anything else gets deterministic sha-derived stand-ins
+    (same honest boundary as image auto_decode)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                try:
+                    f = wav_features(p)
+                except ValueError:
+                    d = hashlib.sha256(p).digest()
+                    f = {
+                        "sample_rate": 8000 + _u32(d, 0) % 40000,
+                        "n_samples": _u32(d, 1) % 100000,
+                        "duration_ms": _u32(d, 2) % 60000,
+                        "rms": (_u32(d, 3) % 1000) / 1000.0,
+                        "zero_crossing_rate": (_u32(d, 4) % 1000) / 1000.0,
+                        "spectrum": [((_u32(d, i % 8)) % 1000) / 1000.0 for i in range(8)],
+                    }
+                rows.append((int(mid), f["sample_rate"], f["n_samples"],
+                             f["duration_ms"], f["rms"],
+                             f["zero_crossing_rate"], f["spectrum"]))
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -120,3 +120,37 @@ def test_frame_sampling_explodes_by_duration(media):
 def test_real_decoder_is_marked_stub():
     with pytest.raises(NotImplementedError):
         mm.real_decode(b"\x89PNG")
+
+
+def test_wav_roundtrip():
+    x = np.sin(np.linspace(0, 20, 800))
+    enc = mm.encode_wav(x, sample_rate=8000)
+    dec, rate = mm.decode_wav_samples(enc)
+    assert rate == 8000 and len(dec) == 800
+    assert np.abs(dec - x).max() < 1e-4  # 16-bit quantization error
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(b"OggS not a wav")
+
+
+def test_audio_features_real_wav(media):
+    feats = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    auds = {r["media_id"]: bytes(r["payload"])
+            for r in media.where("kind = 'audio'").collect()}
+    assert feats.keys() == auds.keys()
+    for mid, p in auds.items():
+        want = mm.wav_features(p)
+        got = feats[mid]
+        assert got["sample_rate"] == want["sample_rate"] == 8000
+        assert got["n_samples"] == want["n_samples"]
+        assert got["duration_ms"] == want["duration_ms"]
+        assert got["rms"] == pytest.approx(want["rms"], abs=1e-9)
+        # a pure two-tone signal: spectrum is concentrated, rms ~ known
+        assert 0.3 < got["rms"] < 0.6
+        assert sum(got["spectrum"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_audio_features_stub_for_unknown(spark):
+    rows = [(0, "audio", b"OggS whatever", {"source": "x"})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_features(df).collect()
+    assert len(out) == 1 and len(out[0]["spectrum"]) == 8
