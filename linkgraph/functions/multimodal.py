@@ -346,6 +346,25 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                         axis=2,
                     ).astype("uint8")
                     payload = encode_ppm(px)
+                elif kind == "video":
+                    # REAL Y4M C444 clip: moving gradient frames
+                    import numpy as np
+
+                    w, h, nf = 6 + i % 3, 4 + i % 3, 6 + i % 5
+                    frames = []
+                    for k in range(nf):
+                        yy, xx = np.mgrid[0:h, 0:w]
+                        frames.append(
+                            np.stack(
+                                [
+                                    (xx * 13 + k * 7 + i) % 256,
+                                    (yy * 11 + k) % 256,
+                                    (xx + yy + k + seed[2]) % 256,
+                                ],
+                                axis=2,
+                            ).astype("uint8")
+                        )
+                    payload = encode_y4m(frames, fps=25)
                 elif kind == "audio":
                     # REAL 16-bit PCM WAV: two-tone sine mixture
                     import numpy as np
@@ -493,4 +512,122 @@ def audio_features(media: DataFrame) -> DataFrame:
 
     return media.where(F.col("kind") == "audio").mapInPandas(
         batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+# ------------------------------------------------------------- Y4M (video)
+# The video member of the uncompressed-codec family: YUV4MPEG2 is a
+# plain text header + "FRAME\n"-delimited raw planes, so frame
+# counting/sampling/statistics run on actual frame bytes (C444 =
+# full-resolution Y,U,V planes; no chroma subsampling math needed).
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """list of H×W×3 uint8 (Y,U,V channel-last) -> Y4M C444 bytes."""
+    import numpy as np
+
+    fs = [np.asarray(f, dtype="uint8") for f in frames]
+    if not fs or any(f.ndim != 3 or f.shape[2] != 3 for f in fs):
+        raise ValueError("encode_y4m expects a non-empty list of H x W x 3 arrays")
+    h, w = fs[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in fs):
+        raise ValueError("all frames must share dimensions")
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for f in fs:
+        out.append(b"FRAME\n")
+        for c in range(3):  # planar: all Y, all U, all V
+            out.append(f[:, :, c].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m_frames(payload: bytes):
+    """Y4M C444 bytes -> (frames list of H×W×3 uint8, fps int)."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split()
+    w = h = fps = None
+    c444 = False
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C"):
+            c444 = tok[1:] == "444"
+    if not (w and h and fps) or not c444:
+        raise ValueError("only C444 Y4M with W/H/F headers supported")
+    frame_bytes = w * h * 3
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        raw = payload[start : start + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError("truncated Y4M frame")
+        planes = np.frombuffer(raw, dtype="uint8").reshape(3, h, w)
+        frames.append(np.moveaxis(planes, 0, 2))
+        pos = start + frame_bytes
+    return frames, fps
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """REAL frame sampling for Y4M payloads: every ``every_n``-th
+    actual frame becomes one output row with its own bytes' sha256 and
+    mean luma (Y plane). Non-Y4M payloads fall back to the metadata-
+    driven stub rows of :func:`sample_frames` semantics (duration_ms
+    at 1000 ms cadence). Same 1->N mapInPandas (UDTF) shape."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, shas, lumas = [], [], [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                p = bytes(p) if p is not None else b""
+                try:
+                    frames, fps = decode_y4m_frames(p)
+                except ValueError:
+                    dur = int((m or {}).get("duration_ms", "0"))
+                    for i in range(max(1, dur // 1000)):
+                        ids.append(int(mid))
+                        idxs.append(i)
+                        tss.append(i * 1000)
+                        shas.append(
+                            hashlib.sha256(p + i.to_bytes(4, "big")).hexdigest()
+                        )
+                        lumas.append(-1.0)
+                    continue
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    tss.append(i * 1000 // fps)
+                    shas.append(hashlib.sha256(f.tobytes()).hexdigest())
+                    lumas.append(float(f[:, :, 0].mean()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "ts_ms": pd.Series(tss, dtype="int64"),
+                 "frame_sha256": shas,
+                 "mean_luma": pd.Series(lumas, dtype="float64")}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA
     )

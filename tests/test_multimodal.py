@@ -154,3 +154,44 @@ def test_audio_features_stub_for_unknown(spark):
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.audio_features(df).collect()
     assert len(out) == 1 and len(out[0]["spectrum"]) == 8
+
+
+def test_y4m_roundtrip():
+    frames = [
+        (np.arange(4 * 6 * 3).reshape(4, 6, 3) % 256).astype("uint8"),
+        ((np.arange(4 * 6 * 3) * 7).reshape(4, 6, 3) % 256).astype("uint8"),
+    ]
+    enc = mm.encode_y4m(frames, fps=25)
+    assert enc.startswith(b"YUV4MPEG2 W6 H4 F25:1")
+    dec, fps = mm.decode_y4m_frames(enc)
+    assert fps == 25 and len(dec) == 2
+    assert all((a == b).all() for a, b in zip(dec, frames))
+    with pytest.raises(ValueError):
+        mm.decode_y4m_frames(b"\x00\x00\x01\xba mpeg")
+
+
+def test_sample_video_frames_real_y4m(media):
+    out = mm.sample_video_frames(media, every_n=2)
+    rows = out.collect()
+    vids = {r["media_id"]: bytes(r["payload"])
+            for r in media.where("kind = 'video'").collect()}
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(r)
+    assert got.keys() == vids.keys()
+    for mid, p in vids.items():
+        frames, fps = mm.decode_y4m_frames(p)
+        sampled = sorted(got[mid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in sampled] == list(range(0, len(frames), 2))
+        for r in sampled:
+            f = frames[r["frame_idx"]]
+            assert r["frame_sha256"] == hashlib.sha256(f.tobytes()).hexdigest()
+            assert r["mean_luma"] == pytest.approx(float(f[:, :, 0].mean()), abs=1e-9)
+            assert r["ts_ms"] == r["frame_idx"] * 1000 // fps
+
+
+def test_sample_video_frames_stub_fallback(spark):
+    rows = [(0, "video", b"\x00mpegish", {"duration_ms": "3000"})]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_video_frames(df).collect()
+    assert len(out) == 3 and all(r["mean_luma"] == -1.0 for r in out)
