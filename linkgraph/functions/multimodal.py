@@ -16,11 +16,15 @@ Design for 100 TB:
   into pandas) — NOT a per-row Python UDF; batch size is governed by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
   multi-MB blobs streams through bounded memory;
-* decode itself is STUBBED: the container has no PIL/librosa/ffmpeg.
-  ``set_decoder`` swaps in a real decoder unchanged; the default
-  :func:`fake_decode` is a deterministic pure function of the bytes so
-  tests pin exact outputs. The Spark-side plumbing (schemas, UDF
-  signatures, batch iteration, partitioning) is real and tested.
+* decode is REAL for the uncompressed formats — PPM (P6) images,
+  RIFF/WAVE 16-bit PCM audio, YUV4MPEG2 (C444) video — implemented in
+  pure numpy (:func:`ppm_decode`, :func:`wav_features`,
+  :func:`decode_y4m_frames`): actual pixels/samples/frames drive the
+  features, resampling, and frame sampling. Codec-bound formats
+  (JPEG/PNG/Ogg/MP4) need PIL/librosa/ffmpeg, absent in this
+  container, so they fall back to a deterministic sha-derived stub
+  (:func:`fake_decode`) behind the ``set_decoder`` seam — the same
+  magic-byte dispatch a production pipeline uses.
 
 Media table shape (Iceberg-compatible, like the pages table):
 
