@@ -138,21 +138,19 @@ def near_dup_pairs(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hash64_near_pairs(
+    hashes: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "id",
+    hash_col: str = "h",
 ) -> DataFrame:
-    """SimHash near-dups: (id_a, id_b, hamming). Blocking: candidate
-    pairs must share one of the 4 16-bit simhash quadrants (any pair
-    within hamming ≤3 of a 64-bit hash shares ≥1 exact quadrant —
-    pigeonhole), so the join is an equi-join, never a cross join."""
-    # simhash_table hashes each token once (vs 64× in the Column form)
-    sh = (
-        simhash_table(df, text_col, id_col, out_col="sh")
-        .withColumnRenamed(id_col, "id")
-    )
+    """Generic 64-bit-fingerprint near-dup pairs: (id_a, id_b,
+    hamming) for any (id, hash BIGINT) table — text simhashes, image
+    perceptual hashes, anything 64-bit. Blocking: candidate pairs
+    must share one of the 4 16-bit quadrants (any pair within
+    hamming ≤3 shares ≥1 exact quadrant — pigeonhole), so the join is
+    an equi-join, never a cross join."""
+    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     quads = sh.select(
         "id",
         "sh",
@@ -177,6 +175,22 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dups: (id_a, id_b, hamming) — the text
+    instantiation of :func:`hash64_near_pairs`."""
+    # simhash_table hashes each token once (vs 64× in the Column form)
+    sh = (
+        simhash_table(df, text_col, id_col, out_col="sh")
+        .withColumnRenamed(id_col, "id")
+    )
+    return hash64_near_pairs(sh, max_hamming, id_col="id", hash_col="sh")
 
 
 def span_hash_table(

@@ -635,3 +635,60 @@ def sample_video_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(
         batches, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+def ppm_dhash(payload: bytes) -> int:
+    """64-bit difference hash (dHash) from REAL pixels: nearest-
+    neighbor downsample the luma plane to 9×8 and emit one bit per
+    horizontal gradient — the standard perceptual-hash recipe
+    (Krawetz). Signed int64 (BIGINT-compatible; bit 63 may set the
+    sign)."""
+    import numpy as np
+
+    px = decode_ppm_pixels(payload).astype("float64")
+    luma = px @ [0.299, 0.587, 0.114]
+    h, w = luma.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = luma[rows][:, cols]
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash_table(media: DataFrame) -> DataFrame:
+    """(media_id, dhash BIGINT) for image rows — real dHash for P6
+    payloads, sha-derived fallback otherwise. Feed into
+    ``dedup.hash64_near_pairs`` for perceptual near-duplicate image
+    pairs with the same quadrant-blocked equi-join as text simhash
+    (never a cross join), then ``connected_components`` + min-id
+    survivor exactly like every other dedup lane."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                try:
+                    hv = ppm_dhash(p)
+                except ValueError:
+                    d = hashlib.sha256(p).digest()
+                    hv = int.from_bytes(d[:8], "big", signed=True)
+                out.append((int(mid), hv))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        batches, schema=IMAGE_DHASH_SCHEMA
+    )

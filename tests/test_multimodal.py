@@ -195,3 +195,35 @@ def test_sample_video_frames_stub_fallback(spark):
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.sample_video_frames(df).collect()
     assert len(out) == 3 and all(r["mean_luma"] == -1.0 for r in out)
+
+
+def test_ppm_dhash_perceptual(media):
+    from linkgraph.functions.dedup import hash64_near_pairs
+
+    # a near-identical image (tiny brightness shift) hashes close;
+    # an unrelated gradient hashes far
+    base = (np.arange(8 * 9 * 3).reshape(8, 9, 3) % 200).astype("uint8")
+    near = np.clip(base.astype("int16") + 2, 0, 255).astype("uint8")
+    far = ((np.arange(8 * 9 * 3)[::-1]).reshape(8, 9, 3) % 251).astype("uint8")
+    h0 = mm.ppm_dhash(mm.encode_ppm(base))
+    h1 = mm.ppm_dhash(mm.encode_ppm(near))
+    h2 = mm.ppm_dhash(mm.encode_ppm(far))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(h0, h1) <= 3 < ham(h0, h2)
+
+    # through Spark: table + quadrant-blocked near pairs
+    spark = media.sparkSession
+    rows = [
+        (0, "image", mm.encode_ppm(base), {}),
+        (1, "image", mm.encode_ppm(near), {}),
+        (2, "image", mm.encode_ppm(far), {}),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    ht = mm.image_dhash_table(df)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hash64_near_pairs(
+            ht, max_hamming=3, id_col="media_id", hash_col="dhash"
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
