@@ -362,6 +362,13 @@ def q_event_type_stats(spark, sf_dir):
 
 # -------------------------------------------- non-SQL-expressible (rows-only)
 def q_lpa_nation_chains(spark, sf_dir):
+    """Semi-synchronous LPA communities. Deterministic (JP coloring
+    with xxhash64 priorities + ordered color-class sweeps) but not
+    SQL-expressible — xxhash64 has no DuckDB twin and the sweep count
+    is data-dependent, so this stays a rows-only check; label
+    correctness (valid fixpoint, exact community sets on the reference
+    fixtures L1-L4 + karate) is pytest-verified against live
+    networkx (tests/test_label_propagation.py)."""
     g = nation_chain_graph(spark, sf_dir)
     return label_propagation_communities(g).select("id", "label")
 
