@@ -2611,6 +2611,34 @@ WHERE a.node <> b.node
 GROUP BY 1, 2, 3"""
 
 
+def q_moral_orders(spark, sf_dir):
+    """Moralized order graph (moral.py): undirected edges + married
+    co-parent pairs."""
+    from linkgraph.operators.minors import moral_graph_edges
+
+    g = order_graph(spark, sf_dir)
+    return moral_graph_edges(g).select("src", "dst")
+
+
+_MORAL_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders
+  WHERE o_custkey <> o_orderkey % (SELECT n FROM nn)
+),
+married AS (
+  SELECT x.src AS src, y.src AS dst
+  FROM e x JOIN e y ON y.dst = x.dst AND x.src < y.src
+),
+canon AS (
+  SELECT least(src, dst) AS src, greatest(src, dst) AS dst FROM e
+  UNION SELECT src, dst FROM married
+)
+SELECT DISTINCT src, dst FROM canon"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PageRank over the sf0.001-derived order graph."""
     return q_pagerank_orders(spark, "/root/testdata/sf0.001")
@@ -2723,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling_orders": q_coupling_orders,
         "trustrank_orders": q_trustrank_orders,
         "skipgram_orders": q_skipgram_orders,
+        "moral_orders": q_moral_orders,
         "triadic_census_orders": q_triadic_census_orders,
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
@@ -5283,6 +5312,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "coupling_orders": _COUPLING_SQL,
         "trustrank_orders": _trustrank_sql(),
         "skipgram_orders": _skipgram_sql(2),
+        "moral_orders": _MORAL_SQL,
         "partition_quality_nations": """
 WITH ce AS (
   SELECT CAST(c_custkey AS BIGINT) AS src,

@@ -77,3 +77,56 @@ def selfloop_edges(g: LinkGraph) -> DataFrame:
 
 def number_of_selfloops(g: LinkGraph) -> int:
     return selfloop_edges(g).count()
+
+
+def is_regular(graph: LinkGraph) -> bool:
+    """function.py ``is_regular``: every node has the same degree
+    (directed: same in-degree AND same out-degree). One degree
+    aggregate + countDistinct."""
+    if graph.num_vertices() == 0:
+        raise ValueError("regularity is undefined for the null graph")
+    if graph.directed:
+        for side in ("src", "dst"):
+            d = (
+                graph.vertices.select("id")
+                .join(
+                    graph.edges.groupBy(F.col(side).alias("id")).agg(
+                        F.count(F.lit(1)).alias("d")
+                    ),
+                    "id",
+                    "left",
+                )
+                .select(F.coalesce("d", F.lit(0)).alias("d"))
+            )
+            if d.agg(F.countDistinct("d")).first()[0] != 1:
+                return False
+        return True
+    sym = graph.symmetrized_edges().select("src", "dst").distinct()
+    d = (
+        graph.vertices.select("id")
+        .join(
+            sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d")),
+            "id",
+            "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    return d.agg(F.countDistinct("d")).first()[0] == 1
+
+
+def is_k_regular(graph: LinkGraph, k: int) -> bool:
+    """function.py ``is_k_regular`` (undirected): every degree == k."""
+    if graph.directed:
+        raise ValueError("is_k_regular is defined for undirected graphs")
+    sym = graph.symmetrized_edges().select("src", "dst").distinct()
+    d = (
+        graph.vertices.select("id")
+        .join(
+            sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d")),
+            "id",
+            "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    bad = d.where(F.col("d") != k).limit(1).count()
+    return bad == 0

@@ -113,3 +113,47 @@ def wiener_index_sampled(
             * F.lit(float(n) / float(max(k, 1)) / 2.0)
         ).alias("wiener_est"),
     )
+
+
+def barycenter(graph: LinkGraph) -> DataFrame:
+    """(id, total_dist) — the barycenter (median) node set: vertices
+    minimizing the sum of shortest-path distances to all others
+    (reference networkx/algorithms/distance_measures.py
+    ``barycenter``; raises ValueError on disconnected input like the
+    reference's NetworkXNoPath). Exact via the bitset MS-BFS with
+    S = V (state O(n²/64) words — the same contract as the exact
+    eccentricity facade; sample S for the estimator at scale)."""
+    from .traversal import multi_source_bfs_counts
+
+    n = graph.num_vertices()
+    counts = multi_source_bfs_counts(graph, graph.vertices.select("id"))
+    per_id = (
+        graph.vertices.select("id")
+        .join(
+            counts.groupBy("id").agg(
+                F.sum(F.col("layer") * F.col("n_src")).alias("total_dist"),
+                F.sum("n_src").alias("_reached"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("total_dist", F.lit(0)).alias("total_dist"),
+            F.coalesce("_reached", F.lit(0)).alias("_reached"),
+        )
+        .persist()
+    )
+    bad = per_id.where(F.col("_reached") < n).limit(1).count()
+    if bad:
+        per_id.unpersist()
+        raise ValueError("barycenter: graph is disconnected (NetworkXNoPath parity)")
+    mn = per_id.agg(F.min("total_dist").alias("_mn"))
+    out = (
+        per_id.crossJoin(F.broadcast(mn))
+        .where(F.col("total_dist") == F.col("_mn"))
+        .select("id", "total_dist")
+        .localCheckpoint(eager=True)  # survives the per_id unpersist
+    )
+    per_id.unpersist()
+    return out

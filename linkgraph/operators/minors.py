@@ -65,3 +65,22 @@ def host_graph(pages_graph: LinkGraph) -> LinkGraph:
         "id", F.parse_url(F.col("url"), F.lit("HOST")).alias("block")
     )
     return quotient_graph(pages_graph, part)
+
+
+def moral_graph_edges(graph: LinkGraph) -> DataFrame:
+    """(src, dst) canonical undirected edge set of the moralized
+    digraph (reference networkx/algorithms/moral.py ``moral_graph``):
+    every directed edge undirected PLUS an edge between every pair of
+    parents sharing a child ("marrying" the parents). One self-join
+    of the edge table on the child + a canonical union-distinct."""
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    married = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.dst") == F.col("y.dst"))
+        .where(F.col("x.src") < F.col("y.src"))
+        .select(F.col("x.src").alias("src"), F.col("y.src").alias("dst"))
+    )
+    canon = e.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+    return canon.unionByName(married).distinct()
