@@ -369,17 +369,14 @@ def dag_longest_path(graph: LinkGraph, weighted: bool = False) -> DataFrame:
 
 def transitive_closure(graph: LinkGraph) -> DataFrame:
     """(src, dst) — every ordered pair with a directed path of length
-    >= 1 (reference ``transitive_closure``, dag.py, reflexive=False).
-    Output is O(n·reach) — quadratic on dense DAGs; the per-query form
-    is :func:`ancestor_closure`. Path doubling: C <- C ∪ C∘C, so
-    rounds = ceil(log2(longest path)), each one equi-join + distinct.
-    Works on any digraph (cycles close onto themselves)."""
-    c = (
-        graph.edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    >= 1 (reference ``transitive_closure``, dag.py, reflexive=False —
+    which still yields (u, u) whenever u lies on a CYCLE, since that
+    is a real path of length >= 1; only zero-length trivial loops are
+    excluded). Output is O(n·reach) — quadratic on dense DAGs; the
+    per-query form is :func:`ancestor_closure`. Path doubling:
+    C <- C ∪ C∘C, so rounds = ceil(log2(longest path)), each one
+    equi-join + distinct."""
+    c = graph.edges.select("src", "dst").distinct().localCheckpoint()
     while True:
         ext = (
             c.join(
@@ -387,7 +384,6 @@ def transitive_closure(graph: LinkGraph) -> DataFrame:
                 "dst",
             )
             .select("src", F.col("d2").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
             .distinct()
             .join(c, ["src", "dst"], "left_anti")
             .localCheckpoint()

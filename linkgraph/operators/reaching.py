@@ -31,8 +31,12 @@ def local_reaching_centrality(graph: LinkGraph) -> DataFrame:
     if n < 2:
         raise ValueError("local_reaching_centrality needs >= 2 nodes")
     closure = transitive_closure(graph)
-    counts = closure.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("_reach")
+    # (u, u) closure rows (self-loops / cycles) are not "other nodes
+    # reachable" — reaching.py counts len(paths) - 1 over OTHER nodes
+    counts = (
+        closure.where(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("_reach"))
     )
     return (
         graph.vertices.select("id")

@@ -89,12 +89,14 @@ def test_transitive_closure_vs_nx(spark):
 
 
 def test_transitive_closure_on_cycle(spark):
-    # cycles are allowed: every node reaches every node (incl. itself
-    # via the cycle, but src==dst pairs are excluded by construction)
+    # cycles: every node reaches every node INCLUDING itself via the
+    # cycle — the reference emits (u, u) for any length >= 1 path
     g = graph_from_edge_names(spark, [(0, 1), (1, 2), (2, 0)], directed=True)
     nm = names(g)
     got = {(nm[r["src"]], nm[r["dst"]]) for r in transitive_closure(g).collect()}
-    assert got == {(str(a), str(b)) for a in range(3) for b in range(3) if a != b}
+    G = nx_graph([(0, 1), (1, 2), (2, 0)], directed=True)
+    want = {(str(u), str(v)) for u, v in nx.transitive_closure(G).edges()}
+    assert got == want == {(str(a), str(b)) for a in range(3) for b in range(3)}
 
 
 def test_transitive_reduction_vs_nx(spark):

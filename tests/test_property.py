@@ -73,3 +73,49 @@ def test_triangles_match_nx(spark, edges):
     g = _g(spark, edges)
     got = {r["id"]: r["triangles"] for r in triangles(g).collect()}
     assert got == nx.triangles(_G(edges))
+
+
+def _dg(spark, edges):
+    e = spark.createDataFrame(
+        [(a, b, None) for a, b in edges] or [],
+        "src long, dst long, weight double",
+    )
+    v = spark.createDataFrame([(i,) for i in range(N)], "id long")
+    return LinkGraph(vertices=v, edges=e, directed=True)
+
+
+def _DG(edges):
+    G = nx.DiGraph()
+    G.add_nodes_from(range(N))
+    G.add_edges_from(edges)
+    return G
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_transitive_closure_matches_nx(spark, edges):
+    from linkgraph.operators.dag import transitive_closure
+
+    got = {
+        (r["src"], r["dst"]) for r in transitive_closure(_dg(spark, edges)).collect()
+    }
+    want = set(nx.transitive_closure(_DG(edges)).edges())
+    assert got == want
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_longest_path_lengths_match_nx_on_dags(spark, edges):
+    from linkgraph.operators.dag import GraphContainsCycle, longest_path_lengths
+
+    dag_edges = [(a, b) for a, b in edges if a < b]  # forced acyclic
+    got = {
+        r["id"]: r["dist"]
+        for r in longest_path_lengths(_dg(spark, dag_edges)).collect()
+    }
+    G = _DG(dag_edges)
+    dist = {v: 0 for v in G.nodes}
+    for v in nx.topological_sort(G):
+        for u in G.predecessors(v):
+            dist[v] = max(dist[v], dist[u] + 1)
+    assert got == {k: float(v) for k, v in dist.items()}
