@@ -119,3 +119,35 @@ def test_longest_path_lengths_match_nx_on_dags(spark, edges):
         for u in G.predecessors(v):
             dist[v] = max(dist[v], dist[u] + 1)
     assert got == {k: float(v) for k, v in dist.items()}
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_attracting_components_match_nx(spark, edges):
+    from linkgraph.operators.strongly_connected import attracting_components
+
+    got = {}
+    for r in attracting_components(_dg(spark, edges)).collect():
+        got.setdefault(r["component"], set()).add(r["id"])
+    want = [set(c) for c in nx.attracting_components(_DG(edges))]
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, want))
+
+
+@given(edges=edge_lists)
+@settings(**_SETTINGS)
+def test_voronoi_assignments_are_nearest(spark, edges):
+    from linkgraph.operators.traversal import voronoi_cells
+
+    centers = [0, 5]
+    G = _G(edges)
+    dist = {c: nx.single_source_shortest_path_length(G, c) for c in centers}
+    rows = voronoi_cells(_g(spark, edges), centers).collect()
+    seen = set()
+    big = 10**9
+    for r in rows:
+        v, c, d = r["id"], r["center"], r["dist"]
+        seen.add(v)
+        best = min(dist[cc].get(v, big) for cc in centers)
+        assert d == best and dist[c].get(v, big) == best
+        assert c == min(cc for cc in centers if dist[cc].get(v, big) == best)
+    assert seen == {v for cc in centers for v in dist[cc]}
