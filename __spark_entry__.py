@@ -122,6 +122,16 @@ def q_cc_nation_chains(spark, sf_dir):
     return connected_components(g).select("id", "component")
 
 
+def q_cc_nation_chains_dist(spark, sf_dir):
+    """Same output as q_cc_nation_chains but with local_max_edges=0 so
+    the driver's hash check pins the DISTRIBUTED superstep plan
+    (neighbor-min gather over the salted CSR + pointer jumping,
+    components.py:93) — the plan that actually runs at 100 TB — not the
+    size-gated single-Arrow-task fast path."""
+    g = nation_chain_graph(spark, sf_dir)
+    return connected_components(g, local_max_edges=0).select("id", "component")
+
+
 def q_component_sizes(spark, sf_dir):
     g = nation_chain_graph(spark, sf_dir)
     return (
@@ -134,6 +144,15 @@ def q_component_sizes(spark, sf_dir):
 def q_triangles_parts(spark, sf_dir):
     g = part_cooccurrence_graph(spark, sf_dir)
     return triangles(g).select("id", "triangles")
+
+
+def q_triangles_parts_dist(spark, sf_dir):
+    """Distributed-plan twin of q_triangles_parts: local_max_edges=0
+    forces the degree-oriented wedge + closing semi-join plan
+    (triangles.py:143-198) so CORRECTNESS hash-verifies the O(m^1.5)
+    superstep-free distributed shape, not the local fast path."""
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return triangles(g, local_max_edges=0).select("id", "triangles")
 
 
 def q_triangle_total_parts(spark, sf_dir):
@@ -371,6 +390,21 @@ def q_lpa_nation_chains(spark, sf_dir):
     networkx (tests/test_label_propagation.py)."""
     g = nation_chain_graph(spark, sf_dir)
     return label_propagation_communities(g).select("id", "label")
+
+
+def q_lpa_nation_chains_dist(spark, sf_dir):
+    """Distributed-plan twin of q_lpa_nation_chains: local_max_edges=0
+    forces the JP-colored semi-synchronous superstep plan
+    (label_propagation.py:195,231-303) that runs at scale. Rows-only
+    for the same reason as the local twin (xxhash64 priorities have no
+    DuckDB twin); the two paths use different deterministic update
+    schedules so may converge to different VALID labelings — both are
+    pytest-verified Prec-Max fixpoints with exact community sets on
+    the reference fixtures (tests/test_label_propagation.py)."""
+    g = nation_chain_graph(spark, sf_dir)
+    return label_propagation_communities(g, local_max_edges=0).select(
+        "id", "label"
+    )
 
 
 def q_louvain_parts(spark, sf_dir):
@@ -2648,8 +2682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_orders": q_pagerank_orders,
         "cc_nation_chains": q_cc_nation_chains,
+        "cc_nation_chains_dist": q_cc_nation_chains_dist,
         "component_sizes": q_component_sizes,
         "triangles_parts": q_triangles_parts,
+        "triangles_parts_dist": q_triangles_parts_dist,
         "triangle_total_parts": q_triangle_total_parts,
         "transitivity_parts": q_transitivity_parts,
         "out_degree_orders": q_out_degree_orders,
@@ -2763,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the pages pipeline's link structure derives from xxhash64 too.
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
+        "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
         "louvain_parts": q_louvain_parts,
         "doc_chunks": q_doc_chunks,
         "doc_repetition": q_doc_repetition,
@@ -4930,10 +4967,21 @@ SELECT src, dst, src AS bc_src, dst AS bc_dst FROM path WHERE cnt = 2""",
         "cc_nation_chains": """
 SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer""",
+        "cc_nation_chains_dist": """
+SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
+FROM customer""",
         "component_sizes": """
 SELECT MIN(c_custkey) AS component, count(*) AS n_nodes
 FROM customer GROUP BY c_nationkey""",
         "triangles_parts": f"""
+WITH {_TRI_CTE},
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+SELECT p.p_partkey AS id, COALESCE(cnt.t, 0) AS triangles
+FROM part p LEFT JOIN cnt ON cnt.id = p.p_partkey""",
+        "triangles_parts_dist": f"""
 WITH {_TRI_CTE},
 corners AS (
   SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri

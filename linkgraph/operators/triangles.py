@@ -195,11 +195,16 @@ def all_triangles(
     )
 
 
-def triangles(graph: LinkGraph, _simple: DataFrame | None = None) -> DataFrame:
+def triangles(
+    graph: LinkGraph,
+    _simple: DataFrame | None = None,
+    local_max_edges: int = LOCAL_TRI_MAX_EDGES,
+) -> DataFrame:
     """Per-node triangle counts, zeros included:
     (id BIGINT, triangles BIGINT) — parity with ``nx.triangles``
-    (cluster.py:78-95)."""
-    tri = all_triangles(graph, _simple=_simple)
+    (cluster.py:78-95). ``local_max_edges=0`` forces the distributed
+    wedge+closing-join plan regardless of graph size."""
+    tri = all_triangles(graph, local_max_edges=local_max_edges, _simple=_simple)
     corners = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")

@@ -142,3 +142,41 @@ def test_greedy_coloring_pluggable_priority(spark):
             assert colors[nm[str(u)]] != colors[nm[str(v)]]
         # triangle 0-1-2 forces >= 3 colors
         assert len({colors[nm[s]] for s in "012"}) == 3
+
+
+def _is_lpa_fixpoint(rows, edges_by_name, name_of):
+    """Every node's label must be in its neighborhood argmax set —
+    the LPA termination contract (label_propagation.py:331-338)."""
+    from collections import Counter, defaultdict
+
+    lab = {name_of[r["id"]]: r["label"] for r in rows}
+    adj = defaultdict(set)
+    for u, v in edges_by_name:
+        adj[str(u)].add(str(v))
+        adj[str(v)].add(str(u))
+    for n, nbrs in adj.items():
+        freq = Counter(lab[u] for u in nbrs)
+        if freq and freq.get(lab[n], 0) != max(freq.values()):
+            return False
+    return True
+
+
+def test_distributed_and_local_both_reach_fixpoints(spark):
+    """The local fast path and the forced distributed superstep path
+    use different (both deterministic) update schedules, so converged
+    labels may name different VALID labelings (documented at
+    label_propagation.py LOCAL_LPA_MAX_EDGES). The contract both must
+    satisfy: a Prec-Max fixpoint, with unambiguous components (the
+    triangle) labeled as single communities — this is the check behind
+    the rows-only q_lpa_nation_chains_dist entry twin."""
+    # chains + a ring: the nation_chain_graph shape at toy scale
+    edges = [(i, i + 1) for i in range(0, 9)]          # 10-node chain
+    edges += [(100 + i, 100 + (i + 1) % 7) for i in range(7)]  # 7-ring
+    edges += [(200, 201), (201, 202), (202, 200)]      # triangle
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_of = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    for kw in ({}, {"local_max_edges": 0}):
+        rows = label_propagation_communities(g, **kw).collect()
+        assert _is_lpa_fixpoint(rows, edges, name_of), kw
+        tri = {r["label"] for r in rows if name_of[r["id"]] in {"200", "201", "202"}}
+        assert len(tri) == 1, kw
