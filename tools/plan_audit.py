@@ -43,6 +43,8 @@ SCALAR_BROADCAST = {
     "grc_orders",  # max-lrc one-row agg rides the plan
     "tfidf_topk_docs",  # corpus-size N one-row agg rides the IDF plan
     "embedding_decontaminate",  # tiny benchmark side broadcast (stated precondition)
+    "embedding_ivf_topk",  # one-row broadcast centroid relation rides the plan
+    "embedding_semantic_dedup",  # same one-row centroid-relation idiom
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
