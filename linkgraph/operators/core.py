@@ -87,6 +87,33 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
     )
 
 
+def _h_index_expr(hst) -> F.Column:
+    """h-index of a neighbor-estimate HISTOGRAM: ``hst`` is an
+    ascending-sorted array<struct<c_dst, cnt>>; walking it DESCENDING
+    with running suffix count ge(c) = #neighbors with estimate ≥ c,
+    h = max over distinct estimates c of min(c, ge(c)).
+
+    Identity proof: let h be the true h-index (largest h with
+    ge(h) ≥ h). For the smallest distinct value c' ≥ h, ge(c') = ge(h)
+    ≥ h and c' ≥ h, so the max is ≥ h. Conversely if some distinct c
+    had min(c, ge(c)) = m > h, then ge(m) ≥ ge(c) ≥ m would contradict
+    h's maximality. One hash-agg fold per src — no sort window."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("best")
+    )
+    return F.aggregate(
+        F.reverse(hst),  # descending by estimate value
+        zero,
+        lambda acc, x: F.struct(
+            (acc["run"] + x["cnt"]).alias("run"),
+            F.greatest(
+                acc["best"], F.least(x["c_dst"], acc["run"] + x["cnt"])
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def core_number(graph: LinkGraph, max_iters: int = 500) -> DataFrame:
     """(id, core) — the largest k such that id is in the k-core
     (networkx/algorithms/core.py ``core_number``).
@@ -100,21 +127,22 @@ def core_number(graph: LinkGraph, max_iters: int = 500) -> DataFrame:
     count independent of k_max (vs the O(k_max) full-peeling runs this
     replaces).
 
-    Per iteration: one equi-join of edges against estimates (shuffle on
-    dst, map-side combine in the window's sort) + a per-src window
-    computing the h-index as max(min(rank, c)) over neighbors ordered
-    by c desc. A hub's neighborhood sorts in one task — acceptable
-    because the sort key is a BIGINT and spills; at extreme hub degree
-    the groupBy-histogram variant (count per estimate value) is the
-    documented upgrade.
+    Per iteration: one equi-join of edges against estimates (shuffle
+    on dst), then the h-index via a two-level HISTOGRAM aggregation —
+    ``groupBy(src, c_dst).count()`` (map-side partial agg: a
+    10⁶-degree hub's rows combine locally per estimate value before
+    any shuffle) followed by a per-src hash-agg collecting the
+    (estimate, count) histogram and folding it descending:
+    h = max over distinct estimates c of min(c, #neighbors with
+    estimate ≥ c) — an identity of the h-index, proof in
+    ``_h_index_expr``. No window, no per-src neighborhood sort
+    anywhere in the plan (the round-2 hub-sort weakness, paid).
 
     Converges in rounds proportional to graph "locality" — small for
     dense web cores; worst case (long induced paths) is O(path length),
     so ``max_iters`` is generous and exhaustion raises rather than
     returning a silently-wrong labeling.
     """
-    from pyspark.sql.window import Window
-
     spark = graph.spark
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     canon = _simple_undirected_edges(graph)
@@ -133,17 +161,24 @@ def core_number(graph: LinkGraph, max_iters: int = 500) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    w = Window.partitionBy("src").orderBy(F.desc("c_dst"), F.asc("dst"))
     converged = False
     for _ in range(max_iters):
-        h = (
+        hist = (
             edges.join(
                 c.select(F.col("id").alias("dst"), F.col("core").alias("c_dst")),
                 "dst",
             )
-            .withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.max(F.least(F.col("c_dst"), F.col("rn"))).alias("core"))
+            .groupBy("src", "c_dst")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        h = (
+            hist.groupBy(F.col("src").alias("id"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("c_dst", "cnt"))).alias(
+                    "hst"
+                )
+            )
+            .select("id", _h_index_expr(F.col("hst")).alias("core"))
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -151,3 +151,19 @@ def test_voronoi_assignments_are_nearest(spark, edges):
         assert d == best and dist[c].get(v, big) == best
         assert c == min(cc for cc in centers if dist[cc].get(v, big) == best)
     assert seen == {v for cc in centers for v in dist[cc]}
+
+
+@settings(**_SETTINGS)
+@given(edge_lists)
+def test_core_number_matches_nx(spark, edges):
+    """Montresor h-index loop (round-3 histogram form, no window) vs
+    nx.core_number on adversarial structure. nx raises on self loops;
+    the engine's canonical simple-graph projection drops them, so
+    strip them from both sides."""
+    from linkgraph.operators.core import core_number
+
+    simple = [(a, b) for a, b in edges if a != b]
+    g = _g(spark, simple)
+    got = {r["id"]: r["core"] for r in core_number(g).collect()}
+    want = nx.core_number(_G(simple))
+    assert got == want

