@@ -392,6 +392,40 @@ def q_lpa_nation_chains(spark, sf_dir):
     return label_propagation_communities(g).select("id", "label")
 
 
+def q_find_cycle_nations(spark, sf_dir):
+    """Deterministic cycle witness (cycles.py find_cycle analog,
+    networkx/algorithms/cycles.py:93) on the directed 25-nation ring:
+    anchor = min cycle vertex (0), witness = the ring itself, emitted
+    as (pos, src, dst) edges."""
+    from linkgraph.operators.cycles import find_cycle
+
+    g = nation_ring_graph(spark, sf_dir, closed=True, directed=True)
+    return find_cycle(g).select("pos", "src", "dst")
+
+
+def q_simple_cycles_orders(spark, sf_dir):
+    """Bounded simple-cycle enumeration (cycles.py:180 with
+    length_bound) over the directed order graph — the link-spam-loop
+    workload: every self-loop, reciprocal pair, and 3-cycle, each in
+    canonical min-first rotation."""
+    from linkgraph.operators.cycles import simple_cycles
+
+    g = order_graph(spark, sf_dir)
+    return simple_cycles(g, length_bound=3).select("cycle", "k")
+
+
+def q_girth_parts(spark, sf_dir):
+    """Girth (shortest undirected cycle, reference cycles.py girth)
+    of the part co-occurrence graph, bounded search to length 4 —
+    co-purchase graphs are triangle-dense so the expected answer is
+    3; the oracle mirrors the k=3/k=4 existence checks exactly."""
+    from linkgraph.operators.cycles import girth
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    v = girth(g, length_bound=4)
+    return spark.createDataFrame([(float(v),)], "girth double")
+
+
 def q_lpa_nation_chains_dist(spark, sf_dir):
     """Distributed-plan twin of q_lpa_nation_chains: local_max_edges=0
     forces the JP-colored semi-synchronous superstep plan
@@ -2800,6 +2834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
+        "find_cycle_nations": q_find_cycle_nations,
+        "simple_cycles_orders": q_simple_cycles_orders,
+        "girth_parts": q_girth_parts,
         "louvain_parts": q_louvain_parts,
         "doc_chunks": q_doc_chunks,
         "doc_repetition": q_doc_repetition,
@@ -4970,6 +5007,64 @@ FROM customer""",
         "cc_nation_chains_dist": """
 SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer""",
+        "find_cycle_nations": """
+WITH seq AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+  FROM nation
+)
+SELECT s.pos AS pos, s.id AS src,
+       COALESCE(s2.id, (SELECT min(id) FROM seq)) AS dst
+FROM seq s LEFT JOIN seq s2 ON s2.pos = s.pos + 1""",
+        "simple_cycles_orders": f"""
+WITH {_EDGES_CTE},
+ev AS (
+  SELECT src, dst FROM e2k
+  WHERE dst IN (SELECT c_custkey FROM customer)
+),
+s AS (SELECT src, dst FROM ev WHERE src != dst),
+c1 AS (
+  SELECT CAST(src AS VARCHAR) AS cycle, CAST(1 AS BIGINT) AS k
+  FROM ev WHERE src = dst
+),
+c2 AS (
+  SELECT CAST(a.src AS VARCHAR) || ',' || CAST(a.dst AS VARCHAR) AS cycle,
+         CAST(2 AS BIGINT) AS k
+  FROM s a JOIN s b ON b.src = a.dst AND b.dst = a.src
+  WHERE a.src < a.dst
+),
+c3 AS (
+  SELECT CAST(a.src AS VARCHAR) || ',' || CAST(a.dst AS VARCHAR)
+           || ',' || CAST(b.dst AS VARCHAR) AS cycle,
+         CAST(3 AS BIGINT) AS k
+  FROM s a
+  JOIN s b ON b.src = a.dst
+  JOIN s c ON c.src = b.dst AND c.dst = a.src
+  WHERE a.dst > a.src AND b.dst > a.src AND b.dst != a.dst
+)
+SELECT cycle, k FROM c1
+UNION ALL SELECT cycle, k FROM c2
+UNION ALL SELECT cycle, k FROM c3""",
+        "girth_parts": f"""
+WITH {_TRI_CTE},
+und AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+),
+g4 AS (
+  SELECT 1 AS one
+  FROM und e1
+  JOIN und e2 ON e2.src = e1.dst
+  JOIN und e3 ON e3.src = e2.dst
+  JOIN und e4 ON e4.src = e3.dst AND e4.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst AND e1.src < e3.dst
+    AND e2.dst != e1.dst AND e3.dst != e1.dst AND e3.dst != e2.dst
+  LIMIT 1
+)
+SELECT CASE WHEN EXISTS(SELECT 1 FROM tri) THEN 3.0
+            WHEN EXISTS(SELECT 1 FROM g4) THEN 4.0
+            ELSE CAST('Infinity' AS DOUBLE) END AS girth""",
         "component_sizes": """
 SELECT MIN(c_custkey) AS component, count(*) AS n_nodes
 FROM customer GROUP BY c_nationkey""",
