@@ -1208,6 +1208,41 @@ def q_betweenness_orders(spark, sf_dir):
     )
 
 
+def weighted_order_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    """order_graph with deterministic INTEGER-VALUED weights
+    w = 1 + (o_orderkey % 5): weighted shortest paths genuinely differ
+    from hop-count paths, while every path sum stays exact in float —
+    the weighted-centrality fixture."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    edges = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("long").alias("dst"),
+        (1 + F.pmod(F.col("o_orderkey"), F.lit(5))).cast("double").alias("weight"),
+    )
+    vertices = cust.select(F.col("c_custkey").cast("long").alias("id"))
+    return LinkGraph(vertices=vertices, edges=edges, directed=True)
+
+
+def q_betweenness_weighted_orders(spark, sf_dir):
+    """Weighted Brandes betweenness (centrality.py
+    ``_weighted_betweenness``: batched Bellman-Ford -> tight-edge DAG
+    -> depth-stratified sigma/delta; reference betweenness.py:110
+    ``weight=``) on the weighted order graph, same 15 deterministic
+    sources as q_betweenness_orders, unnormalized."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = weighted_order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return betweenness_centrality(
+        g, sources=srcs, normalized=False, weight=True
+    ).select("id", F.round("betweenness", 6).alias("betweenness_r"))
+
+
 def q_edge_betweenness_orders(spark, sf_dir):
     """Source-sampled Brandes EDGE betweenness on the order graph —
     same 15 deterministic sources as q_betweenness_orders, raw
@@ -2779,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_sort_orders": q_topo_sort_orders,
         "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
         "betweenness_orders": q_betweenness_orders,
+        "betweenness_weighted_orders": q_betweenness_weighted_orders,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
         "katz_orders": q_katz_orders,
         "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -4423,6 +4459,84 @@ def _betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
     return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
 
 
+def _weighted_betweenness_sql(src_mod: int = 100, rounds: int = 12) -> str:
+    """Unrolled WEIGHTED Brandes over the weighted order graph
+    (w = 1 + o_orderkey % 5, min per parallel edge): ``rounds``
+    relaxation CTEs (min-plus, one edge per round) -> tight-edge DAG
+    -> hop-indexed sigma (sig_h = # tight paths of exactly h edges;
+    total sigma = Σ_h) -> ``rounds`` fixpoint iterations of the delta
+    recursion delta(v) = Σ_tight(v,w) sigma(v)/sigma(w)·(1+delta(w)),
+    exact once iterations exceed the DAG depth (probed max shortest-
+    path hops: 7 at sf0.01 — 12 gives slack). Integer-valued weights
+    keep every dist sum exact in float, so the tight-edge equality is
+    bit-safe; round(…, 6) absorbs delta summation-order divergence."""
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM customer),",
+        "eraw AS (SELECT CAST(o_custkey AS BIGINT) AS src,"
+        " CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst,"
+        " CAST(1 + (o_orderkey % 5) AS DOUBLE) AS w FROM orders),",
+        "ee AS (SELECT eraw.src, eraw.dst, MIN(eraw.w) AS w FROM eraw"
+        " JOIN customer a ON a.c_custkey = eraw.src"
+        " JOIN customer b ON b.c_custkey = eraw.dst"
+        " WHERE eraw.src <> eraw.dst GROUP BY eraw.src, eraw.dst),",
+        f"src0 AS (SELECT CAST(c_custkey AS BIGINT) AS s FROM customer"
+        f" WHERE c_custkey % {src_mod} = 1),",
+        "r0 AS (SELECT s, s AS id, CAST(0 AS DOUBLE) AS dist FROM src0),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS (SELECT s, id, MIN(dist) AS dist FROM ("
+            f"SELECT s, id, dist FROM r{k-1}"
+            f" UNION ALL"
+            f" SELECT r.s, ee.dst AS id, r.dist + ee.w AS dist"
+            f" FROM r{k-1} r JOIN ee ON ee.src = r.id"
+            f") GROUP BY s, id),"
+        )
+    parts.append(
+        f"tight AS (SELECT a.s, ee.src, ee.dst, b.dist AS dd"
+        f" FROM ee JOIN r{rounds} a ON a.id = ee.src"
+        f" JOIN r{rounds} b ON b.s = a.s AND b.id = ee.dst"
+        f" WHERE a.dist + ee.w = b.dist),"
+    )
+    parts.append("sig0 AS (SELECT s, s AS id, CAST(1 AS DOUBLE) AS sigma FROM src0),")
+    for h in range(1, rounds + 1):
+        parts.append(
+            f"sig{h} AS (SELECT t.s, t.dst AS id, SUM(p.sigma) AS sigma"
+            f" FROM tight t JOIN sig{h-1} p ON p.s = t.s AND p.id = t.src"
+            f" GROUP BY t.s, t.dst),"
+        )
+    sig_union = " UNION ALL ".join(
+        f"SELECT s, id, sigma FROM sig{h}" for h in range(0, rounds + 1)
+    )
+    parts.append(
+        f"sigma AS (SELECT s, id, SUM(sigma) AS sigma FROM ({sig_union})"
+        f" GROUP BY s, id),"
+    )
+    parts.append(
+        "del0 AS (SELECT s, id, sigma, CAST(0 AS DOUBLE) AS delta FROM sigma),"
+    )
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"del{i} AS (SELECT sg.s, sg.id, sg.sigma,"
+            f" sg.sigma * COALESCE(x.wsum, 0) AS delta"
+            f" FROM sigma sg LEFT JOIN ("
+            f"SELECT t.s, t.src, SUM((1 + dn.delta) / dn.sigma) AS wsum"
+            f" FROM tight t JOIN del{i-1} dn ON dn.s = t.s AND dn.id = t.dst"
+            f" GROUP BY t.s, t.src"
+            f") x ON x.s = sg.s AND x.src = sg.id),"
+        )
+    parts.append(
+        f"b AS (SELECT id, SUM(delta) AS bt FROM del{rounds}"
+        f" WHERE id <> s GROUP BY id)"
+    )
+    parts.append(
+        "SELECT CAST(c.c_custkey AS BIGINT) AS id,"
+        " round(COALESCE(b.bt, 0), 6) AS betweenness_r"
+        " FROM customer c LEFT JOIN b ON b.id = c.c_custkey"
+    )
+    return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
+
+
 def _edge_betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
     """Unrolled Brandes EDGE betweenness — the same sigma/delta chain
     as ``_betweenness_sql``; the edge credit is the backward pass's
@@ -5404,6 +5518,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "topo_sort_orders": _topo_sort_sql(),
         "avg_nbr_degree_orders": _avg_nbr_degree_sql(),
         "betweenness_orders": _betweenness_sql(),
+        "betweenness_weighted_orders": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
         "doc_dedup_clusters": _dedup_clusters_sql(),

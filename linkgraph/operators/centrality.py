@@ -37,6 +37,7 @@ def betweenness_centrality(
     normalized: bool = True,
     num_partitions: int | None = None,
     _edge_mode: bool = False,
+    weight: bool = False,
 ) -> DataFrame:
     """(id BIGINT, betweenness DOUBLE) — Brandes' algorithm
     (networkx/algorithms/centrality/betweenness.py:13-123 via
@@ -61,6 +62,17 @@ def betweenness_centrality(
     spark = graph.spark
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if weight:
+        if _edge_mode:
+            raise NotImplementedError(
+                "weighted edge betweenness is not implemented (node "
+                "betweenness supports weight=, parity with "
+                "betweenness.py:110 'weight' param)"
+            )
+        return _weighted_betweenness(
+            graph, k=k, sources=sources, normalized=normalized,
+            num_partitions=num_partitions,
+        )
 
     verts = graph.vertices.select("id").persist()
     n = verts.count()
@@ -265,20 +277,261 @@ def betweenness_centrality(
         verts.unpersist()
 
 
+def _weighted_betweenness(
+    graph: LinkGraph,
+    k: int | None,
+    sources: list[int] | None,
+    normalized: bool,
+    num_partitions: int,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """Weighted Brandes (reference betweenness.py:110 ``weight=`` via
+    ``_single_source_dijkstra_path_basic`` :277): the layer-batched
+    sweep of the unweighted form generalizes by replacing BFS layers
+    with the shortest-path DAG's LONGEST-PATH depth:
+
+    1. batched multi-source Bellman-Ford — state (source, id, dist),
+       only improved rows ride the frontier (positive weights on a
+       link graph; rounds = max hop count of any shortest path),
+    2. TIGHT edges per source: dist(u) + w == dist(v) — the float
+       equality is exact because both sides are the very sums the
+       relaxation minimized over (same argument as
+       shortest_paths.py:131),
+    3. DAG depth d(v) = max over tight preds d(u) + 1 (max-plus
+       fixpoint) — for every tight edge d(u) < d(v), so processing
+       depths ascending (sigma) / descending (delta) preserves
+       Brandes' dependency order exactly as BFS layers do,
+    4. sigma per depth (one join each), delta per depth backward with
+       the identical (1+delta)/sigma accumulation and _rescale.
+
+    All phases are frontier supersteps over tables keyed
+    (source, id) — job count O(max DAG depth), independent of |S|.
+    """
+    spark = graph.spark
+    verts = graph.vertices.select("id").persist()
+    n = verts.count()
+    if n == 0:
+        verts.unpersist()
+        return spark.createDataFrame([], "id long, betweenness double")
+    edges = (
+        (graph.weighted_edges() if graph.directed else graph.symmetrized_edges())
+        .where(F.col("src") != F.col("dst"))
+        .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edges.count()
+
+    if sources is None:
+        if k is None:
+            src_ids = [r["id"] for r in verts.collect()]
+            scale_k = 1.0
+        else:
+            src_ids = [r["id"] for r in verts.orderBy("id").limit(k).collect()]
+            scale_k = n / float(len(src_ids))
+    else:
+        src_ids = [int(s) for s in sources]
+        scale_k = 1.0
+
+    try:
+        # ---- 1. batched multi-source Bellman-Ford ------------------
+        dist = (
+            spark.createDataFrame([(int(s),) for s in src_ids], "source long")
+            .select("source", F.col("source").alias("id"), F.lit(0.0).alias("dist"))
+            .join(verts, "id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist
+        for _ in range(max_rounds):
+            cand = (
+                edges.join(frontier.withColumnRenamed("id", "src"), "src")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+            )
+            improved = (
+                cand.join(dist, ["source", "id"], "left")
+                .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                .select("source", "id", F.col("nd").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            if improved.limit(1).count() == 0:
+                break
+            dist = (
+                dist.join(improved.select("source", "id"), ["source", "id"], "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        else:
+            raise RuntimeError("weighted betweenness relaxation did not converge")
+
+        # ---- 2. tight shortest-path-DAG edges per source -----------
+        tight = (
+            edges.join(
+                dist.select("source", F.col("id").alias("src"), F.col("dist").alias("ds")),
+                "src",
+            )
+            .join(
+                dist.select("source", F.col("id").alias("dst"), F.col("dist").alias("dd")),
+                ["source", "dst"],
+            )
+            .where(F.col("ds") + F.col("w") == F.col("dd"))
+            .select("source", "src", "dst")
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+        tight.count()
+
+        # ---- 3. DAG depth: max-plus fixpoint over tight edges ------
+        depth = dist.select("source", "id", F.lit(0).cast("long").alias("d"))
+        depth = depth.localCheckpoint(eager=True)
+        frontier = depth
+        for _ in range(max_rounds):
+            cand = (
+                tight.join(frontier.withColumnRenamed("id", "src"), ["source", "src"])
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.max(F.col("d") + 1).alias("ndp"))
+            )
+            moved = (
+                cand.join(depth, ["source", "id"], "left")
+                .where(F.col("d").isNull() | (F.col("ndp") > F.col("d")))
+                .select("source", "id", F.col("ndp").alias("d"))
+                .localCheckpoint(eager=True)
+            )
+            if moved.limit(1).count() == 0:
+                break
+            depth = (
+                depth.join(moved.select("source", "id"), ["source", "id"], "left_anti")
+                .unionByName(moved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = moved
+        else:
+            raise RuntimeError("weighted betweenness depth pass did not converge")
+        depth = depth.persist()
+        max_d = depth.agg(F.max("d")).first()[0] or 0
+
+        # ---- 4. sigma ascending / delta descending by depth --------
+        layers: list[DataFrame] = []
+        sigma_acc: DataFrame | None = None
+        for d in range(0, max_d + 1):
+            cur_ids = depth.where(F.col("d") == d).select("source", "id")
+            if d == 0:
+                lay = cur_ids.select("source", "id", F.lit(1.0).alias("sigma"))
+            else:
+                lay = (
+                    tight.join(
+                        sigma_acc.withColumnRenamed("id", "src"), ["source", "src"]
+                    )
+                    .groupBy("source", F.col("dst").alias("id"))
+                    .agg(F.sum("sigma").alias("sigma"))
+                    .join(cur_ids, ["source", "id"], "left_semi")
+                )
+            lay = lay.localCheckpoint(eager=True)
+            layers.append(lay)
+            sigma_acc = (
+                lay if sigma_acc is None else sigma_acc.unionByName(lay)
+            ).localCheckpoint(eager=True)
+
+        deltas: list[DataFrame] = []
+        delta_next: DataFrame | None = None
+        for d in range(max_d, -1, -1):
+            cur = layers[d]
+            if delta_next is None:
+                delta_cur = cur.select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+            else:
+                contrib = (
+                    tight.join(
+                        delta_next.select(
+                            "source",
+                            F.col("id").alias("dst"),
+                            ((1.0 + F.col("delta")) / F.col("sigma")).alias("wterm"),
+                        ),
+                        ["source", "dst"],
+                    )
+                    .groupBy("source", F.col("src").alias("id"))
+                    .agg(F.sum("wterm").alias("wsum"))
+                )
+                delta_cur = cur.join(contrib, ["source", "id"], "left").select(
+                    "source",
+                    "id",
+                    "sigma",
+                    (F.col("sigma") * F.coalesce("wsum", F.lit(0.0))).alias("delta"),
+                )
+            delta_cur = delta_cur.localCheckpoint(eager=True)
+            if d > 0:
+                deltas.append(delta_cur.select("id", "delta"))
+            # delta flows along tight edges from ALL deeper layers,
+            # not just d+1: accumulate processed layers
+            delta_next = (
+                delta_cur
+                if delta_next is None
+                else delta_next.unionByName(delta_cur).localCheckpoint(eager=True)
+            )
+
+        if deltas:
+            acc = deltas[0]
+            for dd in deltas[1:]:
+                acc = acc.unionByName(dd)
+            bc = acc.groupBy("id").agg(F.sum("delta").alias("b"))
+        else:
+            bc = spark.createDataFrame([], "id long, b double")
+        if normalized:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else None
+        else:
+            scale = None if graph.directed else 0.5
+        factor = scale * scale_k if scale is not None else 1.0
+        out = (
+            verts.join(bc, "id", "left")
+            .select(
+                "id",
+                (F.coalesce("b", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
+            )
+            .persist()
+        )
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
+        verts.unpersist()
+
+
+def _incoming_distances(graph: LinkGraph, node_id: int, weight: bool) -> DataFrame:
+    """(id, d DOUBLE) — distances INTO ``node_id`` (closeness.py:103
+    reverses directed graphs). BFS hop counts, or Bellman-Ford weighted
+    lengths when ``weight`` (the reference's ``distance=`` param,
+    closeness.py:77 / harmonic.py:44)."""
+    g = graph.reverse() if graph.directed else graph
+    if weight:
+        from .shortest_paths import single_source_bellman_ford_path_length
+
+        return single_source_bellman_ford_path_length(g, node_id, weight=True).select(
+            "id", F.col("dist").cast("double").alias("d")
+        )
+    from .traversal import bfs_layers
+
+    return bfs_layers(g, [node_id]).select(
+        "id", F.col("layer").cast("double").alias("d")
+    )
+
+
 def closeness_centrality(
-    graph: LinkGraph, node_id: int, wf_improved: bool = True
+    graph: LinkGraph, node_id: int, wf_improved: bool = True,
+    weight: bool = False,
 ) -> float:
     """Closeness of one node — (r-1)/Σd scaled by (r-1)/(n-1) when
     ``wf_improved`` (networkx/algorithms/centrality/closeness.py:20-120:
-    uses INCOMING distances, hence BFS over the reversed view).
-    Per-node by nature: the distributed cost is one BFS; corpus-wide
+    uses INCOMING distances, hence BFS over the reversed view;
+    ``weight=True`` swaps BFS for the Bellman-Ford length table —
+    the reference's ``distance='weight'`` mode, closeness.py:77).
+    Per-node by nature: the distributed cost is one sweep; corpus-wide
     closeness is the sampled/targeted form, not all-pairs."""
-    from .traversal import bfs_layers
-
-    g = graph.reverse() if graph.directed else graph
-    layers = bfs_layers(g, [node_id])
-    row = layers.agg(
-        F.count(F.lit(1)).alias("r"), F.sum("layer").alias("tot")
+    dists = _incoming_distances(graph, node_id, weight)
+    row = dists.agg(
+        F.count(F.lit(1)).alias("r"), F.sum("d").alias("tot")
     ).first()
     r, tot = row["r"], row["tot"]
     if r <= 1 or not tot:
@@ -290,16 +543,16 @@ def closeness_centrality(
     return cc
 
 
-def harmonic_centrality(graph: LinkGraph, node_id: int) -> float:
+def harmonic_centrality(
+    graph: LinkGraph, node_id: int, weight: bool = False
+) -> float:
     """Harmonic centrality of one node — Σ 1/d(u, v) over incoming
-    distances (networkx/algorithms/centrality/harmonic.py:12-72)."""
-    from .traversal import bfs_layers
-
-    g = graph.reverse() if graph.directed else graph
-    layers = bfs_layers(g, [node_id])
+    distances (networkx/algorithms/centrality/harmonic.py:12-72;
+    ``weight=True`` = the reference's ``distance='weight'``)."""
+    dists = _incoming_distances(graph, node_id, weight)
     val = (
-        layers.where(F.col("layer") > 0)
-        .agg(F.sum(1.0 / F.col("layer")))
+        dists.where(F.col("d") > 0)
+        .agg(F.sum(1.0 / F.col("d")))
         .first()[0]
     )
     return float(val or 0.0)
