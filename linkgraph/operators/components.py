@@ -98,9 +98,21 @@ def connected_components(
     checkpoint_every: int = 5,
     lineage: bool = False,
     local_max_edges: int = LOCAL_CC_MAX_EDGES,
+    labels_start: DataFrame | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns labels(id BIGINT, component BIGINT) — component is the
     minimum vertex id in the component (deterministic representative).
+
+    ``labels_start`` (id, component) warm-starts the superstep loop —
+    the incremental-serving hook (streaming/incremental.py): each
+    given label MUST name a vertex in the same component (true under
+    edge APPENDS when labels come from a previous fixpoint; deletions
+    void the contract). Every vertex's own id stays a candidate
+    (init = least(id, warm)), so the fixpoint is the identical min-id
+    labeling a cold run reaches — warm starts change superstep count,
+    never the result. ``stats_out`` (optional dict) gets
+    ``supersteps``.
     """
     spark = graph.spark
     if num_partitions is None:
@@ -108,9 +120,10 @@ def connected_components(
 
     # local path never engages when the caller asked for checkpointed /
     # resumable execution — that contract belongs to the superstep
-    # loop. The (src, dst) projection is persisted before counting so a
-    # derived edge plan is computed once, whichever path runs.
-    if local_max_edges and checkpoint_dir is None:
+    # loop (and a warm start is pointless inside one Arrow task). The
+    # (src, dst) projection is persisted before counting so a derived
+    # edge plan is computed once, whichever path runs.
+    if local_max_edges and checkpoint_dir is None and labels_start is None:
         ep = graph.edges.select(
             F.col("src").cast("long"), F.col("dst").cast("long")
         ).persist()
@@ -140,7 +153,23 @@ def connected_components(
     ).persist()
     adj.count()
 
-    labels = graph.vertices.select("id", F.col("id").alias("component"))
+    if labels_start is None:
+        labels = graph.vertices.select("id", F.col("id").alias("component"))
+    else:
+        labels = (
+            graph.vertices.select("id")
+            .join(
+                labels_start.select("id", F.col("component").alias("warm")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("id"), F.coalesce("warm", F.col("id"))
+                ).alias("component"),
+            )
+        )
     loop = SuperstepLoop(
         spark,
         "connected_components",
@@ -163,7 +192,7 @@ def connected_components(
 
     prev_sum = None
     try:
-        for _ in range(max_iter):
+        for _it in range(max_iter):
             nbr_min = (
                 adj.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(
@@ -204,6 +233,8 @@ def connected_components(
                 )
             )
             labels, m = loop.advance(jumped, metrics_fn=label_sum)
+            if stats_out is not None:
+                stats_out["supersteps"] = _it + 1
             if m["label_sum"] == prev_sum:
                 return labels
             prev_sum = m["label_sum"]

@@ -99,3 +99,84 @@ def incremental_pagerank_sink(
         )
 
     return _sink
+
+
+def refresh_components(
+    spark: SparkSession,
+    pages_path: str,
+    labels_path: str,
+    stats_out: dict | None = None,
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental CONNECTED-COMPONENTS serving (the CC analog of
+    :func:`refresh_ranks`): read ALL pages, build the graph, warm-start
+    the label superstep loop from the previous serving table, write the
+    new serving table as (url, component_url).
+
+    URL keying is load-bearing twice: member urls AND the component
+    representative are stored as urls because dense ids remap as the
+    vertex set grows — on refresh both sides re-resolve through the new
+    id dictionary. Under page APPENDS previously-connected vertices
+    stay connected, so each warm label still names a vertex of the same
+    component — exactly the ``labels_start`` contract of
+    ``connected_components``; the warm fixpoint is bit-identical to a
+    cold run (own-id stays a candidate), only the superstep count
+    drops (asserted in tests/test_incremental.py)."""
+    pages = spark.read.parquet(pages_path)
+    g = graph_from_pages(pages)
+    labels_start = None
+    if os.path.isdir(labels_path):
+        prev = spark.read.parquet(labels_path)
+        ids = g.vertices.select("url", "id")
+        seeded = (
+            prev.join(ids, "url", "inner")
+            .join(
+                ids.select(
+                    F.col("url").alias("component_url"),
+                    F.col("id").alias("component"),
+                ),
+                "component_url",
+                "inner",
+            )
+            .select("id", "component")
+        )
+        if seeded.limit(1).count() > 0:
+            labels_start = seeded
+
+    from ..operators.components import connected_components
+
+    labels = connected_components(
+        g, labels_start=labels_start, stats_out=stats_out, **cc_kwargs
+    )
+    serving = (
+        labels.join(g.vertices.select("url", "id"), "id")
+        .join(
+            g.vertices.select(
+                F.col("id").alias("component"),
+                F.col("url").alias("component_url"),
+            ),
+            "component",
+        )
+        .select("url", "component_url")
+    )
+    serving.write.mode("overwrite").parquet(labels_path + "._tmp")
+    out = spark.read.parquet(labels_path + "._tmp")
+    out.write.mode("overwrite").parquet(labels_path)
+    return spark.read.parquet(labels_path)
+
+
+def incremental_components_sink(
+    spark: SparkSession,
+    pages_path: str,
+    labels_path: str,
+    **cc_kwargs,
+):
+    """foreachBatch callback: append the page batch, refresh the CC
+    serving table warm-started from the previous epoch (mirror of
+    :func:`incremental_pagerank_sink`)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(pages_path)
+        refresh_components(spark, pages_path, labels_path, **cc_kwargs)
+
+    return _sink

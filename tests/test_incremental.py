@@ -78,3 +78,39 @@ def test_foreachbatch_stream(spark, tmp_path):
     serving = {r["url"]: r["rank"] for r in spark.read.parquet(ranks).collect()}
     assert len(serving) == 40
     assert abs(sum(serving.values()) - 1.0) < 1e-6
+
+
+def test_incremental_components_refresh(spark, tmp_path):
+    """CC serving refresh: warm start reaches the identical (url,
+    component_url) fixpoint as a cold run, in fewer supersteps, across
+    an id-remapping append epoch."""
+    from linkgraph.streaming.incremental import refresh_components
+
+    pages = str(tmp_path / "pages")
+    labels = str(tmp_path / "labels")
+
+    # epoch 1: two 30-node chains (components resolve in O(log) rounds)
+    chain_a = [(i, i + 1) for i in range(29)]
+    chain_b = [(100 + i, 101 + i) for i in range(29)]
+    _write_pages(spark, pages, chain_a + chain_b, "overwrite")
+    s1: dict = {}
+    l1 = {r["url"]: r["component_url"] for r in refresh_components(
+        spark, pages, labels, local_max_edges=0, stats_out=s1).collect()}
+    assert len(set(l1.values())) == 2
+
+    # epoch 2: one new page whose link merges the two chains
+    _write_pages(spark, pages, [(200, 15), (200, 115)], "append")
+    s_warm: dict = {}
+    l2 = {r["url"]: r["component_url"] for r in refresh_components(
+        spark, pages, labels, local_max_edges=0, stats_out=s_warm).collect()}
+    assert len(set(l2.values())) == 1
+
+    # cold recompute on the same store: identical serving table
+    import shutil
+
+    shutil.rmtree(labels)
+    s_cold: dict = {}
+    l_cold = {r["url"]: r["component_url"] for r in refresh_components(
+        spark, pages, labels, local_max_edges=0, stats_out=s_cold).collect()}
+    assert l2 == l_cold
+    assert s_warm["supersteps"] < s_cold["supersteps"]
