@@ -441,6 +441,29 @@ def q_lpa_nation_chains_dist(spark, sf_dir):
     )
 
 
+def q_media_image_features(spark, sf_dir):
+    """Image features from REAL zero-dependency codecs over the
+    deterministic mixed-container media fixture: every 2nd image is
+    baseline JPEG (alternating 4:4:4 / 4:2:0, decoded by the
+    pure-numpy T.81 decoder in functions/jpeg.py), the rest binary
+    PPM. Rows-only by necessity — DuckDB has no image codecs, so no
+    SQL can recompute pixel statistics; the codecs themselves are
+    round-trip- and spec-structure-verified in tests/test_jpeg.py."""
+    from linkgraph.functions.multimodal import image_features, synthetic_media
+
+    media = synthetic_media(spark, n=96, partitions=8, jpeg_every=2)
+    feats = image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "n_bytes",
+        F.round(F.element_at("embedding", 1), 6).alias("emb0_r"),
+        F.round(F.element_at("embedding", 7), 6).alias("emb6_r"),
+    )
+
+
 def q_louvain_parts(spark, sf_dir):
     """Greedy-modularity (Louvain) communities of the part
     co-occurrence graph. Deterministic (ascending-id sweeps, no RNG)
@@ -2874,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simple_cycles_orders": q_simple_cycles_orders,
         "girth_parts": q_girth_parts,
         "louvain_parts": q_louvain_parts,
+        "media_image_features": q_media_image_features,
         "doc_chunks": q_doc_chunks,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,

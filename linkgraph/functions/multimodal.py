@@ -95,16 +95,23 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
     _DECODER = fn
 
 
-def real_decode(payload: bytes) -> dict:  # pragma: no cover - no lib here
-    """Where a codec-library decoder would go; kept as an explicit
-    marked stub for formats that need PIL/opencv (JPEG, PNG, ...).
-    PPM (P6) payloads decode for real via :func:`ppm_decode` — no
-    library needed — and :func:`auto_decode` dispatches on the magic
-    bytes."""
+def real_decode(payload: bytes) -> dict:
+    """Library-grade decoder seam. Real in-container coverage:
+    PPM (P6) via :func:`ppm_decode` and baseline JPEG via the
+    pure-numpy T.81 decoder (functions/jpeg.py — SOF0, 4:4:4/4:2:0/
+    4:2:2, restart intervals). PNG (zlib/DEFLATE) stays an explicit
+    stub — swap a PIL-backed callable in through ``set_decoder`` on a
+    real cluster."""
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
+    if payload[:2] == b"P6":
+        return ppm_decode(payload)
     raise NotImplementedError(
-        "JPEG/PNG decode requires PIL/opencv, not present in this container; "
+        "PNG decode requires PIL/opencv, not present in this container; "
         "use set_decoder() with a real implementation on a real cluster "
-        "(PPM payloads already decode for real via auto_decode)"
+        "(PPM and baseline JPEG decode for real via auto_decode)"
     )
 
 
@@ -194,13 +201,22 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def auto_decode(payload: bytes) -> dict:
-    """Dispatch on magic bytes: P6 decodes for real, anything else
-    falls back to the deterministic stub (the honest boundary — a
-    cluster image pipeline dispatches on format exactly like this)."""
+    """Dispatch on magic bytes: P6 and baseline JPEG decode for REAL
+    (zero-dependency codecs), anything else falls back to the
+    deterministic stub (the honest boundary — a cluster image pipeline
+    dispatches on format exactly like this; progressive JPEG raises
+    inside the codec and lands on the stub too)."""
     if payload and payload.startswith(b"P6"):
         try:
             return ppm_decode(payload)
         except ValueError:  # P6-looking but malformed: stub, don't die
+            return fake_decode(payload)
+    if payload and payload.startswith(b"\xff\xd8"):
+        try:
+            from .jpeg import jpeg_decode
+
+            return jpeg_decode(payload)
+        except ValueError:  # progressive/arithmetic/corrupt: stub
             return fake_decode(payload)
     return fake_decode(payload)
 
@@ -323,9 +339,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+def synthetic_media(
+    spark, n: int = 64, partitions: int = 4, jpeg_every: int = 0
+) -> DataFrame:
     """Deterministic fixture table in MEDIA_SCHEMA (no external data):
-    payload bytes are a pure function of media_id."""
+    payload bytes are a pure function of media_id. ``jpeg_every=k``
+    re-encodes every k-th image as baseline JPEG (alternating
+    4:4:4 / 4:2:0) instead of PPM — the mixed-container shape a real
+    crawl produces; 0 keeps the all-PPM fixture."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -349,7 +370,16 @@ def synthetic_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                         ],
                         axis=2,
                     ).astype("uint8")
-                    payload = encode_ppm(px)
+                    if jpeg_every and (i // 3) % jpeg_every == 0:
+                        from .jpeg import encode_jpeg
+
+                        payload = encode_jpeg(
+                            px,
+                            quality=90,
+                            subsampling="420" if (i // 3) % 2 else "444",
+                        )
+                    else:
+                        payload = encode_ppm(px)
                 elif kind == "video":
                     # REAL Y4M C444 clip: moving gradient frames
                     import numpy as np
@@ -642,10 +672,18 @@ def ppm_dhash(payload: bytes) -> int:
     neighbor downsample the luma plane to 9×8 and emit one bit per
     horizontal gradient — the standard perceptual-hash recipe
     (Krawetz). Signed int64 (BIGINT-compatible; bit 63 may set the
-    sign)."""
+    sign). Despite the name it accepts baseline JPEG too (same
+    zero-dependency dispatch as auto_decode)."""
     import numpy as np
 
-    px = decode_ppm_pixels(payload).astype("float64")
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(payload).astype("float64")
+        if px.ndim == 2:
+            px = np.stack([px, px, px], axis=2)
+    else:
+        px = decode_ppm_pixels(payload).astype("float64")
     luma = px @ [0.299, 0.587, 0.114]
     h, w = luma.shape
     rows = (np.arange(8) * h) // 8
