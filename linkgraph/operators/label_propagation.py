@@ -21,13 +21,17 @@ Reference semantics (networkx/algorithms/community/label_propagation.py
 Physical strategy: the reference's sequential ``largest_first``
 greedy coloring cannot be reproduced distributively, but the coloring
 only gates *which nodes update together*, never the converged
-community sets the tests assert — so colors come from
-**Jones–Plassmann rounds expressed as DataFrame ops** (deterministic
-hash priorities; each round colors every node whose uncolored
-higher-priority neighborhood is empty with its smallest free color;
-expected O(log n) rounds).  The per-color update itself is one join
-(labels against the color class's edges) + ``max_by`` argmax with the
-(freq DESC, label DESC) ordering encoding Prec-Max exactly.
+community sets the tests assert — so colors come from **speculative
+rounds with conflict resolution expressed as DataFrame ops**
+(deterministic hash priorities; every uncolored node picks its
+smallest free color each round and loses it only to a higher-priority
+same-color neighbor; O(log n) expected rounds independent of degree
+skew — see ``greedy_coloring``). The per-color update itself is one
+join (labels against the color class's edges) + ``max_by`` argmax
+with the (freq DESC, label DESC) ordering encoding Prec-Max exactly;
+sweeps visit only classes holding a dirty node (active-set pruning),
+and every loop state frame goes through ``stable_checkpoint`` (the
+sizeInBytes self-multiplication fix, plans/loop.py).
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 
 
 def greedy_coloring(
@@ -44,7 +49,18 @@ def greedy_coloring(
     max_rounds: int = 64,
     priority=None,
 ) -> DataFrame:
-    """Proper coloring via Jones–Plassmann rounds; (id, color INT).
+    """Proper coloring via SPECULATIVE rounds with conflict
+    resolution (Gebremedhin–Manne style); (id, color INT).
+
+    Round-3 rewrite: the previous Jones–Plassmann local-max rule
+    colored only nodes that beat their ENTIRE live neighborhood —
+    measured ~1-7%% of remaining nodes per round on a Zipf web graph
+    (hubs almost never win), i.e. O(n/avg-winners) rounds. Here every
+    uncolored node speculatively takes its smallest free color; a
+    node loses its pick only to a HIGHER-PRIORITY neighbor that chose
+    the SAME color this round. Conflicts are per-color-collision, so
+    a constant fraction commits each round regardless of degree skew
+    — O(log n) expected rounds, 3 edge-table joins per round.
 
     ``edges_sym`` must hold both directions of every edge, no self
     loops. Deterministic: priority = (xxhash64(id), id) total order.
@@ -56,58 +72,70 @@ def greedy_coloring(
     order above; e.g. ``lambda c: F.struct(F.col(f"deg_{c}"), F.col(c))``
     reproduces a largest-first-style order if degree columns are
     present on the edge table."""
+    pri = priority or (
+        lambda c: F.struct(F.xxhash64(c).alias("h"), F.col(c).alias("i"))
+    )
     colored = vertices.select("id", F.lit(None).cast("int").alias("color"))
-    remaining = edges_sym
+    colored = stable_checkpoint(colored)
     for _ in range(max_rounds):
-        uncolored = colored.where(F.col("color").isNull()).select("id")
+        uncolored = colored.where(F.col("color").isNull()).select("id").persist()
         if uncolored.isEmpty():
-            break
-        uncolored = uncolored.persist()
-        # edges among still-uncolored nodes only
-        live = (
-            remaining.join(uncolored.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(uncolored.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .persist()
-        )
-        pri = priority or (
-            lambda c: F.struct(F.xxhash64(c).alias("h"), F.col(c).alias("i"))
-        )
-        # a node wins this round iff no live neighbor has higher priority
-        blocked = (
-            live.where(pri("dst") > pri("src")).select(F.col("src").alias("id")).distinct()
-        )
-        winners = uncolored.join(blocked, "id", "left_anti")
-        # smallest color not used by already-colored neighbors
-        nbr_colors = (
-            remaining.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
+            uncolored.unpersist()
+            return colored
+        # speculative pick: smallest color unused by COLORED neighbors
+        used = (
+            edges_sym.join(
+                uncolored.withColumnRenamed("id", "src"), "src", "left_semi"
+            )
             .join(
-                colored.where(F.col("color").isNotNull()).withColumnRenamed("id", "dst"),
+                colored.where(F.col("color").isNotNull()).withColumnRenamed(
+                    "id", "dst"
+                ),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"))
             .agg(F.collect_set("color").alias("used"))
         )
-        assigned = (
-            winners.join(nbr_colors, "id", "left")
+        tent = (
+            uncolored.join(used, "id", "left")
             .select(
                 "id",
                 F.coalesce(
-                    # first gap in the sorted used-color set
                     F.expr(
                         "filter(sequence(0, size(used)), "
                         "x -> NOT array_contains(used, x))[0]"
                     ),
                     F.lit(0),
-                ).cast("int").alias("color"),
+                ).cast("int").alias("t"),
             )
         )
-        colored = (
-            colored.join(assigned.withColumnRenamed("color", "c_new"), "id", "left")
-            .select("id", F.coalesce("color", "c_new").alias("color"))
-            .localCheckpoint()
+        tent = stable_checkpoint(tent)
+        # conflicts: same tentative color on an edge -> the lower
+        # priority endpoint retries next round
+        losers = (
+            edges_sym.join(
+                tent.select(F.col("id").alias("src"), F.col("t").alias("ts")),
+                "src",
+            )
+            .join(
+                tent.select(F.col("id").alias("dst"), F.col("t").alias("td")),
+                "dst",
+            )
+            .where((F.col("ts") == F.col("td")) & (pri("dst") > pri("src")))
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        committed = tent.join(losers, "id", "left_anti")
+        colored = stable_checkpoint(
+            colored.join(committed, "id", "left")
+            .select("id", F.coalesce("color", "t").alias("color"))
         )
         uncolored.unpersist()
-        live.unpersist()
+    leftover = colored.where(F.col("color").isNull()).limit(1).count()
+    if leftover:
+        raise RuntimeError(
+            f"greedy_coloring did not finish within max_rounds={max_rounds}"
+        )
     return colored
 
 
@@ -222,11 +250,9 @@ def label_propagation_communities(
     vertices = graph.vertices.select("id")
 
     colors = greedy_coloring(edges, vertices).persist()
-    color_values = sorted(
-        r["color"] for r in colors.select("color").distinct().collect()
-    )
+    colors.count()
 
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = stable_checkpoint(vertices.select("id", F.col("id").alias("label")))
 
     def neighbor_mode(labels_df: DataFrame, targets: DataFrame | None = None) -> DataFrame:
         """(id, best_label, cur_in_argmax) per non-isolated node.
@@ -271,36 +297,56 @@ def label_propagation_communities(
         # completion check: every node's label in its argmax set
         # (isolated nodes vacuously complete — label_propagation.py:303-305)
         mode = neighbor_mode(labels).persist()
-        incomplete = mode.where(~F.col("cur_in_argmax")).count()
+        dirty = mode.where(~F.col("cur_in_argmax")).select("id").persist()
+        incomplete = dirty.count()
         if incomplete == 0:
             mode.unpersist()
+            dirty.unpersist()
             break
-        mode.unpersist()
-        # One full sweep: per color class, synchronous update. Class c
-        # must see classes < c's updates (semi-synchronous semantics),
+        # ACTIVE-SET sweep (round-3): only classes containing a dirty
+        # node do any work this sweep — one job lists them; nodes that
+        # become unstable MID-sweep are picked up by the next sweep's
+        # global completion check (a valid fair semi-synchronous
+        # schedule: simultaneous updates still confined to one proper
+        # color class, so the Prec-Max convergence argument holds).
+        # After sweep 1 the dirty set collapses, so later sweeps cost
+        # O(active) instead of O(#colors) full gathers.
+        active = sorted(
+            r["color"]
+            for r in dirty.join(colors, "id").select("color").distinct().collect()
+        )
+        # Class c must see classes < c's updates (semi-synchronous),
         # so the chain is inherently sequential — but it need not be
         # one Spark JOB per class: updates are chained LAZILY with
         # non-eager localCheckpoints (plan-growth truncation without an
         # action), and the whole sweep materializes in the next
         # completion check. Driver round-trips per sweep: O(1) eager
-        # materializations instead of O(#colors) (VERDICT r1 item 6 —
-        # JP coloring on a high-degeneracy web core yields dozens of
-        # classes, and the per-class job storm dominated at scale).
+        # materializations instead of O(#colors) (VERDICT r1 item 6).
         batch_eager = 16  # bound the lazy-checkpoint cascade depth
-        for j, cv in enumerate(color_values):
-            cls = colors.where(F.col("color") == cv).select("id")
-            mode_cls = neighbor_mode(labels, targets=cls)
+        for j, cv in enumerate(active):
+            cls = colors.where(F.col("color") == cv).join(
+                dirty, "id", "left_semi"
+            )
+            if j == 0:
+                # the first active class updates against PRE-sweep
+                # labels — exactly what the completion check already
+                # gathered: reuse mode, skip one full edge gather
+                mode_cls = mode.join(cls, "id", "left_semi")
+            else:
+                mode_cls = neighbor_mode(labels, targets=cls)
             updated = mode_cls.select(
                 "id",
                 F.when(F.col("cur_in_argmax"), None)
                 .otherwise(F.col("best_label"))
                 .alias("new_label"),
             ).where(F.col("new_label").isNotNull())
-            labels = (
+            labels = stable_checkpoint(
                 labels.join(updated, "id", "left")
-                .select("id", F.coalesce("new_label", "label").alias("label"))
-                .localCheckpoint(eager=((j + 1) % batch_eager == 0))
+                .select("id", F.coalesce("new_label", "label").alias("label")),
+                eager=((j + 1) % batch_eager == 0),
             )
+        mode.unpersist()
+        dirty.unpersist()
     edges.unpersist()
     colors.unpersist()
     return labels

@@ -38,6 +38,41 @@ class PowerIterationFailedConvergence(RuntimeError):
         self.num_iterations = num_iterations
 
 
+def stable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``localCheckpoint`` + STATISTICS RESET — the checkpoint every
+    iterative self-joining loop must use.
+
+    Spark's (local)checkpoint truncates lineage but copies the child
+    plan's computed statistics onto the resulting ``LogicalRDD``
+    (``originStats``). When a superstep's query references the state
+    frame k ≥ 2 times (pointer-jump self-joins, gather+current joins),
+    the estimated ``sizeInBytes`` therefore multiplies by itself every
+    round — after ~20 rounds the BigInteger holds MILLIONS of digits
+    and Catalyst's ``SizeInBytesOnlyStatsPlanVisitor`` (join-strategy
+    selection + AQE ``reOptimize``) spends minutes in Toom-Cook
+    BigInteger multiplication ON THE DRIVER while all executors idle.
+    Measured on this box: speculative-coloring round 20 with 76 live
+    rows took 47.6 s, >99%% of it one spinning driver thread; with the
+    reset the same round is sub-second.
+
+    The reset rebuilds the frame as a FRESH ``LogicalRDD`` over the
+    checkpointed InternalRow RDD (``internalCreateDataFrame`` — the
+    same JVM constructor PySpark itself uses), which carries no
+    origin stats, so every round restarts from the default sizing.
+    Zero data movement; laziness of ``eager=False`` is preserved
+    (``toRdd`` is lazy). Side effect: these frames are never chosen
+    for auto-broadcast (their default size estimate is large) — the
+    correct bias for loop state, which is the big side by
+    construction."""
+    ck = df.localCheckpoint(eager=eager)
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(fresh, spark)
+
+
 def partition_lineage(df: DataFrame, value_col: str | None = None) -> list[dict]:
     """Per-partition row counts + content checksum, one extra job.
 
@@ -133,8 +168,11 @@ class SuperstepLoop:
             checkpointed = True
         else:
             # localCheckpoint persists the RDD; eager=False defers
-            # materialization to the metrics action below.
-            new_frontier = new_frontier.localCheckpoint(eager=False)
+            # materialization to the metrics action below. The stats
+            # reset stops sizeInBytes self-multiplication across
+            # supersteps (see stable_checkpoint — CC's pointer-jump
+            # references the state twice per round).
+            new_frontier = stable_checkpoint(new_frontier, eager=False)
         self._current = new_frontier
         metrics = dict(metrics_fn(prev, new_frontier)) if metrics_fn else {}
         rec = {
