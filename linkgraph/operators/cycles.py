@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 
 
 class NoCycle(ValueError):
@@ -57,28 +58,29 @@ def _pred_chain(spark, pred: DataFrame, end_id: int) -> DataFrame:
     ``end_id`` (back=0) and following ``pred`` until a NULL/absent
     predecessor. Pointer doubling: O(log L) self-joins of the jump
     table (same device as dag.py:330-368), no driver walk."""
-    chain = spark.createDataFrame(
-        [(int(end_id), 0)], "id LONG, back LONG"
-    ).localCheckpoint()
-    jump = (
+    # stable_checkpoint, not bare localCheckpoint: jump self-joins
+    # each round, so carried-over origin stats would square per round
+    # (see plans/loop.py stable_checkpoint).
+    chain = stable_checkpoint(
+        spark.createDataFrame([(int(end_id), 0)], "id LONG, back LONG")
+    )
+    jump = stable_checkpoint(
         pred.where(F.col("pred").isNotNull())
         .select("id", F.col("pred").alias("anc"), F.lit(1).alias("hops"))
-        .localCheckpoint()
     )
     while True:
-        ext = (
+        ext = stable_checkpoint(
             chain.join(jump, "id")
             .select(
                 F.col("anc").alias("id"),
                 (F.col("back") + F.col("hops")).alias("back"),
             )
             .join(chain, ["id", "back"], "left_anti")
-            .localCheckpoint()
         )
         if ext.isEmpty():
             break
-        chain = chain.unionByName(ext).localCheckpoint()
-        jump2 = (
+        chain = stable_checkpoint(chain.unionByName(ext))
+        jump2 = stable_checkpoint(
             jump.join(
                 jump.select(
                     F.col("id").alias("anc"),
@@ -92,7 +94,6 @@ def _pred_chain(spark, pred: DataFrame, end_id: int) -> DataFrame:
                 F.col("anc2").alias("anc"),
                 (F.col("hops") + F.col("hops2")).alias("hops"),
             )
-            .localCheckpoint()
         )
         jump = jump2 if not jump2.isEmpty() else jump
     return chain

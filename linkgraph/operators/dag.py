@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 
 
 class GraphContainsCycle(ValueError):
@@ -329,22 +330,24 @@ def dag_longest_path(graph: LinkGraph, weighted: bool = False) -> DataFrame:
     # every back-offset reachable with jumps of stride < 2^k; jump is
     # the 2^(k-1)-step predecessor table. Rounds = ceil(log2(L)).
     spark = graph.spark
-    chain = spark.createDataFrame(
-        [(int(end_id), 0)], "id LONG, back LONG"
-    ).localCheckpoint()
+    # stable_checkpoint, not bare localCheckpoint: jump joins ITSELF
+    # each round, so carried-over origin stats would square per round
+    # (see plans/loop.py stable_checkpoint).
+    chain = stable_checkpoint(
+        spark.createDataFrame([(int(end_id), 0)], "id LONG, back LONG")
+    )
     jump = pred.select("id", F.col("pred").alias("anc"), F.lit(1).alias("hops"))
-    jump = jump.localCheckpoint()
+    jump = stable_checkpoint(jump)
     while True:
-        ext = (
+        ext = stable_checkpoint(
             chain.join(jump, "id")
             .select(F.col("anc").alias("id"), (F.col("back") + F.col("hops")).alias("back"))
             .join(chain, ["id", "back"], "left_anti")
-            .localCheckpoint()
         )
         if ext.isEmpty():
             break
-        chain = chain.unionByName(ext).localCheckpoint()
-        jump = (
+        chain = stable_checkpoint(chain.unionByName(ext))
+        jump = stable_checkpoint(
             jump.join(
                 jump.select(
                     F.col("id").alias("anc"),
@@ -354,13 +357,12 @@ def dag_longest_path(graph: LinkGraph, weighted: bool = False) -> DataFrame:
                 "anc",
             )
             .select("id", F.col("anc2").alias("anc"), (F.col("hops") + F.col("hops2")).alias("hops"))
-            .localCheckpoint()
         )
         if jump.isEmpty():
             # strides exhausted; remaining chain fills via 1-step jumps
-            jump = pred.select(
-                "id", F.col("pred").alias("anc"), F.lit(1).alias("hops")
-            ).localCheckpoint()
+            jump = stable_checkpoint(
+                pred.select("id", F.col("pred").alias("anc"), F.lit(1).alias("hops"))
+            )
     path_len = chain.agg(F.max("back")).first()[0]
     return chain.select(
         (F.lit(path_len) - F.col("back")).cast("long").alias("pos"), "id"
@@ -376,9 +378,11 @@ def transitive_closure(graph: LinkGraph) -> DataFrame:
     per-query form is :func:`ancestor_closure`. Path doubling:
     C <- C ∪ C∘C, so rounds = ceil(log2(longest path)), each one
     equi-join + distinct."""
-    c = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    # stable_checkpoint: c is referenced THREE times per round (path
+    # doubling + anti-join), so origin stats would cube per round.
+    c = stable_checkpoint(graph.edges.select("src", "dst").distinct())
     while True:
-        ext = (
+        ext = stable_checkpoint(
             c.join(
                 c.select(F.col("src").alias("dst"), F.col("dst").alias("d2")),
                 "dst",
@@ -386,11 +390,10 @@ def transitive_closure(graph: LinkGraph) -> DataFrame:
             .select("src", F.col("d2").alias("dst"))
             .distinct()
             .join(c, ["src", "dst"], "left_anti")
-            .localCheckpoint()
         )
         if ext.isEmpty():
             return c
-        c = c.unionByName(ext).localCheckpoint()
+        c = stable_checkpoint(c.unionByName(ext))
 
 
 def transitive_reduction(graph: LinkGraph) -> DataFrame:

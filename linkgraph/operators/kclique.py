@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 from .triangles import all_triangles
 
 
@@ -68,20 +69,22 @@ def k_clique_communities(
         ).alias("e"),
     ).persist()
 
-    lbl = tri.select("t", F.col("t").alias("l")).localCheckpoint()
+    # stable_checkpoint: lbl is referenced twice per round (gather +
+    # current), so carried-over origin stats would square per round
+    # (see plans/loop.py stable_checkpoint).
+    lbl = stable_checkpoint(tri.select("t", F.col("t").alias("l")))
     for _round in range(max_rounds):
         edge_min = (
             tedge.join(lbl, "t")
             .groupBy("e")
             .agg(F.min("l").alias("_el"))
         )
-        new = (
+        new = stable_checkpoint(
             tedge.join(edge_min, "e")
             .groupBy("t")
             .agg(F.min("_el").alias("_nl"))
             .join(lbl, "t")
             .select("t", F.least("_nl", "l").alias("l"))
-            .localCheckpoint(eager=True)
         )
         moved = (
             new.join(lbl.select("t", F.col("l").alias("_o")), "t")

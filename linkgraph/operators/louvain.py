@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 
 LOCAL_LOUVAIN_MAX_EDGES = 200_000
 
@@ -220,9 +221,10 @@ def _local_moving(
         "id", F.coalesce("k", F.lit(0.0)).alias("k")
     )
 
-    comm = k.select(
-        "id", F.col("id").alias("comm"), "k"
-    ).localCheckpoint(eager=True)
+    # stable_checkpoint: each round references comm ~4 times (sig_tot,
+    # gather, current, update), so carried-over origin stats would
+    # grow ^4 per round (see plans/loop.py stable_checkpoint).
+    comm = stable_checkpoint(k.select("id", F.col("id").alias("comm"), "k"))
     sym = sym.localCheckpoint(eager=True)
 
     quiet = 0  # consecutive zero-move rounds: 2 = both parity classes
@@ -292,15 +294,15 @@ def _local_moving(
             ).select("id", F.col("best_c").alias("new_comm"))
             # ONE action per round: materialize the checkpointed next
             # table and read the move count off its `moved` flag
-            new_comm = (
+            new_comm = stable_checkpoint(
                 comm.join(movers, "id", "left")
                 .select(
                     "id",
                     F.coalesce("new_comm", "comm").alias("comm"),
                     "k",
                     F.col("new_comm").isNotNull().alias("moved"),
-                )
-                .localCheckpoint(eager=False)
+                ),
+                eager=False,
             )
             n_moves = new_comm.where("moved").count()
             prev = comm
