@@ -20,9 +20,10 @@ Design for 100 TB:
   RIFF/WAVE 16-bit PCM audio, YUV4MPEG2 (C444) video — implemented in
   pure numpy (:func:`ppm_decode`, :func:`wav_features`,
   :func:`decode_y4m_frames`): actual pixels/samples/frames drive the
-  features, resampling, and frame sampling. Codec-bound formats
-  (JPEG/PNG/Ogg/MP4) need PIL/librosa/ffmpeg, absent in this
-  container, so they fall back to a deterministic sha-derived stub
+  features, resampling, and frame sampling — plus baseline JPEG
+  (pure-numpy T.81, functions/jpeg.py) and PNG (stdlib zlib + numpy,
+  functions/png.py). Formats still codec-bound (progressive JPEG,
+  Ogg, MP4) fall back to a deterministic sha-derived stub
   (:func:`fake_decode`) behind the ``set_decoder`` seam — the same
   magic-byte dispatch a production pipeline uses.
 
@@ -35,6 +36,7 @@ Media table shape (Iceberg-compatible, like the pages table):
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -97,21 +99,27 @@ def set_decoder(fn: Callable[[bytes], dict]) -> None:
 
 def real_decode(payload: bytes) -> dict:
     """Library-grade decoder seam. Real in-container coverage:
-    PPM (P6) via :func:`ppm_decode` and baseline JPEG via the
-    pure-numpy T.81 decoder (functions/jpeg.py — SOF0, 4:4:4/4:2:0/
-    4:2:2, restart intervals). PNG (zlib/DEFLATE) stays an explicit
-    stub — swap a PIL-backed callable in through ``set_decoder`` on a
-    real cluster."""
+    PPM (P6) via :func:`ppm_decode`, baseline JPEG via the pure-numpy
+    T.81 decoder (functions/jpeg.py — SOF0, 4:4:4/4:2:0/4:2:2, restart
+    intervals), and PNG via the stdlib-zlib + numpy decoder
+    (functions/png.py — 8-bit gray/RGB/palette/RGBA, all five
+    scanline filters; Adam7/16-bit raise). Formats outside that scope
+    raise — swap a PIL-backed callable in through ``set_decoder`` on
+    a real cluster."""
     if payload[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import png_decode
+
+        return png_decode(payload)
     if payload[:2] == b"P6":
         return ppm_decode(payload)
     raise NotImplementedError(
-        "PNG decode requires PIL/opencv, not present in this container; "
-        "use set_decoder() with a real implementation on a real cluster "
-        "(PPM and baseline JPEG decode for real via auto_decode)"
+        "no in-container codec for this format (PPM/JPEG/PNG decode for "
+        "real); use set_decoder() with a library-backed implementation "
+        "on a real cluster"
     )
 
 
@@ -201,8 +209,8 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def auto_decode(payload: bytes) -> dict:
-    """Dispatch on magic bytes: P6 and baseline JPEG decode for REAL
-    (zero-dependency codecs), anything else falls back to the
+    """Dispatch on magic bytes: P6, baseline JPEG, and PNG decode for
+    REAL (zero-dependency codecs), anything else falls back to the
     deterministic stub (the honest boundary — a cluster image pipeline
     dispatches on format exactly like this; progressive JPEG raises
     inside the codec and lands on the stub too)."""
@@ -217,6 +225,13 @@ def auto_decode(payload: bytes) -> dict:
 
             return jpeg_decode(payload)
         except ValueError:  # progressive/arithmetic/corrupt: stub
+            return fake_decode(payload)
+    if payload and payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        try:
+            from .png import png_decode
+
+            return png_decode(payload)
+        except (ValueError, zlib.error):  # interlaced/16-bit/corrupt
             return fake_decode(payload)
     return fake_decode(payload)
 
@@ -340,13 +355,15 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(
-    spark, n: int = 64, partitions: int = 4, jpeg_every: int = 0
+    spark, n: int = 64, partitions: int = 4, jpeg_every: int = 0,
+    png_every: int = 0,
 ) -> DataFrame:
     """Deterministic fixture table in MEDIA_SCHEMA (no external data):
     payload bytes are a pure function of media_id. ``jpeg_every=k``
     re-encodes every k-th image as baseline JPEG (alternating
-    4:4:4 / 4:2:0) instead of PPM — the mixed-container shape a real
-    crawl produces; 0 keeps the all-PPM fixture."""
+    4:4:4 / 4:2:0); ``png_every=k`` likewise as PNG (rotating through
+    the five scanline filters; PNG wins ties) — the mixed-container
+    shape a real crawl produces; 0/0 keeps the all-PPM fixture."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -370,7 +387,11 @@ def synthetic_media(
                         ],
                         axis=2,
                     ).astype("uint8")
-                    if jpeg_every and (i // 3) % jpeg_every == 0:
+                    if png_every and (i // 3) % png_every == 0:
+                        from .png import encode_png
+
+                        payload = encode_png(px, filter_type=(i // 3) % 5)
+                    elif jpeg_every and (i // 3) % jpeg_every == 0:
                         from .jpeg import encode_jpeg
 
                         payload = encode_jpeg(
@@ -672,18 +693,24 @@ def ppm_dhash(payload: bytes) -> int:
     neighbor downsample the luma plane to 9×8 and emit one bit per
     horizontal gradient — the standard perceptual-hash recipe
     (Krawetz). Signed int64 (BIGINT-compatible; bit 63 may set the
-    sign). Despite the name it accepts baseline JPEG too (same
-    zero-dependency dispatch as auto_decode)."""
+    sign). Despite the name it accepts baseline JPEG and PNG too
+    (same zero-dependency dispatch as auto_decode)."""
     import numpy as np
 
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_pixels
 
         px = decode_jpeg_pixels(payload).astype("float64")
-        if px.ndim == 2:
-            px = np.stack([px, px, px], axis=2)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png_pixels
+
+        px = decode_png_pixels(payload).astype("float64")
+        if px.ndim == 3:
+            px = px[:, :, :3]  # RGBA -> color channels
     else:
         px = decode_ppm_pixels(payload).astype("float64")
+    if px.ndim == 2:
+        px = np.stack([px, px, px], axis=2)
     luma = px @ [0.299, 0.587, 0.114]
     h, w = luma.shape
     rows = (np.arange(8) * h) // 8
