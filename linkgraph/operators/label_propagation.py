@@ -36,6 +36,9 @@ sizeInBytes self-multiplication fix, plans/loop.py).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -77,11 +80,17 @@ def greedy_coloring(
     )
     colored = vertices.select("id", F.lit(None).cast("int").alias("color"))
     colored = stable_checkpoint(colored)
+    # Driver latency, not data volume, bounds this loop at scale (each
+    # round's frames shrink geometrically), so the round costs exactly
+    # TWO jobs: the eager checkpoint of the next state and one count
+    # over the checkpointed RDD. tent rides lazily inside the state
+    # checkpoint (non-eager stable_checkpoint still truncates the
+    # plan, so the double reference below cannot compound stats).
+    n_uncolored = -1
     for _ in range(max_rounds):
-        uncolored = colored.where(F.col("color").isNull()).select("id").persist()
-        if uncolored.isEmpty():
-            uncolored.unpersist()
+        if n_uncolored == 0:
             return colored
+        uncolored = colored.where(F.col("color").isNull()).select("id")
         # speculative pick: smallest color unused by COLORED neighbors
         used = (
             edges_sym.join(
@@ -109,7 +118,7 @@ def greedy_coloring(
                 ).cast("int").alias("t"),
             )
         )
-        tent = stable_checkpoint(tent)
+        tent = stable_checkpoint(tent, eager=False)
         # conflicts: same tentative color on an edge -> the lower
         # priority endpoint retries next round
         losers = (
@@ -130,9 +139,8 @@ def greedy_coloring(
             colored.join(committed, "id", "left")
             .select("id", F.coalesce("color", "t").alias("color"))
         )
-        uncolored.unpersist()
-    leftover = colored.where(F.col("color").isNull()).limit(1).count()
-    if leftover:
+        n_uncolored = colored.where(F.col("color").isNull()).limit(1).count()
+    if n_uncolored:
         raise RuntimeError(
             f"greedy_coloring did not finish within max_rounds={max_rounds}"
         )
@@ -251,6 +259,9 @@ def label_propagation_communities(
 
     colors = greedy_coloring(edges, vertices).persist()
     colors.count()
+    if os.environ.get("LPA_DEBUG"):  # phase telemetry for bench runs
+        _nc = colors.select("color").distinct().count()
+        print(f"LPA colors={_nc} t={time.monotonic():.1f}", flush=True)
 
     labels = stable_checkpoint(vertices.select("id", F.col("id").alias("label")))
 
@@ -315,6 +326,12 @@ def label_propagation_communities(
             r["color"]
             for r in dirty.join(colors, "id").select("color").distinct().collect()
         )
+        if os.environ.get("LPA_DEBUG"):
+            print(
+                f"LPA sweep: dirty={incomplete} active={len(active)}"
+                f" t={time.monotonic():.1f}",
+                flush=True,
+            )
         # Class c must see classes < c's updates (semi-synchronous),
         # so the chain is inherently sequential — but it need not be
         # one Spark JOB per class: updates are chained LAZILY with
