@@ -151,6 +151,15 @@ def main() -> None:
         "salsa_orders",
         "cocitation_orders",
         "trustrank_orders",
+        # round-3 additions: the *_dist twins pin the distributed
+        # CC/LPA/triangles plans; cycles + weighted betweenness are the
+        # new operator families
+        "cc_nation_chains_dist",
+        "triangles_parts_dist",
+        "lpa_nation_chains_dist",
+        "find_cycle_nations",
+        "simple_cycles_orders",
+        "betweenness_weighted_orders",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 

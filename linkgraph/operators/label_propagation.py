@@ -21,17 +21,43 @@ Reference semantics (networkx/algorithms/community/label_propagation.py
 Physical strategy: the reference's sequential ``largest_first``
 greedy coloring cannot be reproduced distributively, but the coloring
 only gates *which nodes update together*, never the converged
-community sets the tests assert — so colors come from **speculative
-rounds with conflict resolution expressed as DataFrame ops**
-(deterministic hash priorities; every uncolored node picks its
-smallest free color each round and loses it only to a higher-priority
-same-color neighbor; O(log n) expected rounds independent of degree
-skew — see ``greedy_coloring``). The per-color update itself is one
-join (labels against the color class's edges) + ``max_by`` argmax
-with the (freq DESC, label DESC) ordering encoding Prec-Max exactly;
-sweeps visit only classes holding a dirty node (active-set pruning),
-and every loop state frame goes through ``stable_checkpoint`` (the
-sizeInBytes self-multiplication fix, plans/loop.py).
+community sets the tests assert — the semi-synchronous convergence
+argument (Cordasco & Gargano 2011, the paper the reference cites)
+needs only that every simultaneous update set is an INDEPENDENT set
+plus a fair schedule. The distributed path therefore runs
+**Luby-style independent-set sweeps**: one Prec-Max gather computes
+every dirty node's target label, and a dirty node *accepts* its move
+unless an adjacent dirty node with a DIFFERENT target carries a
+higher sweep-salted hash priority (the loser stays dirty and
+re-rolls next sweep). Adjacent accepted movers therefore always
+share one target label, so each accepted move still raises the
+edge-agreement potential Φ = Σ_edges [l(u)=l(v)] by ≥1 with no
+negative cross-terms (mover-mover edges only deviate upward, toward
+the shared label), and the loop terminates within Φ ≤ m total
+accepted moves; the global-max-priority mover always accepts, so
+every sweep progresses. The same-target exemption lets a hub-label
+cascade — the dominant web-graph pattern — land in one sweep instead
+of serializing by priority.
+
+Why not schedule by graph coloring, like the reference's
+``_color_network``: measured on a 40M-edge Zipf web graph, the
+speculative distributed coloring commits only ~3-5% of nodes per
+~53 s round (hub neighborhoods make local priority maxima rare), so
+coloring cost ~8× the sweeps it scheduled; and serializing a sweep
+over 32 hash-dealt classes spent its time in 32 sequentially planned
+driver steps whose per-class latency grew superlinearly with sweep
+index (localCheckpoint planning + cache churn). One gather + one
+conflict join + ONE eager checkpoint per sweep keeps every sweep two
+driver actions flat. ``greedy_coloring`` remains exported as a
+standalone operator.
+
+The gather is one join (labels against the dirty slice of the edge
+table) + ``max_by`` argmax with the (freq DESC, label DESC) ordering
+encoding Prec-Max exactly; completion is checked INCREMENTALLY (only
+prior dirty nodes and neighbors of just-accepted movers can change
+status), and every loop state frame goes through
+``stable_checkpoint`` (the sizeInBytes self-multiplication fix,
+plans/loop.py).
 """
 
 from __future__ import annotations
@@ -87,16 +113,32 @@ def greedy_coloring(
     # checkpoint (non-eager stable_checkpoint still truncates the
     # plan, so the double reference below cannot compound stats).
     n_uncolored = -1
-    for _ in range(max_rounds):
+    # live = edges whose SRC is still uncolored: a constant fraction of
+    # nodes commits per round, so re-semi-joining live against the
+    # shrinking uncolored set keeps total edge work O(m) over the whole
+    # loop instead of O(m · rounds) — the dominant cost at 40M+ edges,
+    # where ~25 rounds of full-table gathers otherwise dwarf the
+    # geometric per-round work. dst stays unrestricted (the smallest-
+    # free-color pick needs uncolored -> colored edges).
+    live = edges_sym
+    for rnd in range(max_rounds):
         if n_uncolored == 0:
             return colored
         uncolored = colored.where(F.col("color").isNull()).select("id")
+        if rnd > 0:
+            # stable_checkpoint, NOT bare persist: each round's live
+            # derives from the previous round's, so an uncheckpointed
+            # chain nests one semi-join deeper per round and driver-side
+            # planning time doubles by round ~11 (measured: 3 s/round
+            # flat with the checkpoint, 46 s at round 13 without).
+            live = stable_checkpoint(
+                live.join(
+                    uncolored.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+            )
         # speculative pick: smallest color unused by COLORED neighbors
         used = (
-            edges_sym.join(
-                uncolored.withColumnRenamed("id", "src"), "src", "left_semi"
-            )
-            .join(
+            live.join(
                 colored.where(F.col("color").isNotNull()).withColumnRenamed(
                     "id", "dst"
                 ),
@@ -122,7 +164,7 @@ def greedy_coloring(
         # conflicts: same tentative color on an edge -> the lower
         # priority endpoint retries next round
         losers = (
-            edges_sym.join(
+            live.join(
                 tent.select(F.col("id").alias("src"), F.col("t").alias("ts")),
                 "src",
             )
@@ -140,6 +182,12 @@ def greedy_coloring(
             .select("id", F.coalesce("color", "t").alias("color"))
         )
         n_uncolored = colored.where(F.col("color").isNull()).limit(1).count()
+        if os.environ.get("LPA_DEBUG"):
+            nu = colored.where(F.col("color").isNull()).count()
+            print(
+                f"LPA color round={rnd} uncolored={nu} t={time.monotonic():.1f}",
+                flush=True,
+            )
     if n_uncolored:
         raise RuntimeError(
             f"greedy_coloring did not finish within max_rounds={max_rounds}"
@@ -230,12 +278,19 @@ def _local_lpa(graph: LinkGraph) -> DataFrame:
 
 def label_propagation_communities(
     graph: LinkGraph,
-    max_rounds: int = 100,
+    max_rounds: int = 1000,
     local_max_edges: int = LOCAL_LPA_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT); communities = groups of equal
     label. Raises ValueError on directed graphs (parity with
-    label_propagation.py:236 ``@not_implemented_for("directed")``)."""
+    label_propagation.py:236 ``@not_implemented_for("directed")``).
+
+    Distributed schedule = Luby-style independent-set sweeps (module
+    docstring): every sweep gathers Prec-Max targets for the dirty
+    set, accepts the movers that beat all adjacent movers on a
+    sweep-salted hash priority, and defers the rest. Which VALID
+    labeling the loop converges to is schedule-dependent, exactly as
+    the reference's own update order is implementation-defined."""
     if graph.directed:
         raise ValueError(
             "label_propagation_communities is not defined for directed "
@@ -257,23 +312,20 @@ def label_propagation_communities(
     edges.count()
     vertices = graph.vertices.select("id")
 
-    colors = greedy_coloring(edges, vertices).persist()
-    colors.count()
-    if os.environ.get("LPA_DEBUG"):  # phase telemetry for bench runs
-        _nc = colors.select("color").distinct().count()
-        print(f"LPA colors={_nc} t={time.monotonic():.1f}", flush=True)
-
     labels = stable_checkpoint(vertices.select("id", F.col("id").alias("label")))
 
-    def neighbor_mode(labels_df: DataFrame, targets: DataFrame | None = None) -> DataFrame:
+    def neighbor_mode(
+        labels_df: DataFrame,
+        targets: DataFrame | None = None,
+    ) -> DataFrame:
         """(id, best_label, cur_in_argmax) per non-isolated node.
 
         Prec-Max ordering: max_by over (freq, label) picks the
         largest-frequency label, ties → largest label — exactly
         ``max(high_labels)`` of label_propagation.py:326-338.
-        ``targets`` restricts the gather to one color class *before*
-        the shuffle (semi-join pushdown), so a sweep costs O(m) total
-        across all classes rather than O(m·#colors).
+        ``targets`` restricts the gather to the sweep's candidate set
+        *before* the shuffle (semi-join pushdown), so tail sweeps cost
+        O(|N(candidates)|), never a full edge rescan.
         """
         e = edges
         if targets is not None:
@@ -304,68 +356,116 @@ def label_propagation_communities(
             )
         )
 
-    for _ in range(max_rounds):
+    dirty = None
+    accepted = None
+    for sweep in range(max_rounds):
         # completion check: every node's label in its argmax set
-        # (isolated nodes vacuously complete — label_propagation.py:303-305)
-        mode = neighbor_mode(labels).persist()
-        dirty = mode.where(~F.col("cur_in_argmax")).select("id").persist()
+        # (isolated nodes vacuously complete — label_propagation.py:303-305).
+        # Sweep 0 checks every node; later sweeps check INCREMENTALLY:
+        # only a node that was dirty before the sweep, or whose
+        # neighbor just accepted a move, can have flipped status —
+        # everything else kept its label and its whole neighborhood,
+        # so its argmax membership is literally the same expression.
+        # (Accepted movers themselves are clean by independence: no
+        # accepted neighbor, so the gather they moved on is still
+        # exact — rechecking them via prev_dirty is merely harmless.)
+        # EVERY cross-sweep frame (dirty, accepted, labels) is plan-
+        # truncated via stable_checkpoint, never bare-persisted: dirty
+        # and accepted both reference mode, and mode references the
+        # previous sweep's dirty AND accepted — with plain persist the
+        # logical tree doubles per sweep (2^k nodes) and the ANALYZER
+        # walk OOMs the driver by sweep ~15 even on the karate graph,
+        # caching notwithstanding (caching dedups execution, not the
+        # logical plan).
+        prev_dirty = dirty
+        prev_accepted = accepted
+        if sweep == 0:
+            mode = neighbor_mode(labels).persist()
+        else:
+            nbrs = edges.join(
+                prev_accepted.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            ).select(F.col("src").alias("id"))
+            candidates = prev_dirty.union(nbrs).distinct()
+            mode = neighbor_mode(labels, targets=candidates).persist()
+        dirty = stable_checkpoint(
+            mode.where(~F.col("cur_in_argmax")).select("id"), eager=False
+        )
         incomplete = dirty.count()
         if incomplete == 0:
             mode.unpersist()
-            dirty.unpersist()
             break
-        # ACTIVE-SET sweep (round-3): only classes containing a dirty
-        # node do any work this sweep — one job lists them; nodes that
-        # become unstable MID-sweep are picked up by the next sweep's
-        # global completion check (a valid fair semi-synchronous
-        # schedule: simultaneous updates still confined to one proper
-        # color class, so the Prec-Max convergence argument holds).
-        # After sweep 1 the dirty set collapses, so later sweeps cost
-        # O(active) instead of O(#colors) full gathers.
-        active = sorted(
-            r["color"]
-            for r in dirty.join(colors, "id").select("color").distinct().collect()
+        # Luby accept: every dirty node is a mover (Prec-Max forces a
+        # target when cur ∉ argmax); a mover accepts unless an ADJACENT
+        # mover with a DIFFERENT target outranks it on the sweep-salted
+        # (hash, id) priority. Same-target neighbors are exempt: two
+        # adjacent accepted movers must then share one label L (if
+        # their targets differed each would need to outrank the other),
+        # and a simultaneous same-L adoption only RAISES L's frequency
+        # in every member's gather — each individual gain
+        # (best_freq − cur_freq ≥ 1) is computed against pre-state
+        # labels and only the mover-mover edges deviate, upward. So the
+        # edge-agreement potential Φ = Σ_edges [l(u)=l(v)] still rises
+        # by ≥ |accepted| per sweep → termination within Φ ≤ m accepted
+        # moves; the exemption is what lets a hub-label cascade (the
+        # dominant web-graph pattern) land in ONE sweep instead of
+        # serializing by priority. Losers stay dirty and re-roll a
+        # fresh priority next sweep; the max-priority mover always
+        # accepts, so every sweep makes progress.
+        movers = mode.where(~F.col("cur_in_argmax")).select(
+            "id", "best_label", F.xxhash64("id", F.lit(sweep)).alias("p")
         )
+        losers = (
+            edges.join(
+                movers.select(
+                    F.col("id").alias("src"),
+                    F.col("p").alias("ps"),
+                    F.col("best_label").alias("bs"),
+                ),
+                "src",
+            )
+            .join(
+                movers.select(
+                    F.col("id").alias("dst"),
+                    F.col("p").alias("pd"),
+                    F.col("best_label").alias("bd"),
+                ),
+                "dst",
+            )
+            .where(
+                (F.col("bd") != F.col("bs"))
+                & (F.struct("pd", "dst") > F.struct("ps", "src"))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        # checkpointed lazily (the eager labels checkpoint below is the
+        # materializing action — one job, not two): next sweep's
+        # candidate set is N(accepted) — the accepted ids ARE the
+        # changed set, so no labels-diff join ever runs.
+        accepted = stable_checkpoint(
+            movers.join(losers, "id", "left_anti"), eager=False
+        )
+        labels = stable_checkpoint(
+            labels.join(
+                accepted.select("id", F.col("best_label").alias("new_label")),
+                "id",
+                "left",
+            ).select("id", F.coalesce("new_label", "label").alias("label")),
+            eager=True,
+        )
+        mode.unpersist()
         if os.environ.get("LPA_DEBUG"):
+            sc = spark.sparkContext
+            infos = sc._jsc.sc().getRDDStorageInfo()
+            mem = sum(i.memSize() for i in infos) / (1 << 20)
             print(
-                f"LPA sweep: dirty={incomplete} active={len(active)}"
+                f"LPA sweep={sweep} dirty={incomplete}"
+                f" accepted={accepted.count()}"
+                f" cached_rdds={len(infos)} cached_mb={mem:.0f}"
                 f" t={time.monotonic():.1f}",
                 flush=True,
             )
-        # Class c must see classes < c's updates (semi-synchronous),
-        # so the chain is inherently sequential — but it need not be
-        # one Spark JOB per class: updates are chained LAZILY with
-        # non-eager localCheckpoints (plan-growth truncation without an
-        # action), and the whole sweep materializes in the next
-        # completion check. Driver round-trips per sweep: O(1) eager
-        # materializations instead of O(#colors) (VERDICT r1 item 6).
-        batch_eager = 16  # bound the lazy-checkpoint cascade depth
-        for j, cv in enumerate(active):
-            cls = colors.where(F.col("color") == cv).join(
-                dirty, "id", "left_semi"
-            )
-            if j == 0:
-                # the first active class updates against PRE-sweep
-                # labels — exactly what the completion check already
-                # gathered: reuse mode, skip one full edge gather
-                mode_cls = mode.join(cls, "id", "left_semi")
-            else:
-                mode_cls = neighbor_mode(labels, targets=cls)
-            updated = mode_cls.select(
-                "id",
-                F.when(F.col("cur_in_argmax"), None)
-                .otherwise(F.col("best_label"))
-                .alias("new_label"),
-            ).where(F.col("new_label").isNotNull())
-            labels = stable_checkpoint(
-                labels.join(updated, "id", "left")
-                .select("id", F.coalesce("new_label", "label").alias("label")),
-                eager=((j + 1) % batch_eager == 0),
-            )
-        mode.unpersist()
-        dirty.unpersist()
     edges.unpersist()
-    colors.unpersist()
     return labels
 
 
