@@ -280,17 +280,27 @@ def label_propagation_communities(
     graph: LinkGraph,
     max_rounds: int = 1000,
     local_max_edges: int = LOCAL_LPA_MAX_EDGES,
+    warmup_rounds: int = 4,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT); communities = groups of equal
     label. Raises ValueError on directed graphs (parity with
     label_propagation.py:236 ``@not_implemented_for("directed")``).
 
-    Distributed schedule = Luby-style independent-set sweeps (module
-    docstring): every sweep gathers Prec-Max targets for the dirty
-    set, accepts the movers that beat all adjacent movers on a
-    sweep-salted hash priority, and defers the rest. Which VALID
-    labeling the loop converges to is schedule-dependent, exactly as
-    the reference's own update order is implementation-defined."""
+    Distributed schedule = ``warmup_rounds`` SYNCHRONOUS rounds, then
+    Luby-style independent-set sweeps (module docstring) until the
+    Prec-Max fixpoint. The warmup rounds move EVERY unstable node at
+    once with no independence guarantee — correctness does not need
+    one there, because the final state is whatever passes the
+    completion check and only the drain phase's termination needs the
+    potential argument. What the warmup buys: from the all-unique
+    initial labeling, one-shot independent acceptance is ~1/(deg+1)
+    (measured 1.5% on a 40M-edge Zipf graph, avg degree ~100), while
+    a synchronous round mixes every label at the same per-round cost;
+    2-4 rounds collapse the label space to near-converged hub labels,
+    after which the drain's same-target exemption accepts in bulk.
+    Which VALID labeling the loop converges to is schedule-dependent,
+    exactly as the reference's own update order is
+    implementation-defined."""
     if graph.directed:
         raise ValueError(
             "label_propagation_communities is not defined for directed "
@@ -356,6 +366,22 @@ def label_propagation_communities(
             )
         )
 
+    # ---- synchronous warmup (heuristic accelerator, see docstring) ----
+    for w in range(warmup_rounds):
+        wm = neighbor_mode(labels)
+        updates = wm.where(~F.col("cur_in_argmax")).select(
+            "id", F.col("best_label").alias("new_label")
+        )
+        labels = stable_checkpoint(
+            labels.join(updates, "id", "left").select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            ),
+            eager=True,
+        )
+        if os.environ.get("LPA_DEBUG"):
+            print(f"LPA warmup={w} t={time.monotonic():.1f}", flush=True)
+
+    # ---- provable drain: Luby independent-set sweeps ----
     dirty = None
     accepted = None
     for sweep in range(max_rounds):
