@@ -115,20 +115,62 @@ def _local_all_triangles(simple: DataFrame) -> DataFrame:
         else:
             e = pd.DataFrame({"src": pd.Series(dtype="int64"),
                               "dst": pd.Series(dtype="int64")})
-        s = e["src"].to_numpy(dtype="int64")
-        t = e["dst"].to_numpy(dtype="int64")
-        deg = pd.concat([e["src"], e["dst"]]).value_counts()
-        du = e["src"].map(deg).to_numpy(dtype="int64")
-        dv = e["dst"].map(deg).to_numpy(dtype="int64")
-        first = (du < dv) | ((du == dv) & (s < t))
+        empty = pd.DataFrame(
+            {"a": np.empty(0, np.int64),
+             "b": np.empty(0, np.int64),
+             "c": np.empty(0, np.int64)}
+        )
+        if not len(e):
+            yield empty
+            return
+        s_raw = e["src"].to_numpy(dtype="int64")
+        t_raw = e["dst"].to_numpy(dtype="int64")
+        # compact ids so degree/bincount arrays are O(#distinct) even
+        # for sparse id spaces; uniq maps back at the end
+        uniq, inv = np.unique(np.concatenate([s_raw, t_raw]),
+                              return_inverse=True)
+        n = len(uniq)
+        s = inv[: len(s_raw)]
+        t = inv[len(s_raw):]
+        deg = np.bincount(s, minlength=n) + np.bincount(t, minlength=n)
+        first = (deg[s] < deg[t]) | ((deg[s] == deg[t]) & (s < t))
         lo = np.where(first, s, t)
         hi = np.where(first, t, s)
-        o = pd.DataFrame({"lo": lo, "hi": hi})
-        w = o.merge(o, on="lo")
-        w = w[w["hi_x"] < w["hi_y"]]
-        canon = pd.DataFrame({"hi_x": s, "hi_y": t})  # src<dst already
-        closed = w.merge(canon, on=["hi_x", "hi_y"])
-        tri = closed[["lo", "hi_x", "hi_y"]].to_numpy(dtype="int64")
+        # CSR blocks by lo; all-int pair generation (no per-row Python,
+        # no float index math): for each block position i, it pairs
+        # with the (block_size-1-i) later positions of the same block —
+        # two np.repeat calls enumerate every wedge exactly once
+        order = np.argsort(lo, kind="stable")
+        lo_s = lo[order]
+        hi_s = hi[order]
+        counts = np.bincount(lo_s, minlength=n)
+        m = len(lo_s)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        pos = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+        rep = np.repeat(counts, counts) - 1 - pos
+        i_idx = np.repeat(np.arange(m, dtype=np.int64), rep)
+        if not len(i_idx):
+            yield empty
+            return
+        cum = np.cumsum(rep)
+        run_start = np.repeat(cum - rep, rep)
+        j_idx = i_idx + 1 + (np.arange(len(i_idx), dtype=np.int64) - run_start)
+        wb = hi_s[i_idx]
+        wc = hi_s[j_idx]
+        swap = wb > wc
+        lo_w = np.where(swap, wc, wb)
+        hi_w = np.where(swap, wb, wc)
+        # closing probe: sorted-key membership test (ids compacted, so
+        # b*n+c cannot overflow int64 below n ~ 3e9)
+        ekey = np.sort(np.minimum(s, t) * n + np.maximum(s, t))
+        wkey = lo_w * n + hi_w
+        at = np.searchsorted(ekey, wkey)
+        at[at >= len(ekey)] = len(ekey) - 1
+        hit = ekey[at] == wkey
+        tri = np.stack(
+            [uniq[lo_s[i_idx[hit]]], uniq[lo_w[hit]], uniq[hi_w[hit]]],
+            axis=1,
+        )
         if len(tri):
             tri.sort(axis=1)
         yield pd.DataFrame(
@@ -161,20 +203,26 @@ def all_triangles(
     # be an expensive derived plan (e.g. a co-occurrence self-join),
     # and the size gate + orientation + wedge sides all read it
     simple = _simple_undirected(graph).persist() if _simple is None else _simple
-    m = simple.count()
-    if local_max_edges and m <= local_max_edges:
+    if local_max_edges:
+        # ONE job decides the gate: m = Σd/2 and the wedge bound come
+        # from the same degree aggregate (also warms simple's cache)
         ends = simple.select(F.col("src").alias("id")).unionByName(
             simple.select(F.col("dst").alias("id"))
         )
-        wedge_bound = (
+        row = (
             ends.groupBy("id")
             .agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2))
-            .first()[0]
-            or 0
+            .agg(
+                (F.sum("d") / 2).alias("m"),
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wb"),
+            )
+            .first()
         )
-        if wedge_bound <= LOCAL_TRI_MAX_WEDGE_BOUND:
+        m, wedge_bound = row["m"] or 0, row["wb"] or 0
+        if m <= local_max_edges and wedge_bound <= LOCAL_TRI_MAX_WEDGE_BOUND:
             return _local_all_triangles(simple)
+    else:
+        simple.count()
     o = _oriented(graph, simple=simple).select("lo", "hi").persist()
     n_oriented = o.count()
     w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
