@@ -167,3 +167,36 @@ def test_core_number_matches_nx(spark, edges):
     got = {r["id"]: r["core"] for r in core_number(g).collect()}
     want = nx.core_number(_G(simple))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(edge_lists, st.integers(0, 2))
+def test_lpa_distributed_reaches_prec_max_fixpoint(spark, edges, warmup):
+    """The Luby-accept distributed LPA (round-3 rewrite) must land on
+    a VALID Prec-Max fixpoint on adversarial structure for any warmup
+    depth: every node's label has maximal frequency in its
+    neighborhood (label_propagation.py:297-307 _labeling_complete),
+    isolated nodes keep their own label, and communities partition
+    the vertex set. WHICH fixpoint is schedule-dependent (docstring),
+    so parity is on the invariant, not the labeling."""
+    from collections import Counter
+
+    from linkgraph.operators.label_propagation import (
+        label_propagation_communities,
+    )
+
+    simple = [(a, b) for a, b in edges if a != b]
+    g = _g(spark, simple)
+    rows = label_propagation_communities(
+        g, local_max_edges=0, warmup_rounds=warmup
+    ).collect()
+    lab = {r["id"]: r["label"] for r in rows}
+    assert set(lab) == set(range(N))  # total labeling, isolates included
+    G = _G(simple)
+    for u in range(N):
+        nbrs = [v for v in G[u] if v != u]
+        if not nbrs:
+            assert lab[u] == u  # label_propagation.py:318
+            continue
+        freq = Counter(lab[v] for v in nbrs)
+        assert freq[lab[u]] == max(freq.values()), (u, lab[u], dict(freq))
