@@ -281,6 +281,8 @@ def label_propagation_communities(
     max_rounds: int = 1000,
     local_max_edges: int = LOCAL_LPA_MAX_EDGES,
     warmup_rounds: int = 4,
+    labels_start: DataFrame | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT); communities = groups of equal
     label. Raises ValueError on directed graphs (parity with
@@ -300,14 +302,30 @@ def label_propagation_communities(
     after which the drain's same-target exemption accepts in bulk.
     Which VALID labeling the loop converges to is schedule-dependent,
     exactly as the reference's own update order is
-    implementation-defined."""
+    implementation-defined.
+
+    ``labels_start`` (id, label) warm-starts the sweep loop from a
+    previous serving table (incremental refresh under page appends —
+    streaming/incremental.py): ANY integer labeling is a legal start
+    (the potential argument is init-independent; unmatched vertices
+    default to their own id), and a near-fixpoint start only has to
+    drain the neighborhoods the appended edges disturbed. Forces the
+    distributed path (the local task replays the reference schedule
+    from unique labels, which would discard the warm start).
+    ``stats_out`` (optional dict) gets ``sweeps`` — warm vs cold sweep
+    counts are the incremental-serving win, asserted in
+    tests/test_incremental.py."""
     if graph.directed:
         raise ValueError(
             "label_propagation_communities is not defined for directed "
             "graphs (reference parity: label_propagation.py:236)"
         )
     spark = graph.spark
-    if local_max_edges and graph.edges.count() <= local_max_edges:
+    if (
+        labels_start is None
+        and local_max_edges
+        and graph.edges.count() <= local_max_edges
+    ):
         return _local_lpa(graph)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -322,7 +340,18 @@ def label_propagation_communities(
     edges.count()
     vertices = graph.vertices.select("id")
 
-    labels = stable_checkpoint(vertices.select("id", F.col("id").alias("label")))
+    if labels_start is None:
+        labels = stable_checkpoint(
+            vertices.select("id", F.col("id").alias("label"))
+        )
+    else:
+        labels = stable_checkpoint(
+            vertices.join(
+                labels_start.select("id", F.col("label").alias("warm")),
+                "id",
+                "left",
+            ).select("id", F.coalesce("warm", F.col("id")).alias("label"))
+        )
 
     def neighbor_mode(
         labels_df: DataFrame,
@@ -419,6 +448,9 @@ def label_propagation_communities(
         incomplete = dirty.count()
         if incomplete == 0:
             mode.unpersist()
+            if stats_out is not None:
+                stats_out["sweeps"] = sweep  # sweeps that moved labels
+                stats_out["warmup_rounds"] = warmup_rounds
             break
         # Luby accept: every dirty node is a mover (Prec-Max forces a
         # target when cur ∉ argmax); a mover accepts unless an ADJACENT

@@ -1,4 +1,7 @@
-"""Incremental PageRank over a page stream — foreachBatch + warm start.
+"""Incremental serving over a page stream — foreachBatch + warm start,
+for all four north-rule algorithms: PageRank (warm ``nstart``),
+connected components (warm ``labels_start``), label propagation (warm
+``labels_start``), and triangle counts (Δ-edge probe).
 
 Not a reference feature (networkx has no streaming surface) — the
 composition the north rule's deployment implies: pages arrive
@@ -163,6 +166,186 @@ def refresh_components(
     out = spark.read.parquet(labels_path + "._tmp")
     out.write.mode("overwrite").parquet(labels_path)
     return spark.read.parquet(labels_path)
+
+
+def refresh_communities(
+    spark: SparkSession,
+    pages_path: str,
+    labels_path: str,
+    stats_out: dict | None = None,
+    **lpa_kwargs,
+) -> DataFrame:
+    """Incremental LABEL-PROPAGATION serving (the LPA analog of
+    :func:`refresh_ranks`): read ALL pages, build the graph, warm-start
+    the Luby sweep loop from the previous serving table, write the new
+    serving table as (url, label_url).
+
+    Same url-keyed double resolution as :func:`refresh_components`.
+    Unlike CC, LPA's converged labeling is schedule-dependent, so warm
+    and cold runs may land on DIFFERENT valid fixpoints — the serving
+    contract is fixpoint validity plus label stability: starting from
+    the previous epoch's labels, only neighborhoods the appended pages
+    disturbed get re-labeled (``warmup_rounds=0`` — synchronous warmup
+    would gratuitously churn labels that are already stable), and the
+    drain sweep count drops accordingly (``stats_out["sweeps"]``,
+    asserted in tests/test_incremental.py)."""
+    from ..operators.label_propagation import label_propagation_communities
+
+    pages = spark.read.parquet(pages_path)
+    g = graph_from_pages(pages, directed=False)
+    labels_start = None
+    if os.path.isdir(labels_path):
+        prev = spark.read.parquet(labels_path)
+        ids = g.vertices.select("url", "id")
+        seeded = (
+            prev.join(ids, "url", "inner")
+            .join(
+                ids.select(
+                    F.col("url").alias("label_url"),
+                    F.col("id").alias("label"),
+                ),
+                "label_url",
+                "inner",
+            )
+            .select("id", "label")
+        )
+        if seeded.limit(1).count() > 0:
+            labels_start = seeded
+    kwargs = dict(lpa_kwargs)
+    if labels_start is not None:
+        kwargs.setdefault("warmup_rounds", 0)
+    labels = label_propagation_communities(
+        g, labels_start=labels_start, stats_out=stats_out, **kwargs
+    )
+    serving = (
+        labels.join(g.vertices.select("url", "id"), "id")
+        .join(
+            g.vertices.select(
+                F.col("id").alias("label"), F.col("url").alias("label_url")
+            ),
+            "label",
+        )
+        .select("url", "label_url")
+    )
+    serving.write.mode("overwrite").parquet(labels_path + "._tmp")
+    out = spark.read.parquet(labels_path + "._tmp")
+    out.write.mode("overwrite").parquet(labels_path)
+    return spark.read.parquet(labels_path)
+
+
+def refresh_triangles(
+    spark: SparkSession,
+    pages_path: str,
+    tri_path: str,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Incremental TRIANGLE-COUNT serving: per-url triangle counts
+    refreshed under page APPENDS without re-enumerating old triangles.
+
+    State = two url-keyed tables: the serving counts at ``tri_path``
+    and the canonical undirected edge set at ``tri_path + ".edges"``
+    (urls, not ids — ids remap every epoch). On refresh, the new
+    canonical edge set is anti-joined against the stored one; every
+    triangle GAINED must contain at least one Δ edge (appends never
+    remove triangles), so the delta enumeration probes only
+    Δ ⋈ adjacency ⋈ adjacency — one common-neighbor join per new edge,
+    O(|Δ|·d̄) work instead of the full O(m^1.5) recount — and a
+    triangle with 2-3 new edges, found once per Δ edge it contains,
+    is deduplicated by its sorted corner key. Per-corner deltas then
+    ADD onto the previous serving counts (new urls enter at 0).
+
+    ``stats_out`` gets ``mode`` ("full" on first build, "delta" after)
+    and ``new_edges`` — the cheap-refresh evidence asserted in
+    tests/test_incremental.py."""
+    from ..operators.triangles import _simple_undirected, triangles
+
+    pages = spark.read.parquet(pages_path)
+    g = graph_from_pages(pages, directed=False)
+    ids = g.vertices.select("url", "id")
+    edges_path = tri_path + ".edges"
+
+    simple = _simple_undirected(g).persist()  # (src<dst, deduped) ids
+    url_edges = (
+        simple.join(ids.select(F.col("id").alias("src"), F.col("url").alias("src_url")), "src")
+        .join(ids.select(F.col("id").alias("dst"), F.col("url").alias("dst_url")), "dst")
+        .select("src_url", "dst_url")
+    )
+
+    if not os.path.isdir(tri_path):
+        serving = (
+            triangles(g, _simple=simple)
+            .join(ids, "id")
+            .select("url", "triangles")
+        )
+        if stats_out is not None:
+            stats_out["mode"] = "full"
+    else:
+        prev_edges = spark.read.parquet(edges_path)
+        delta_urls = url_edges.join(
+            prev_edges, ["src_url", "dst_url"], "left_anti"
+        )
+        delta = (
+            delta_urls.join(
+                ids.select(F.col("url").alias("src_url"), F.col("id").alias("lo")),
+                "src_url",
+            )
+            .join(
+                ids.select(F.col("url").alias("dst_url"), F.col("id").alias("hi")),
+                "dst_url",
+            )
+            .select("lo", "hi")
+            .persist()
+        )
+        n_new = delta.count()
+        if stats_out is not None:
+            stats_out["mode"] = "delta"
+            stats_out["new_edges"] = n_new
+        sym = simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # common-neighbor probe: w adjacent to BOTH endpoints of a Δ edge
+        cand = (
+            delta.join(
+                sym.select(F.col("src").alias("lo"), F.col("dst").alias("w")), "lo"
+            )
+            .join(
+                sym.select(F.col("src").alias("hi"), F.col("dst").alias("w")),
+                ["hi", "w"],
+                "left_semi",
+            )
+        )
+        tri_new = cand.select(
+            F.least("lo", "hi", "w").alias("a"),
+            F.expr("array_sort(array(lo, hi, w))[1]").alias("b"),
+            F.greatest("lo", "hi", "w").alias("c"),
+        ).distinct()
+        corner_delta = (
+            tri_new.select(F.explode(F.array("a", "b", "c")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dt"))
+            .join(ids, "id")
+            .select("url", "dt")
+        )
+        prev = spark.read.parquet(tri_path)
+        serving = (
+            ids.select("url")
+            .join(prev.select("url", F.col("triangles").alias("t0")), "url", "left")
+            .join(corner_delta, "url", "left")
+            .select(
+                "url",
+                (
+                    F.coalesce("t0", F.lit(0)) + F.coalesce("dt", F.lit(0))
+                ).alias("triangles"),
+            )
+        )
+        delta.unpersist()
+
+    serving.write.mode("overwrite").parquet(tri_path + "._tmp")
+    spark.read.parquet(tri_path + "._tmp").write.mode("overwrite").parquet(tri_path)
+    url_edges.write.mode("overwrite").parquet(edges_path + "._tmp")
+    spark.read.parquet(edges_path + "._tmp").write.mode("overwrite").parquet(edges_path)
+    simple.unpersist()
+    return spark.read.parquet(tri_path)
 
 
 def incremental_components_sink(

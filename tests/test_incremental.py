@@ -114,3 +114,84 @@ def test_incremental_components_refresh(spark, tmp_path):
         spark, pages, labels, local_max_edges=0, stats_out=s_cold).collect()}
     assert l2 == l_cold
     assert s_warm["supersteps"] < s_cold["supersteps"]
+
+
+def test_incremental_communities_refresh(spark, tmp_path):
+    """LPA serving refresh: warm start lands on a VALID fixpoint with
+    fewer drain sweeps than cold, and labels far from the append stay
+    put (serving stability — the point of warm starts)."""
+    from collections import Counter
+
+    from linkgraph.streaming.incremental import refresh_communities
+
+    pages = str(tmp_path / "pages")
+    labels = str(tmp_path / "labels")
+
+    # two well-separated cliques joined by nothing; epoch 2 appends a
+    # pendant onto clique B only
+    clique_a = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    clique_b = [(100 + i, 100 + j) for i in range(6) for j in range(i + 1, 6)]
+    _write_pages(spark, pages, clique_a + clique_b, "overwrite")
+    s_cold: dict = {}
+    l1 = {r["url"]: r["label_url"] for r in refresh_communities(
+        spark, pages, labels, local_max_edges=0, stats_out=s_cold).collect()}
+    assert len(set(l1.values())) == 2
+
+    _write_pages(spark, pages, [(200, 103)], "append")
+    s_warm: dict = {}
+    l2 = {r["url"]: r["label_url"] for r in refresh_communities(
+        spark, pages, labels, local_max_edges=0, stats_out=s_warm).collect()}
+    # fixpoint validity on the full graph (argmax membership per node)
+    import networkx as nx
+
+    G = nx.Graph()
+    G.add_edges_from(clique_a + clique_b + [(200, 103)])
+    url_of = lambda i: next(u for u in l2 if u.endswith(f"/{i}"))
+    for u in G.nodes():
+        freq = Counter(l2[url_of(v)] for v in G[u])
+        assert freq[l2[url_of(u)]] == max(freq.values())
+    # clique A untouched by the append: its labels did not churn
+    for i in range(6):
+        assert l2[url_of(i)] == l1[url_of(i)]
+    # serving win = fewer total gather rounds (warmup + drain sweeps)
+    warm_rounds = s_warm["sweeps"] + s_warm["warmup_rounds"]
+    cold_rounds = s_cold["sweeps"] + s_cold["warmup_rounds"]
+    assert warm_rounds < cold_rounds
+
+
+def test_incremental_triangles_refresh(spark, tmp_path):
+    """Triangle serving refresh: the Δ-edge probe plus previous counts
+    equals a cold full recount, including triangles closed by TWO new
+    edges (the dedup case), across an id-remapping append epoch."""
+    import shutil
+
+    from linkgraph.streaming.incremental import refresh_triangles
+
+    pages = str(tmp_path / "pages")
+    tri = str(tmp_path / "tri")
+
+    # epoch 1: a triangle (0,1,2) + path 3-4
+    _write_pages(spark, pages, [(0, 1), (1, 2), (2, 0), (3, 4)], "overwrite")
+    s1: dict = {}
+    t1 = {r["url"]: r["triangles"] for r in refresh_triangles(
+        spark, pages, tri, stats_out=s1).collect()}
+    assert s1["mode"] == "full"
+    assert sorted(t1.values()) == [0, 0, 1, 1, 1]
+
+    # epoch 2: close (3,4,5) with TWO new edges (4-5, 5-3) and add
+    # (0,1,5) via one new edge... 5-0 and 5-1 are both new; triangle
+    # (0,1,5) has two new edges, (3,4,5) has two new edges, and
+    # (2,0,1) is old — the probe must count each new one exactly once
+    _write_pages(spark, pages, [(5, 4), (5, 3), (5, 0), (5, 1)], "append")
+    s2: dict = {}
+    t2 = {r["url"]: r["triangles"] for r in refresh_triangles(
+        spark, pages, tri, stats_out=s2).collect()}
+    assert s2["mode"] == "delta" and s2["new_edges"] == 4
+
+    shutil.rmtree(tri)
+    shutil.rmtree(tri + ".edges")
+    s_cold: dict = {}
+    t_cold = {r["url"]: r["triangles"] for r in refresh_triangles(
+        spark, pages, tri, stats_out=s_cold).collect()}
+    assert s_cold["mode"] == "full"
+    assert t2 == t_cold
