@@ -97,13 +97,28 @@ LOCAL_TRI_MAX_EDGES = 2_000_000
 LOCAL_TRI_MAX_WEDGE_BOUND = 40_000_000
 
 
-def _local_all_triangles(simple: DataFrame) -> DataFrame:
-    """Single-task triangle enumeration over a canonical (src<dst,
-    deduped) edge set: one ``mapInPandas`` task does degree
-    orientation, wedge generation and the closing probe in vectorized
-    pandas/numpy. Emits each triangle once as (a, b, c), a<b<c —
-    identical rows to the distributed plan."""
-    ep = simple.coalesce(1)
+def _local_all_triangles(edges_df: DataFrame) -> DataFrame:
+    """Single-task triangle enumeration: one ``mapInPandas`` task does
+    canonicalization (self-loop drop + parallel-edge dedup via one
+    ``np.unique`` over lo·n+hi keys — cheaper in-task than a distinct
+    SHUFFLE before it), degree orientation, wedge generation and the
+    closing probe in vectorized numpy. Emits each triangle once as
+    (a, b, c), a<b<c — identical rows to the distributed plan.
+    Index/degree arrays are int32 (#distinct ids and the wedge bound
+    are both < 2³¹): the kernel's cost at this size is dominated by
+    first-touch page faults on its temporaries, so halving the bytes
+    halves the wall clock.
+
+    Memory safety is checked IN-TASK, not by a pre-gate shuffle: the
+    exact wedge total is known from the oriented degree histogram
+    BEFORE any O(wedges) allocation, and if it exceeds
+    ``LOCAL_TRI_MAX_WEDGE_BOUND`` the task emits one all-NULL sentinel
+    row instead — ``all_triangles`` detects it and falls back to the
+    distributed plan. Moving the gate in-task saves the degree
+    aggregation job (two shuffle stages) that used to precede every
+    local run; real rows are never null, so the sentinel is
+    unambiguous."""
+    ep = edges_df.select("src", "dst").coalesce(1)
 
     def fn(batches):
         import numpy as np
@@ -130,8 +145,20 @@ def _local_all_triangles(simple: DataFrame) -> DataFrame:
         uniq, inv = np.unique(np.concatenate([s_raw, t_raw]),
                               return_inverse=True)
         n = len(uniq)
+        inv = inv.astype(np.int32)
         s = inv[: len(s_raw)]
         t = inv[len(s_raw):]
+        # canonicalize in-task: drop self loops, dedup parallel edges
+        keep = s != t
+        ekey = np.unique(
+            np.minimum(s[keep], t[keep]).astype(np.int64) * n
+            + np.maximum(s[keep], t[keep])
+        )
+        s = (ekey // n).astype(np.int32)
+        t = (ekey % n).astype(np.int32)
+        if not len(s):
+            yield empty
+            return
         deg = np.bincount(s, minlength=n) + np.bincount(t, minlength=n)
         first = (deg[s] < deg[t]) | ((deg[s] == deg[t]) & (s < t))
         lo = np.where(first, s, t)
@@ -140,30 +167,37 @@ def _local_all_triangles(simple: DataFrame) -> DataFrame:
         # no float index math): for each block position i, it pairs
         # with the (block_size-1-i) later positions of the same block —
         # two np.repeat calls enumerate every wedge exactly once
-        order = np.argsort(lo, kind="stable")
+        order = np.argsort(lo, kind="stable").astype(np.int32)
         lo_s = lo[order]
         hi_s = hi[order]
-        counts = np.bincount(lo_s, minlength=n)
+        counts = np.bincount(lo_s, minlength=n).astype(np.int64)
+        if int((counts * (counts - 1) // 2).sum()) > LOCAL_TRI_MAX_WEDGE_BOUND:
+            yield pd.DataFrame(
+                {"a": [None], "b": [None], "c": [None]}, dtype="Int64"
+            )
+            return
+        counts = counts.astype(np.int32)
         m = len(lo_s)
-        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        pos = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+        starts = np.concatenate(([0], np.cumsum(counts, dtype=np.int32)))[:-1]
+        pos = np.arange(m, dtype=np.int32) - np.repeat(starts, counts)
         rep = np.repeat(counts, counts) - 1 - pos
-        i_idx = np.repeat(np.arange(m, dtype=np.int64), rep)
+        i_idx = np.repeat(np.arange(m, dtype=np.int32), rep)
         if not len(i_idx):
             yield empty
             return
-        cum = np.cumsum(rep)
+        cum = np.cumsum(rep, dtype=np.int32)  # wedge gate keeps this < 2³¹
         run_start = np.repeat(cum - rep, rep)
-        j_idx = i_idx + 1 + (np.arange(len(i_idx), dtype=np.int64) - run_start)
+        j_idx = i_idx + 1 + (
+            np.arange(len(i_idx), dtype=np.int32) - run_start
+        )
         wb = hi_s[i_idx]
         wc = hi_s[j_idx]
         swap = wb > wc
         lo_w = np.where(swap, wc, wb)
         hi_w = np.where(swap, wb, wc)
-        # closing probe: sorted-key membership test (ids compacted, so
-        # b*n+c cannot overflow int64 below n ~ 3e9)
-        ekey = np.sort(np.minimum(s, t) * n + np.maximum(s, t))
-        wkey = lo_w * n + hi_w
+        # closing probe: sorted-key membership test against the already
+        # sorted canonical keys (ids compacted, no int64 overflow)
+        wkey = lo_w.astype(np.int64) * n + hi_w
         at = np.searchsorted(ekey, wkey)
         at[at >= len(ekey)] = len(ekey) - 1
         hit = ekey[at] == wkey
@@ -199,29 +233,27 @@ def all_triangles(
     O(Σ deg²) wedge stream is generated and filtered inside one
     map-side pipeline without ever shuffling.
     """
-    # materialize the canonical edge set ONCE — graph.edges may itself
-    # be an expensive derived plan (e.g. a co-occurrence self-join),
-    # and the size gate + orientation + wedge sides all read it
-    simple = _simple_undirected(graph).persist() if _simple is None else _simple
+    # materialize the edge set ONCE — graph.edges may itself be an
+    # expensive derived plan (e.g. a co-occurrence self-join), and the
+    # size gate + orientation + wedge sides all read it
     if local_max_edges:
-        # ONE job decides the gate: m = Σd/2 and the wedge bound come
-        # from the same degree aggregate (also warms simple's cache)
-        ends = simple.select(F.col("src").alias("id")).unionByName(
-            simple.select(F.col("dst").alias("id"))
+        # size gate = one cheap count over the RAW projection (no
+        # distinct shuffle first — the local kernel dedups in-task with
+        # one np.unique); the wedge-memory gate runs IN-TASK where the
+        # exact oriented-wedge total is known, emitting a null sentinel
+        # row to request the distributed fallback (docstring above)
+        raw = (
+            graph.edges.select("src", "dst").persist()
+            if _simple is None
+            else _simple
         )
-        row = (
-            ends.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(
-                (F.sum("d") / 2).alias("m"),
-                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wb"),
-            )
-            .first()
-        )
-        m, wedge_bound = row["m"] or 0, row["wb"] or 0
-        if m <= local_max_edges and wedge_bound <= LOCAL_TRI_MAX_WEDGE_BOUND:
-            return _local_all_triangles(simple)
-    else:
+        if raw.count() <= local_max_edges:
+            res = _local_all_triangles(raw).persist()
+            if res.where(F.col("a").isNull()).isEmpty():
+                return res
+            res.unpersist()
+    simple = _simple_undirected(graph).persist() if _simple is None else _simple
+    if not local_max_edges:
         simple.count()
     o = _oriented(graph, simple=simple).select("lo", "hi").persist()
     n_oriented = o.count()

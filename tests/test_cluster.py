@@ -123,3 +123,20 @@ def test_all_triangles_distributed_path(spark):
         for t in nx.all_triangles(nx.karate_club_graph())
     }
     assert dist == local == ref
+
+
+def test_local_wedge_bound_sentinel_falls_back(spark, monkeypatch):
+    """When the in-task wedge total exceeds the bound, the local kernel
+    emits its null sentinel and all_triangles must transparently fall
+    back to the distributed wedge+closing plan — same rows."""
+    import linkgraph.operators.triangles as T
+
+    edges = [(f"n{u}", f"n{v}") for u, v in
+             [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (1, 3)]]
+    from linkgraph.graph import graph_from_edge_names
+
+    g = graph_from_edge_names(spark, edges, directed=False)
+    want = sorted(tuple(r) for r in T.all_triangles(g, local_max_edges=0).collect())
+    monkeypatch.setattr(T, "LOCAL_TRI_MAX_WEDGE_BOUND", 1)
+    got = sorted(tuple(r) for r in T.all_triangles(g).collect())
+    assert got == want and len(got) == 3
