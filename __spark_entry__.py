@@ -1461,6 +1461,15 @@ def q_link_embeddedness_parts(spark, sf_dir):
     )
 
 
+def q_dispersion_orders(spark, sf_dir):
+    from linkgraph.operators import links
+
+    g = undirected_order_graph(spark, sf_dir)
+    return links.dispersion(g).select(
+        "u", "v", "embeddedness", F.round("dispersion", 8).alias("dispersion_r")
+    )
+
+
 def q_embedding_near_pairs(spark, sf_dir):
     emb = _read_wide(spark, sf_dir, "embeddings")
     return sim.lsh_self_join(emb, dim=64, bits=8, round_to=6).select(
@@ -2819,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_docs": q_tfidf_topk_docs,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
+        "dispersion_orders": q_dispersion_orders,
         "embedding_near_pairs": q_embedding_near_pairs,
         "eigenvector_orders": q_eigenvector_orders,
         "ppr_orders": q_ppr_orders,
@@ -4791,6 +4801,60 @@ SELECT round(corr(a.d, b.d), 6) AS assortativity_r
 FROM sym JOIN deg a ON a.id = sym.src JOIN deg b ON b.id = sym.dst"""
 
 
+def _dispersion_sql() -> str:
+    # Backstrom-Kleinberg dispersion re-derived in SQL: ST pairs and
+    # the non-adjacency condition are u<->v symmetric (computed once on
+    # the canonical edge and mirrored); the third-tie witness EXISTS is
+    # evaluated per ORDERED pair because w must lie inside N(u).
+    return """
+WITH nn AS (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT DISTINCT
+    least(CAST(o_custkey AS BIGINT),
+          CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT)) AS u,
+    greatest(CAST(o_custkey AS BIGINT),
+             CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT)) AS v
+  FROM orders
+  WHERE CAST(o_custkey AS BIGINT)
+        <> CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT)
+),
+sym AS MATERIALIZED (
+  SELECT u AS x, v AS w FROM e UNION ALL SELECT v AS x, u AS w FROM e
+),
+cn AS MATERIALIZED (
+  SELECT e.u, e.v, a.w AS s
+  FROM e JOIN sym a ON a.x = e.u JOIN sym b ON b.x = e.v AND b.w = a.w
+),
+emb0 AS (SELECT u, v, count(*) AS emb FROM cn GROUP BY u, v),
+emb AS (SELECT u, v, emb FROM emb0 UNION ALL SELECT v AS u, u AS v, emb FROM emb0),
+p0 AS MATERIALIZED (
+  SELECT c1.u, c1.v, c1.s, c2.s AS t
+  FROM cn c1 JOIN cn c2 ON c1.u = c2.u AND c1.v = c2.v AND c1.s < c2.s
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c1.s AND e.v = c2.s)
+),
+p AS MATERIALIZED (
+  SELECT u, v, s, t FROM p0 UNION ALL SELECT v AS u, u AS v, s, t FROM p0
+),
+surv AS (
+  SELECT p.u, p.v, count(*) AS total FROM p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym a
+    JOIN sym b ON b.x = p.t AND b.w = a.w
+    JOIN sym cu ON cu.x = p.u AND cu.w = a.w
+    WHERE a.x = p.s AND a.w <> p.v)
+  GROUP BY p.u, p.v
+),
+oe AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)
+SELECT oe.u, oe.v,
+       CAST(COALESCE(emb.emb, 0) AS BIGINT) AS embeddedness,
+       ROUND(CASE WHEN COALESCE(emb.emb, 0) = 0 THEN 0.0
+                  ELSE CAST(COALESCE(surv.total, 0) AS DOUBLE) / emb.emb
+             END, 8) AS dispersion_r
+FROM oe
+LEFT JOIN emb ON emb.u = oe.u AND emb.v = oe.v
+LEFT JOIN surv ON surv.u = oe.u AND surv.v = oe.v"""
+
+
 def _link_embeddedness_sql() -> str:
     return f"""
 WITH {_PAIRS_CTE},
@@ -5522,6 +5586,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "embedding_lsh_topk": _lsh_topk_sql(dim=64, bits=8, k=10, n_queries=8),
         "assortativity_parts": _assortativity_sql(),
         "link_embeddedness_parts": _link_embeddedness_sql(),
+        "dispersion_orders": _dispersion_sql(),
         "embedding_near_pairs": _near_pairs_sql(dim=64, bits=8),
         "eigenvector_orders": _eigenvector_sql(8),
         "ppr_orders": _ppr_sql(),

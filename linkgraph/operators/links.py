@@ -262,3 +262,110 @@ def bibliographic_coupling(graph: LinkGraph, min_count: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_refs"))
     )
     return pairs.where(F.col("n_shared_refs") >= min_count)
+
+
+def dispersion(
+    g: LinkGraph,
+    normalized: bool = True,
+    alpha: float = 1.0,
+    b: float = 0.0,
+    c: float = 0.0,
+) -> DataFrame:
+    """(u, v, embeddedness, dispersion) for every ORDERED adjacent
+    pair (v ∈ N(u)) — Backstrom & Kleinberg's dispersion (reference
+    networkx/algorithms/centrality/dispersion.py:10 ``dispersion``):
+    among the common neighbors ST = N(u) ∩ N(v), count pairs
+    {s, t} ⊆ ST that are (a) not adjacent to each other and (b) share
+    no third mutual tie w ∈ N(u) \\ {u, v} with w ∈ N(s) ∩ N(t); the
+    normalized score divides ``(total + b) ** alpha`` by the
+    embeddedness ``|ST| + c`` (left unnormalized when that denominator
+    is zero — the reference's exact branch structure).
+
+    The measure is NOT symmetric: the third-tie witness w must lie in
+    N(u) (the ego side), so disp(u, v) and disp(v, u) differ whenever
+    some s, t share a tie inside one endpoint's neighborhood but not
+    the other's — e.g. karate (0,5): disp(0,5)=0 (witness 4 ∈ N(0))
+    but disp(5,0)=0.5 (no witness inside N(5)). Both orientations are
+    emitted, mirroring the reference's full-graph dict-of-dicts.
+
+    Physical plan — four equi-joins, no driver loop (ST and the s,t
+    pair conditions are u↔v symmetric, so they are computed once per
+    canonical edge and mirrored; only the witness anti-join runs on
+    the ordered table):
+
+      cn        = edges(a<b) ⋈ adj(a) ⋈ adj(b)   (the ST table)
+      st_pairs  = cn ⋈ cn on (a,b), s < t
+      non_adj   = st_pairs ▷ edges(s,t)          (anti: not adjacent)
+      ordered   = non_adj ∪ mirror(non_adj)
+      survivors = ordered ▷ adj(s) ⋈ adj(t) ⋈ adj(u), w ≠ v  (anti:
+                            no shared third tie inside N(u))
+      result    = ordered edges ⟕ count(cn) ⟕ count(survivors)
+
+    Cost is O(Σ_edges |ST|²·d̄) — the reference's own per-pair loop has
+    the same shape; at web scale restrict the input to the candidate
+    edges under audit (the conventional use: score a given tie, not
+    every tie) or cap |ST| upstream."""
+    if g.directed:
+        raise ValueError(
+            "dispersion is defined on undirected graphs "
+            "(dispersion.py computes over mutual-tie sets)"
+        )
+    sym = _sym_simple(g)
+    edges = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    adj_u = sym.select(F.col("src").alias("u"), F.col("dst").alias("s"))
+    adj_v = sym.select(F.col("src").alias("v"), F.col("dst").alias("s"))
+    cn = edges.join(adj_u, "u").join(adj_v, ["v", "s"]).persist()
+    emb_canon = cn.groupBy("u", "v").agg(F.count(F.lit(1)).alias("embeddedness"))
+    emb = emb_canon.unionByName(
+        emb_canon.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "embeddedness"
+        )
+    )
+    st_pairs = (
+        cn.join(
+            cn.select("u", "v", F.col("s").alias("t")),
+            ["u", "v"],
+        )
+        .where(F.col("s") < F.col("t"))
+    )
+    non_adj_canon = st_pairs.join(
+        edges.select(F.col("u").alias("s"), F.col("v").alias("t")),
+        ["s", "t"],
+        "left_anti",
+    )
+    non_adj = non_adj_canon.unionByName(
+        non_adj_canon.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "s", "t"
+        )
+    )
+    witnesses = (
+        non_adj.join(sym.select(F.col("src").alias("s"), F.col("dst").alias("w")), "s")
+        .join(sym.select(F.col("src").alias("t"), F.col("dst").alias("w")), ["t", "w"])
+        .join(sym.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"])
+        .where(F.col("w") != F.col("v"))
+        .select("u", "v", "s", "t")
+    )
+    survivors = non_adj.join(witnesses, ["u", "v", "s", "t"], "left_anti")
+    total = survivors.groupBy("u", "v").agg(F.count(F.lit(1)).alias("total"))
+    ordered_edges = sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    out = (
+        ordered_edges.join(emb, ["u", "v"], "left")
+        .join(total, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("embeddedness", F.lit(0)).alias("embeddedness"),
+            F.coalesce("total", F.lit(0)).alias("_total"),
+        )
+    )
+    if normalized:
+        denom = F.col("embeddedness") + F.lit(float(c))
+        raw = F.pow(F.col("_total") + F.lit(float(b)), F.lit(float(alpha)))
+        disp = F.when(denom != 0.0, raw / denom).otherwise(raw)
+    else:
+        disp = F.col("_total").cast("double")
+    return out.select(
+        "u", "v", "embeddedness", disp.cast("double").alias("dispersion")
+    )

@@ -155,3 +155,48 @@ def test_community_aware_indices(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         within_inter_cluster(g, cdf, delta=0)
+
+
+def test_dispersion_vs_nx(spark):
+    g = _g(spark, KARATE)
+    nm = names(g)
+    G = nx_graph(KARATE)
+    ref = nx.dispersion(G)
+    got = {
+        (nm[r["u"]], nm[r["v"]]): (r["embeddedness"], r["dispersion"])
+        for r in links.dispersion(g).collect()
+    }
+    # both orientations emitted (the measure is asymmetric — the
+    # third-tie witness must lie inside N(u)), like the reference's
+    # full-graph dict-of-dicts
+    assert len(got) == 2 * G.number_of_edges()
+    for (u, v), (emb, d) in got.items():
+        iu, iv = int(u), int(v)
+        assert d == pytest.approx(ref[iu][iv], abs=1e-9)
+        assert emb == len(list(nx.common_neighbors(G, iu, iv)))
+
+
+def test_dispersion_unnormalized_and_params_vs_nx(spark):
+    g = _g(spark, KARATE)
+    nm = names(g)
+    G = nx_graph(KARATE)
+    raw = {
+        (nm[r["u"]], nm[r["v"]]): r["dispersion"]
+        for r in links.dispersion(g, normalized=False).collect()
+    }
+    refraw = nx.dispersion(G, normalized=False)
+    for (u, v), d in raw.items():
+        assert d == pytest.approx(refraw[int(u)][int(v)], abs=1e-9)
+    tuned = {
+        (nm[r["u"]], nm[r["v"]]): r["dispersion"]
+        for r in links.dispersion(g, alpha=0.6, b=0.2, c=1.0).collect()
+    }
+    reftuned = nx.dispersion(G, alpha=0.6, b=0.2, c=1.0)
+    for (u, v), d in tuned.items():
+        assert d == pytest.approx(reftuned[int(u)][int(v)], abs=1e-9)
+
+
+def test_dispersion_directed_raises(spark):
+    g = _g(spark, [(0, 1)], directed=True)
+    with pytest.raises(ValueError):
+        links.dispersion(g)
