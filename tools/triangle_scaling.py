@@ -22,6 +22,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("LINKGRAPH_DRIVER_MEM", "48g")
 
@@ -30,6 +31,8 @@ def main() -> None:
     cores = int(sys.argv[1])
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
     avg_out = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    parts = int(sys.argv[4]) if len(sys.argv) > 4 else cores
+    aqe = sys.argv[5] if len(sys.argv) > 5 else "on"
 
     from pyspark.sql import functions as F
 
@@ -38,8 +41,10 @@ def main() -> None:
     from linkgraph.session import get_spark
 
     spark = get_spark(
-        f"tri-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        f"tri-{cores}", master=f"local[{cores}]", shuffle_partitions=parts
     )
+    if aqe == "off":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     exponent = 0.7
@@ -76,9 +81,13 @@ def main() -> None:
     )
     o.unpersist()
 
+    from pin_pipeline_bench import cpu_probe
+
+    probe_before = cpu_probe()
     t0 = time.monotonic()
     n_tri = all_triangles(g, local_max_edges=0).count()
     total = time.monotonic() - t0
+    probe_after = cpu_probe()
     print(
         json.dumps(
             {
@@ -90,6 +99,10 @@ def main() -> None:
                 "triangles_s": round(total, 2),
                 "edges_per_sec": round(n_edges / total, 1),
                 "wedges_per_sec": round(wedges / total, 1),
+                "parts": parts,
+                "aqe": aqe,
+                "probe_gflops_before": probe_before,
+                "probe_gflops_after": probe_after,
             }
         )
     )
