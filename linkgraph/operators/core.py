@@ -236,7 +236,10 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
         tri = (
             e1.join(e2, e1.dst == e2.b)
             .join(
-                e3,
+                # shuffle-hash: build side is the unique-key edge set,
+                # so the wedge stream probes without being sorted
+                # (same device as all_triangles' closing join)
+                e3.hint("shuffle_hash"),
                 (F.col("src") == F.col("a2")) & (F.col("c") == F.col("c2")),
                 "left_semi",
             )

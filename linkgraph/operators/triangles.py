@@ -267,6 +267,15 @@ def all_triangles(
     )
     if n_oriented <= BROADCAST_CLOSING_MAX_EDGES:
         closing = F.broadcast(closing)
+    else:
+        # beyond the broadcast cap the closing side carries a
+        # shuffle-hash hint: the build side is the UNIQUE-key canonical
+        # edge table (no build skew possible), so the O(Σ deg²) wedge
+        # stream is probed per-partition without the sort-merge join's
+        # O(W log W) sort of the wedges — at 258M wedges the sort
+        # buffers dominated task time and GC (measured in
+        # tools/triangle_scaling.py; BENCH.md §7f)
+        closing = closing.hint("shuffle_hash")
     closed = wedges.join(closing, ["b", "c"], "left_semi")
     return closed.select(
         F.least("a", "b", "c").alias("a"),
