@@ -150,6 +150,7 @@ def main() -> None:
         "dag_longest_path_orders",
         "salsa_orders",
         "cocitation_orders",
+        "dispersion_orders",
         "trustrank_orders",
         # round-3 additions: the *_dist twins pin the distributed
         # CC/LPA/triangles plans; cycles + weighted betweenness are the

@@ -140,3 +140,33 @@ def test_local_wedge_bound_sentinel_falls_back(spark, monkeypatch):
     monkeypatch.setattr(T, "LOCAL_TRI_MAX_WEDGE_BOUND", 1)
     got = sorted(tuple(r) for r in T.all_triangles(g).collect())
     assert got == want and len(got) == 3
+
+
+def test_closing_join_is_shuffle_hash_past_broadcast_cap(spark, monkeypatch):
+    """Plan-shape pin: beyond BROADCAST_CLOSING_MAX_EDGES the closing
+    semi-join must be a ShuffledHashJoin (build = unique-key edge
+    table), NOT a SortMergeJoin that sorts the O(Σ deg²) wedge stream
+    (BENCH.md §7f: the wedge sort dominated task time and GC at 258M
+    wedges)."""
+    import networkx as nx
+
+    import linkgraph.operators.triangles as T
+
+    kg = nx.karate_club_graph()
+    edges = [(f"{u:02d}", f"{v:02d}") for u, v in kg.edges()]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    monkeypatch.setattr(T, "BROADCAST_CLOSING_MAX_EDGES", 0)
+    tri = T.all_triangles(g, local_max_edges=0)
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    # and it still enumerates the exact triangle set
+    nm = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    got = {
+        tuple(sorted((nm[r["a"]], nm[r["b"]], nm[r["c"]])))
+        for r in tri.collect()
+    }
+    ref = {
+        tuple(sorted(f"{n:02d}" for n in t))
+        for t in nx.all_triangles(nx.karate_club_graph())
+    }
+    assert got == ref
