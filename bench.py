@@ -37,6 +37,14 @@ def main() -> None:
     )
     spark.range(1).count()  # JVM warmup outside timings
 
+    # host-steal canary (BENCH.md §6): GFLOP/s of a fixed matmul before
+    # and after the sweep — readers calibrate the wall clocks against
+    # the quiet-host value (~220 on this VM)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from pin_pipeline_bench import cpu_probe
+
+    probe_before = cpu_probe()
+
     timings: dict[str, float] = {}
 
     def run(name: str, fn) -> None:
@@ -193,6 +201,8 @@ def main() -> None:
                 "pages_n": pages_n,
                 "n_edges": n_edges,
                 "pr_iters": pr_iters,
+                "probe_gflops_before": probe_before,
+                "probe_gflops_after": cpu_probe(),
             }
         )
     )
