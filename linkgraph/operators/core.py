@@ -210,12 +210,21 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
     keeps only edge endpoints).
 
     Distributed peeling: per round, enumerate triangles once over the
-    surviving canonical edge set (a<b<c via the same two equi-joins as
-    the triangles operator), scatter each triangle to its three edges,
-    drop edges with support < k-2, repeat until stable — rounds =
-    peeling depth. The support table and edge set stay partitioned on
-    (src, dst); the frontier is localCheckpointed per round (bounded
-    lineage, see dag.py note).
+    surviving canonical edge set, scatter each triangle to its three
+    edges, drop edges with support < k-2, repeat until stable —
+    rounds = peeling depth. The support table and edge set stay
+    partitioned on (src, dst); the frontier is localCheckpointed per
+    round (bounded lineage, see dag.py note).
+
+    The per-round enumeration orients edges by CURRENT degree (the
+    same (degree, id) total order as ``all_triangles``), recomputed on
+    the surviving subgraph each round: wedge pivots then have
+    out-degree ≤ O(√m_round), so the self-join never explodes on Zipf
+    hubs — an id-ordered orientation (the previous plan) put every
+    hub's full residual neighborhood on one pivot. Two extra cheap
+    joins per round on the shrinking checkpointed edge set buy the
+    bound; the closing probe keeps the shuffle_hash build
+    (unique-key edge table, never sorts the wedge stream).
     """
     if k < 2:
         raise ValueError("k_truss requires k >= 2")
@@ -230,25 +239,56 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
     for _ in range(max_rounds):
         if n_edges == 0:
             break
-        e1 = e
-        e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-        e3 = e.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
-        tri = (
-            e1.join(e2, e1.dst == e2.b)
+        both = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ranked = (
+            e.join(
+                deg.select(F.col("src").alias("_u"), F.col("deg").alias("du")),
+                F.col("src") == F.col("_u"),
+            ).drop("_u")
             .join(
-                # shuffle-hash: build side is the unique-key edge set,
-                # so the wedge stream probes without being sorted
-                # (same device as all_triangles' closing join)
-                e3.hint("shuffle_hash"),
-                (F.col("src") == F.col("a2")) & (F.col("c") == F.col("c2")),
-                "left_semi",
-            )
-            .select(F.col("src").alias("a"), F.col("dst").alias("b"), "c")
+                deg.select(F.col("src").alias("_v"), F.col("deg").alias("dv")),
+                F.col("dst") == F.col("_v"),
+            ).drop("_v")
+        )
+        src_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
+        )
+        o = ranked.select(
+            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+        ).persist()
+        w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        w2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+        tri = wedges.join(
+            # shuffle-hash: build side is the unique-key edge set, so
+            # the wedge stream probes without being sorted (same
+            # device as all_triangles' closing join); b<c rows of the
+            # canonical e are exactly the candidate closing edges
+            e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+            .hint("shuffle_hash"),
+            ["b", "c"],
+            "left_semi",
         )
         sup = (
-            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-            .unionByName(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            tri.select(
+                F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+            )
+            .unionByName(
+                tri.select(
+                    F.least("b", "c").alias("src"),
+                    F.greatest("b", "c").alias("dst"),
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("a", "c").alias("src"),
+                    F.greatest("a", "c").alias("dst"),
+                )
+            )
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("support"))
         )
@@ -260,6 +300,7 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
             .localCheckpoint(eager=True)
         )
         n_kept = kept.count()
+        o.unpersist()
         e = kept
         if n_kept == n_edges:
             break
