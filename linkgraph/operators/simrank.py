@@ -69,8 +69,12 @@ def simrank_similarity(
     pairs = diag
     for it in range(1, max_iter + 1):
         contrib = (
-            pairs.join(ea, "a")
-            .join(eb, "b")
+            # shuffle-hash hints: build side = the (small) edge
+            # relation, so the O(|pairs|·d̄) similarity stream is
+            # probed hash-side and never sort-merge sorted
+            # (BENCH.md §7f device)
+            pairs.join(ea.hint("shuffle_hash"), "a")
+            .join(eb.hint("shuffle_hash"), "b")
             .groupBy(F.col("_u").alias("a"), F.col("_v").alias("b"))
             .agg(F.sum("sim").alias("_s"))
             .where(F.col("a") != F.col("b"))
