@@ -117,6 +117,16 @@ def q_pagerank_orders(spark, sf_dir):
     return ranks.select("id", F.round("rank", 8).alias("rank_r"))
 
 
+def q_pagerank_orders_dist(spark, sf_dir):
+    """Distributed-plan twin of q_pagerank_orders: local_max_edges=0
+    pins the salted CSR-block superstep plan (pagerank.py:364) — the
+    plan that actually runs at 100 TB — not the size-gated
+    single-Arrow-task numpy kernel (pagerank.py:57)."""
+    g = order_graph(spark, sf_dir)
+    ranks = pagerank(g, alpha=PR_ALPHA, fixed_iter=PR_ITERS, local_max_edges=0)
+    return ranks.select("id", F.round("rank", 8).alias("rank_r"))
+
+
 def q_cc_nation_chains(spark, sf_dir):
     g = nation_chain_graph(spark, sf_dir)
     return connected_components(g).select("id", "component")
@@ -2782,6 +2792,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank_orders": q_pagerank_orders,
+        "pagerank_orders_dist": q_pagerank_orders_dist,
         "cc_nation_chains": q_cc_nation_chains,
         "cc_nation_chains_dist": q_cc_nation_chains_dist,
         "component_sizes": q_component_sizes,
@@ -4962,6 +4973,7 @@ def oracle_sql() -> dict[str, str]:
     lang_cols, lang_case = _lang_scores_sql()
     return {
         "pagerank_orders": _pagerank_sql(),
+        "pagerank_orders_dist": _pagerank_sql(),
         "pages_pipeline_pagerank": _pipeline_pagerank_sql(),
         # analytic truths of the fixture graphs (exact for the fixed
         # 25-nation table; formulas hold for any ring size >= 3):

@@ -67,12 +67,26 @@ def main() -> None:
     t_ingest = time.monotonic() - t0
     timings["pages_ingest_extract"] = round(t_ingest, 3)
 
+    # default engine path (the size gate picks the single-task numpy
+    # kernel at this scale — the honest engine behavior a user gets,
+    # and the number comparable to BASELINE.md's single-node 1.9M
+    # edges/s/superstep reference row)
     t0 = time.monotonic()
     ranks = pagerank(g, alpha=0.85, fixed_iter=pr_iters)
     ranks.write.format("noop").mode("overwrite").save()
     t_pr = time.monotonic() - t0
     timings["pages_pagerank"] = round(t_pr, 3)
     edges_per_sec = n_edges * pr_iters / t_pr
+
+    # distributed-plan twin (local_max_edges=0): the salted CSR-block
+    # superstep plan that runs at 100 TB, pinned regardless of size
+    t0 = time.monotonic()
+    pagerank(g, alpha=0.85, fixed_iter=pr_iters, local_max_edges=0).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_pr_dist = time.monotonic() - t0
+    timings["pages_pagerank_dist"] = round(t_pr_dist, 3)
+    edges_per_sec_dist = n_edges * pr_iters / t_pr_dist
 
     # iterations-to-1e-6 convergence (the BASELINE.json metric's second
     # half) — convergence-mode run with the reference's N*tol rule
@@ -165,6 +179,7 @@ def main() -> None:
         # new operator families
         "cc_nation_chains_dist",
         "triangles_parts_dist",
+        "pagerank_orders_dist",
         "lpa_nation_chains_dist",
         "find_cycle_nations",
         "simple_cycles_orders",
@@ -196,6 +211,9 @@ def main() -> None:
                 "sf": sf_dir,
                 "cpus": cpus,
                 "pagerank_edges_per_sec_per_superstep": round(edges_per_sec, 1),
+                "pagerank_edges_per_sec_per_superstep_dist": round(
+                    edges_per_sec_dist, 1
+                ),
                 "pagerank_iters_to_1e6": stats.get("iterations"),
                 "pagerank_final_l1": stats.get("l1_error"),
                 "pages_n": pages_n,

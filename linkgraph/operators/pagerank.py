@@ -41,6 +41,146 @@ from pyspark.sql import functions as F
 from ..graph import LinkGraph, build_adjacency
 from ..plans.loop import PowerIterationFailedConvergence, SuperstepLoop
 
+# Size gate for the single-task numpy kernel, same cost-model-driven
+# physical choice as triangles.py LOCAL_TRI_MAX_EDGES / components.py
+# LOCAL_CC_MAX_EDGES: below this edge count the per-superstep shuffle +
+# scheduling floor (~0.5-1 s/superstep on local[32]) dwarfs the O(m)
+# numpy bincount gather (~1 ms per superstep per 10^6 edges), so the
+# whole power iteration runs inside ONE Arrow task. The reference's
+# own numpy COO path (BASELINE.md: 1.9M edges/s/superstep single-core)
+# is the bar this kernel clears at small scale; the salted CSR-block
+# superstep plan below remains the 100 TB path and is pinned by the
+# *_dist entry twins + tools/scaling_bench.py.
+LOCAL_PR_MAX_EDGES = 2_000_000
+
+
+def _local_pagerank(
+    graph: LinkGraph,
+    base_edges: DataFrame,
+    statics: DataFrame,
+    n: int,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    fixed_iter: int | None,
+    stats_out: dict | None,
+) -> DataFrame:
+    """Single-task power iteration: one ``mapInPandas`` task receives
+    the (already weight-resolved, direction-resolved) edge rows plus a
+    per-vertex statics row (p, dw, x0) via a tagged union, builds the
+    normalized transition arrays in numpy and runs the full
+    reference-exact update loop (pagerank_alg.py:155-170 semantics:
+    out-strength normalization over ALL out-edges, dangling = vertex
+    never appearing as src, x = alpha*(x@W + danglesum*dw) + (1-a)*p,
+    L1 < N*tol stop) vectorized — ``np.bincount`` is the gather.
+
+    Convergence metadata rides back as extra columns (constant across
+    rows; real ids are never NULL) so non-convergence raises
+    :class:`PowerIterationFailedConvergence` on the DRIVER, exactly
+    like the superstep loop."""
+    ev = base_edges.select(
+        F.lit(0).alias("tag"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+        F.lit(0.0).alias("p"),
+        F.lit(0.0).alias("dw"),
+        F.lit(0.0).alias("x0"),
+    )
+    vv = statics.select(
+        F.lit(1).alias("tag"),
+        F.col("id").cast("long").alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+        F.lit(0.0).alias("weight"),
+        F.col("p").cast("double").alias("p"),
+        F.col("dw").cast("double").alias("dw"),
+        F.col("x0").cast("double").alias("x0"),
+    )
+    inp = ev.unionByName(vv).coalesce(1)
+    a = float(alpha)
+    thresh_tol = float(tol)
+    fixed = fixed_iter is not None
+    niter = int(fixed_iter) if fixed else int(max_iter)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        dfs = list(batches)
+        df = pd.concat(dfs, ignore_index=True)
+        v = df[df["tag"] == 1]
+        e = df[df["tag"] == 0]
+        ids_raw = v["src"].to_numpy(dtype="int64")
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        p = v["p"].to_numpy(dtype="float64")[order]
+        dw = v["dw"].to_numpy(dtype="float64")[order]
+        x = v["x0"].to_numpy(dtype="float64")[order].copy()
+        nv = len(ids)
+        es = e["src"].to_numpy(dtype="int64")
+        ed = e["dst"].to_numpy(dtype="int64")
+        ew = e["weight"].to_numpy(dtype="float64")
+        # out-strength normalization over ALL out-edges of a src
+        # (build_adjacency normalize=True denominator), even edges
+        # whose dst is not a member vertex
+        su, sinv = np.unique(es, return_inverse=True)
+        outsum = np.bincount(sinv, weights=ew)
+        wn = ew / outsum[sinv]
+        # membership maps: gather flows only member->member
+        si = np.searchsorted(ids, es)
+        member_s = (si < nv) & (ids[np.minimum(si, max(nv - 1, 0))] == es)
+        di = np.searchsorted(ids, ed)
+        member_d = (di < nv) & (ids[np.minimum(di, max(nv - 1, 0))] == ed)
+        keep = member_s & member_d
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        gw = wn[keep]
+        # dangling = member vertex with no out-edge at all (absent
+        # from the adjacency src set, pagerank.py distributed path)
+        is_src = np.zeros(nv, dtype=bool)
+        is_src[si[member_s]] = True
+        dang = ~is_src
+        iters = 0
+        err = float("nan")
+        converged = fixed
+        for it in range(niter):
+            xl = x
+            contrib = np.bincount(gd, weights=xl[gs] * gw, minlength=nv)
+            dsum = float(xl[dang].sum())
+            x = a * (contrib + dsum * dw) + (1.0 - a) * p
+            iters = it + 1
+            if not fixed:
+                err = float(np.abs(x - xl).sum())
+                if err < nv * thresh_tol:
+                    converged = True
+                    break
+        yield pd.DataFrame(
+            {
+                "id": ids,
+                "rank": x,
+                "iterations": np.full(nv, iters, dtype=np.int32),
+                "l1_error": np.full(nv, err, dtype=np.float64),
+                "converged": np.full(nv, converged, dtype=bool),
+            }
+        )
+
+    res = inp.mapInPandas(
+        fn, "id long, rank double, iterations int, l1_error double, converged boolean"
+    ).persist()
+    meta = res.select("iterations", "l1_error", "converged").first()
+    base_edges.unpersist()
+    if meta is None:
+        res.unpersist()
+        return graph.spark.createDataFrame([], "id long, rank double")
+    if stats_out is not None:
+        stats_out["iterations"] = int(meta["iterations"])
+        if meta["l1_error"] == meta["l1_error"]:  # not NaN
+            stats_out["l1_error"] = float(meta["l1_error"])
+    if not meta["converged"]:
+        res.unpersist()
+        raise PowerIterationFailedConvergence(max_iter)
+    return res.select("id", "rank")
+
 
 def _vector_df(graph: LinkGraph, vec, name: str) -> DataFrame:
     """dict{id: value} | DataFrame(id, value) -> normalized (id, name).
@@ -79,6 +219,7 @@ def pagerank(
     lineage: bool = False,
     resume: bool = False,
     stats_out: dict | None = None,
+    local_max_edges: int = LOCAL_PR_MAX_EDGES,
 ) -> DataFrame:
     """Returns ranks(id BIGINT, rank DOUBLE), one row per vertex.
 
@@ -112,6 +253,56 @@ def pagerank(
     base_edges = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
     if not weight:
         base_edges = base_edges.select("src", "dst", F.lit(1.0).alias("weight"))
+
+    # vectors shared by both physical paths: personalization p
+    # (uniform 1/N default), dangling WEIGHTS dw (default p; the
+    # dangling-node MASK is path-specific and derived later), and the
+    # initial vector x0 — pagerank_alg.py:139-154,466-487 semantics
+    if personalization is None:
+        p = nodes.select("id", F.lit(1.0 / n).alias("p"))
+    else:
+        pv = _vector_df(graph, personalization, "p")
+        p = nodes.join(pv, "id", "left").select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
+    if dangling is None:
+        dw = p.select("id", F.col("p").alias("dw"))
+    else:
+        dv = _vector_df(graph, dangling, "dw")
+        dw = nodes.join(dv, "id", "left").select("id", F.coalesce("dw", F.lit(0.0)).alias("dw"))
+    if nstart is None:
+        x = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    else:
+        nv = _vector_df(graph, nstart, "rank")
+        x = nodes.join(nv, "id", "left").select(
+            "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
+        )
+
+    # --- single-task numpy kernel below the size gate (cost-model
+    # physical choice, triangles.py / components.py pattern). Never
+    # when the caller asked for checkpoint / resume / lineage (that
+    # contract belongs to the superstep loop) or the 2D grid layout.
+    if (
+        local_max_edges
+        and checkpoint_dir is None
+        and not resume
+        and not lineage
+        and (dst_blocks is None or dst_blocks <= 1)
+    ):
+        ep = base_edges.persist()
+        if ep.count() <= local_max_edges:
+            statics_local = p.join(dw, "id").join(
+                x.withColumnRenamed("rank", "x0"), "id"
+            )
+            if stats_out is not None:
+                stats_out["prep_s"] = round(_time.monotonic() - _t0, 3)
+            _t_loop = _time.monotonic()
+            out = _local_pagerank(
+                graph, ep, statics_local, n, alpha, tol, max_iter,
+                fixed_iter, stats_out,
+            )
+            if stats_out is not None:
+                stats_out["loop_s"] = round(_time.monotonic() - _t_loop, 3)
+            return out
+        ep.unpersist()
     # dst_blocks > 1 selects the 2D (grid) layout: per-task distinct
     # dst keys bounded by n/C so map-side combining stays flat as n
     # grows, at the cost of replicating the rank vector C times per
@@ -143,23 +334,11 @@ def pagerank(
             normalize=True,
         ).persist()
 
-    # personalization vector p (uniform 1/N default)
-    if personalization is None:
-        p = nodes.select("id", F.lit(1.0 / n).alias("p"))
-    else:
-        pv = _vector_df(graph, personalization, "p")
-        p = nodes.join(pv, "id", "left").select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
-
-    # dangling weights (default: p) restricted to dangling nodes
-    # (dangling = zero out-strength = absent from the adjacency srcs)
+    # dangling-node MASK (zero out-strength = absent from the
+    # adjacency srcs); the p / dw vectors were built above the gate
     dangling_nodes = nodes.join(
         adj.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     )
-    if dangling is None:
-        dw = p.select("id", F.col("p").alias("dw"))
-    else:
-        dv = _vector_df(graph, dangling, "dw")
-        dw = nodes.join(dv, "id", "left").select("id", F.coalesce("dw", F.lit(0.0)).alias("dw"))
     is_dangling = dangling_nodes.select("id", F.lit(1.0).alias("is_dangling"))
     static = (
         p.join(dw, "id")
@@ -169,15 +348,6 @@ def pagerank(
         .persist()
     )
     static.count()  # materialize once
-
-    # initial vector x0
-    if nstart is None:
-        x = nodes.select("id", F.lit(1.0 / n).alias("rank"))
-    else:
-        nv = _vector_df(graph, nstart, "rank")
-        x = nodes.join(nv, "id", "left").select(
-            "id", F.coalesce("rank", F.lit(0.0)).alias("rank")
-        )
 
     if resume and checkpoint_dir:
         # mid-algorithm restart (north rule: "resumable from

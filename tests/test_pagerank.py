@@ -196,3 +196,40 @@ def test_trustrank_vs_nx_personalized(spark):
         assert got[str(k)] == pytest.approx(v, abs=1e-7)
     # trust decays with distance from the seeds: non-seed mass smaller
     assert got["5"] < got["3"]
+
+
+def test_local_kernel_vs_distributed_parity(spark):
+    """The size-gated single-task numpy kernel (pagerank.py
+    ``_local_pagerank``) and the salted CSR-block superstep plan
+    (``local_max_edges=0``) are the same algorithm in two physical
+    shapes — ranks must agree to 1e-12 on a graph that exercises
+    every semantic branch at once: dangling nodes, non-uniform
+    personalization, custom dangling weights, weighted parallel
+    edges, convergence mode."""
+    import networkx as nx
+
+    kg = nx.karate_club_graph()
+    edges = [(u, v, d["weight"]) for u, v, d in kg.edges(data=True)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    ids = [r["id"] for r in g.vertices.collect()]
+    pers = {i: 1.0 + (i % 3) for i in ids}
+    dang = {i: 2.0 if i % 2 else 1.0 for i in ids}
+    kw = dict(alpha=0.9, tol=1e-10, personalization=pers, dangling=dang)
+    local = {r["id"]: r["rank"] for r in pagerank(g, **kw).collect()}
+    dist = {r["id"]: r["rank"] for r in
+            pagerank(g, local_max_edges=0, **kw).collect()}
+    assert local.keys() == dist.keys()
+    for k in local:
+        assert local[k] == pytest.approx(dist[k], abs=1e-12)
+
+
+def test_local_kernel_fixed_iter_parity(spark):
+    """fixed_iter mode through both physical paths on the directed P1
+    graph (has dangling nodes) — exact same trajectory."""
+    g = p1_graph(spark)
+    local = {r["id"]: r["rank"]
+             for r in pagerank(g, fixed_iter=7).collect()}
+    dist = {r["id"]: r["rank"]
+            for r in pagerank(g, fixed_iter=7, local_max_edges=0).collect()}
+    for k in local:
+        assert local[k] == pytest.approx(dist[k], abs=1e-12)
