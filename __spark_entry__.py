@@ -244,6 +244,17 @@ def q_hits_orders(spark, sf_dir):
     )
 
 
+def q_hits_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the persisted-CSR
+    double-gather superstep plan (hits.py) — the 100 TB path — not the
+    size-gated single-task numpy kernel."""
+    g = order_graph(spark, sf_dir)
+    out = hits(g, fixed_iter=8, local_max_edges=0)
+    return out.select(
+        "id", F.round("hub", 8).alias("hub_r"), F.round("authority", 8).alias("auth_r")
+    )
+
+
 def q_clustering_parts(spark, sf_dir):
     g = part_cooccurrence_graph(spark, sf_dir)
     return clustering(g).select("id", F.round("clustering", 8).alias("clustering_r"))
@@ -1311,6 +1322,25 @@ def q_harmonic_sampled_orders(spark, sf_dir):
     )
 
 
+def q_harmonic_sampled_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the bitset MS-BFS
+    superstep plan (traversal.py multi_source_bfs_counts) that runs at
+    100 TB, not the size-gated single-task numpy kernel."""
+    from linkgraph.operators.centrality import sampled_closeness_harmonic
+
+    g = order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(25)) == 1).collect()
+    ]
+    return sampled_closeness_harmonic(g, srcs, local_max_edges=0).select(
+        "id",
+        "n_reached",
+        "dist_sum",
+        F.round("harmonic_sum", 8).alias("harmonic_r"),
+    )
+
+
 def q_katz_orders(spark, sf_dir):
     """Katz centrality (centrality.py ``katz_centrality``) on the order
     graph at 8 fixed supersteps, alpha=0.05, beta=1, L2-normalized."""
@@ -1318,6 +1348,26 @@ def q_katz_orders(spark, sf_dir):
 
     g = order_graph(spark, sf_dir)
     x = katz_centrality(g, alpha=0.05, beta=1.0, fixed_iter=8)
+    return x.select("id", F.round("centrality", 8).alias("katz_r"))
+
+
+def q_eigenvector_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the salted-CSR
+    gather superstep plan (centrality.py eigenvector_centrality)."""
+    from linkgraph.operators.centrality import eigenvector_centrality
+
+    g = order_graph(spark, sf_dir)
+    x = eigenvector_centrality(g, fixed_iter=8, local_max_edges=0)
+    return x.select("id", F.round("centrality", 8).alias("centrality_r"))
+
+
+def q_katz_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the salted-CSR
+    gather superstep plan (centrality.py katz_centrality)."""
+    from linkgraph.operators.centrality import katz_centrality
+
+    g = order_graph(spark, sf_dir)
+    x = katz_centrality(g, alpha=0.05, beta=1.0, fixed_iter=8, local_max_edges=0)
     return x.select("id", F.round("centrality", 8).alias("katz_r"))
 
 
@@ -1329,6 +1379,15 @@ def q_mis_orders(spark, sf_dir):
 
     g = order_graph(spark, sf_dir)
     return maximal_independent_set(g, seed=0)
+
+
+def q_mis_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the two-shuffle
+    Luby round plan (independent_set.py) that runs at 100 TB."""
+    from linkgraph.operators.independent_set import maximal_independent_set
+
+    g = order_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=0, local_max_edges=0)
 
 
 def q_eccentricity_orders(spark, sf_dir):
@@ -1999,6 +2058,29 @@ def q_dag_longest_path_orders(spark, sf_dir):
     )
 
 
+def q_dag_longest_path_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the max-plus
+    frontier superstep plan (dag.py longest_path_lengths) that runs at
+    100 TB."""
+    from linkgraph.operators.dag import longest_path_lengths
+
+    g = order_graph(spark, sf_dir)
+    dag = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.where(F.col("src") < F.col("dst")).select(
+            "src",
+            "dst",
+            (F.pmod(F.col("src") + F.col("dst"), F.lit(4)) + 1)
+            .cast("double")
+            .alias("weight"),
+        ),
+        directed=True,
+    )
+    return longest_path_lengths(dag, weighted=True, local_max_edges=0).select(
+        "id", F.round("dist", 6).alias("dist_r")
+    )
+
+
 def skip_chain_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     """Directed per-nation customer chains with lead-2 and lead-4 skip
     edges — a DAG whose transitive reduction is exactly the lead-1
@@ -2586,6 +2668,19 @@ def q_salsa_orders(spark, sf_dir):
     )
 
 
+def q_salsa_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the normalized
+    two-gather superstep plan (hits.py salsa) that runs at 100 TB."""
+    from linkgraph.operators.hits import salsa
+
+    g = order_graph(spark, sf_dir)
+    return salsa(g, fixed_iter=6, local_max_edges=0).select(
+        "id",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("authority", 8).alias("authority_r"),
+    )
+
+
 def _salsa_sql(iters: int = 6) -> str:
     parts = ["""
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
@@ -2810,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compose_orders": q_compose_orders,
         "subgraph_high_balance": q_subgraph_high_balance,
         "hits_orders": q_hits_orders,
+        "hits_orders_dist": q_hits_orders_dist,
         "clustering_parts": q_clustering_parts,
         "bfs_layers_orders": q_bfs_layers_orders,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -2842,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_orders": q_dispersion_orders,
         "embedding_near_pairs": q_embedding_near_pairs,
         "eigenvector_orders": q_eigenvector_orders,
+        "eigenvector_orders_dist": q_eigenvector_orders_dist,
         "ppr_orders": q_ppr_orders,
         "reciprocity_orders": q_reciprocity_orders,
         "overall_reciprocity_orders": q_overall_reciprocity_orders,
@@ -2860,12 +2957,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_orders": q_betweenness_orders,
         "betweenness_weighted_orders": q_betweenness_weighted_orders,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
+        "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
         "katz_orders": q_katz_orders,
+        "katz_orders_dist": q_katz_orders_dist,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "walks_orders": q_walks_orders,
         "eccentricity_orders": q_eccentricity_orders,
         "distance_summary_orders": q_distance_summary_orders,
         "mis_orders": q_mis_orders,
+        "mis_orders_dist": q_mis_orders_dist,
         "doc_training_mix": q_doc_training_mix,
         "node2vec_orders": q_node2vec_orders,
         "vertex_cover_orders": q_vertex_cover_orders,
@@ -2883,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_clustering_parts": q_weighted_clustering_parts,
         "bipartite_color_partsupp": q_bipartite_color_partsupp,
         "dag_longest_path_orders": q_dag_longest_path_orders,
+        "dag_longest_path_orders_dist": q_dag_longest_path_orders_dist,
         "transitive_reduction_chains": q_transitive_reduction_chains,
         "attracting_orders": q_attracting_orders,
         "partition_quality_nations": q_partition_quality_nations,
@@ -2897,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_orders": q_voronoi_orders,
         "embedding_decontaminate": q_embedding_decontaminate,
         "salsa_orders": q_salsa_orders,
+        "salsa_orders_dist": q_salsa_orders_dist,
         "cocitation_orders": q_cocitation_orders,
         "coupling_orders": q_coupling_orders,
         "trustrank_orders": q_trustrank_orders,
@@ -5359,6 +5461,7 @@ SELECT e.src, e.dst FROM e
 JOIN rich r1 ON r1.id = e.src
 JOIN rich r2 ON r2.id = e.dst""",
         "hits_orders": _hits_sql(8),
+        "hits_orders_dist": _hits_sql(8),
         "clustering_parts": f"""
 WITH {_TRI_CTE},
 corners AS (
@@ -5601,6 +5704,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "dispersion_orders": _dispersion_sql(),
         "embedding_near_pairs": _near_pairs_sql(dim=64, bits=8),
         "eigenvector_orders": _eigenvector_sql(8),
+        "eigenvector_orders_dist": _eigenvector_sql(8),
         "ppr_orders": _ppr_sql(),
         "reciprocity_orders": _reciprocity_sql(per_node=True),
         "overall_reciprocity_orders": _reciprocity_sql(per_node=False),
@@ -5621,7 +5725,9 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "betweenness_orders": _betweenness_sql(),
         "betweenness_weighted_orders": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
+        "harmonic_sampled_orders_dist": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
+        "katz_orders_dist": _katz_sql(),
         "doc_dedup_clusters": _dedup_clusters_sql(),
         "walks_orders": _walks_sql(),
         "node2vec_orders": _node2vec_sql(),
@@ -5651,7 +5757,9 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "eccentricity_orders": _eccentricity_sql(),
         "distance_summary_orders": _distance_summary_sql(),
         "mis_orders": _mis_sql(),
+        "mis_orders_dist": _mis_sql(),
         "dag_longest_path_orders": _DAG_LONGEST_PATH_SQL,
+        "dag_longest_path_orders_dist": _DAG_LONGEST_PATH_SQL,
         "transitive_reduction_chains": _TRANSITIVE_REDUCTION_SQL,
         "attracting_orders": _ATTRACTING_SQL,
         "doc_c4_signals": _C4_SIGNALS_SQL,
@@ -5667,6 +5775,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "voronoi_orders": _voronoi_sql(10, 5),
         "embedding_decontaminate": _EMB_DECONTAM_SQL,
         "salsa_orders": _salsa_sql(6),
+        "salsa_orders_dist": _salsa_sql(6),
         "cocitation_orders": _COCITATION_SQL,
         "coupling_orders": _COUPLING_SQL,
         "trustrank_orders": _trustrank_sql(),

@@ -180,6 +180,7 @@ def main() -> None:
         "cc_nation_chains_dist",
         "triangles_parts_dist",
         "pagerank_orders_dist",
+        "salsa_orders_dist",
         "lpa_nation_chains_dist",
         "find_cycle_nations",
         "simple_cycles_orders",

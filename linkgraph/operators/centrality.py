@@ -28,6 +28,91 @@ from pyspark.sql import functions as F
 
 from ..graph import LinkGraph, build_adjacency
 from ..plans.loop import PowerIterationFailedConvergence, SuperstepLoop
+from ._local import member_maps, run_local_kernel
+
+# Size gate for the single-task eigenvector/Katz kernels: same
+# cost-model physical choice as pagerank.py LOCAL_PR_MAX_EDGES.
+LOCAL_CENTRALITY_MAX_EDGES = 2_000_000
+
+
+def _local_power_iteration(
+    statics: DataFrame,
+    edges: DataFrame,
+    update: str,
+    n: int,
+    tol: float,
+    max_iter: int,
+    fixed_iter: int | None,
+    alpha: float = 0.0,
+    beta: float = 0.0,
+    normalized: bool = True,
+) -> DataFrame:
+    """Single-task power iteration shared by eigenvector
+    (``update='eigen'``: x = L2-normalize(x + A^T x), reference
+    eigenvector.py:60) and Katz (``update='katz'``:
+    x = alpha*A^T x + beta, katz.py:12, final L2 rescale when
+    ``normalized``). Convergence: L1 step delta < n*tol for both.
+    Statics column x0 carries the initial vector."""
+    fixed = fixed_iter is not None
+    niter = int(fixed_iter) if fixed else int(max_iter)
+    thresh = float(n) * float(tol)
+    a_, b_ = float(alpha), float(beta)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        gw = ew[keep]
+        x = stat["x0"].copy()
+        iters = 0
+        err = float("nan")
+        converged = fixed
+        for it in range(niter):
+            xl = x
+            gathered = np.bincount(gd, weights=xl[gs] * gw, minlength=nv)
+            if update == "eigen":
+                raw = xl + gathered
+                nrm = float(np.sqrt((raw * raw).sum()))
+                x = raw / (nrm if nrm > 0 else 1.0)
+            else:
+                x = a_ * gathered + b_
+            iters = it + 1
+            if not fixed:
+                err = float(np.abs(x - xl).sum())
+                if err < thresh:
+                    converged = True
+                    break
+        if update == "katz" and normalized:
+            nrm = float(np.sqrt((x * x).sum()))
+            x = x / (nrm if nrm > 0 else 1.0)
+        return {
+            "id": ids,
+            "centrality": x,
+            "iterations": np.full(nv, iters, dtype=np.int32),
+            "l1_error": np.full(nv, err, dtype=np.float64),
+            "converged": np.full(nv, converged, dtype=bool),
+        }
+
+    return run_local_kernel(
+        edges,
+        statics,
+        ["x0"],
+        kernel,
+        "id long, centrality double, iterations int, l1_error double, converged boolean",
+    )
+
+
+def _finish_local_centrality(res: DataFrame, max_iter: int) -> DataFrame:
+    res = res.persist()
+    meta = res.select("converged").first()
+    if meta is not None and not meta["converged"]:
+        res.unpersist()
+        raise PowerIterationFailedConvergence(max_iter)
+    return res.select("id", "centrality")
 
 
 def betweenness_centrality(
@@ -561,6 +646,7 @@ def harmonic_centrality(
 def sampled_closeness_harmonic(
     graph: LinkGraph,
     sources: Iterable[int] | DataFrame,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """(id, n_reached BIGINT, dist_sum BIGINT, harmonic_sum DOUBLE) —
     per-node incoming-distance aggregates over a SAMPLE of origins:
@@ -577,9 +663,11 @@ def sampled_closeness_harmonic(
     only need per-target counts per layer, never the explicit
     (source, target) pairs) — the sample size is the scale knob,
     never the graph."""
-    from .traversal import multi_source_bfs_counts
+    from .traversal import LOCAL_MSBFS_MAX_EDGES, multi_source_bfs_counts
 
-    msb = multi_source_bfs_counts(graph, sources)
+    if local_max_edges is None:
+        local_max_edges = LOCAL_MSBFS_MAX_EDGES
+    msb = multi_source_bfs_counts(graph, sources, local_max_edges=local_max_edges)
     agg = (
         msb.where(F.col("layer") > 0)
         .groupBy("id")
@@ -611,6 +699,7 @@ def eigenvector_centrality(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     fixed_iter: int | None = None,
+    local_max_edges: int = LOCAL_CENTRALITY_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id BIGINT, centrality DOUBLE).
 
@@ -626,15 +715,10 @@ def eigenvector_centrality(
     base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
     if not weight:
         base = base.select("src", "dst", F.lit(1.0).alias("weight"))
-    adj = build_adjacency(
-        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
-    ).persist()
-    adj.count()
 
     nodes = graph.vertices.select("id").repartition(num_partitions, "id").persist()
     n = nodes.count()
     if n == 0:
-        adj.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "id long, centrality double")
 
@@ -651,6 +735,29 @@ def eigenvector_centrality(
         x = nodes.join(xv, "id", "left").select(
             "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
         )
+
+    # single-task numpy kernel below the size gate (cost-model
+    # physical choice; never when checkpointing was requested)
+    if local_max_edges and checkpoint_dir is None:
+        ep = base.persist()
+        if ep.count() <= local_max_edges:
+            try:
+                return _finish_local_centrality(
+                    _local_power_iteration(
+                        x.withColumnRenamed("centrality", "x0"), ep,
+                        "eigen", n, tol, max_iter, fixed_iter,
+                    ),
+                    max_iter,
+                )
+            finally:
+                ep.unpersist()
+                nodes.unpersist()
+        ep.unpersist()
+
+    adj = build_adjacency(
+        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
+    ).persist()
+    adj.count()
 
     loop = SuperstepLoop(
         spark,
@@ -732,6 +839,7 @@ def katz_centrality(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     fixed_iter: int | None = None,
+    local_max_edges: int = LOCAL_CENTRALITY_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id BIGINT, centrality DOUBLE) — Katz centrality by
     power iteration (networkx/algorithms/centrality/katz.py:12):
@@ -752,17 +860,35 @@ def katz_centrality(
     base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
     if not weight:
         base = base.select("src", "dst", F.lit(1.0).alias("weight"))
-    adj = build_adjacency(
-        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
-    ).persist()
-    adj.count()
 
     nodes = graph.vertices.select("id").repartition(num_partitions, "id").persist()
     n = nodes.count()
     if n == 0:
-        adj.unpersist()
         nodes.unpersist()
         return spark.createDataFrame([], "id long, centrality double")
+
+    # single-task numpy kernel below the size gate
+    if local_max_edges and checkpoint_dir is None:
+        ep = base.persist()
+        if ep.count() <= local_max_edges:
+            try:
+                return _finish_local_centrality(
+                    _local_power_iteration(
+                        nodes.select("id", F.lit(0.0).alias("x0")), ep,
+                        "katz", n, tol, max_iter, fixed_iter,
+                        alpha=alpha, beta=beta, normalized=normalized,
+                    ),
+                    max_iter,
+                )
+            finally:
+                ep.unpersist()
+                nodes.unpersist()
+        ep.unpersist()
+
+    adj = build_adjacency(
+        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
+    ).persist()
+    adj.count()
 
     loop = SuperstepLoop(
         spark,

@@ -32,6 +32,14 @@ from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
 from ..plans.loop import stable_checkpoint
+from ._local import member_maps, run_local_kernel
+
+# Size gate for the single-task longest-path kernel (same cost model
+# as pagerank.py LOCAL_PR_MAX_EDGES): the distributed max-plus
+# fixpoint pays one gather join + eager materialization per DAG depth
+# level — a per-round scheduling floor that dwarfs the vectorized
+# Kahn sweep below a few million edges.
+LOCAL_DAG_MAX_EDGES = 2_000_000
 
 
 class GraphContainsCycle(ValueError):
@@ -190,8 +198,76 @@ def ancestor_closure(graph: LinkGraph, sources: DataFrame) -> DataFrame:
         frontier = nxt
 
 
+def _local_longest_paths(statics: DataFrame, edges: DataFrame) -> DataFrame:
+    """Single-task longest-path labels: vectorized Kahn — process
+    indegree-0 levels, relax out-edges with ``np.maximum.at`` — which
+    reaches the same max-plus fixpoint as the distributed frontier
+    loop (every predecessor is final before a vertex relaxes).
+    Self-loops and cycles are detected in-kernel and surfaced as an
+    error code so the driver raises :class:`GraphContainsCycle`
+    exactly like the superstep plan."""
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        if bool((ms & (es == ed)).any()):
+            return {
+                "id": ids,
+                "dist": np.zeros(nv),
+                "err": np.full(nv, 1, dtype=np.int32),
+            }
+        keep = ms & md & (es != ed)
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        gw = ew[keep]
+        d = np.zeros(nv)
+        indeg = np.bincount(gd, minlength=nv)
+        frontier = indeg == 0
+        done = frontier.copy()
+        while True:
+            fe = frontier[gs]
+            if not fe.any():
+                break
+            np.maximum.at(d, gd[fe], d[gs[fe]] + gw[fe])
+            indeg = indeg - np.bincount(gd[fe], minlength=nv)
+            frontier = (indeg == 0) & ~done
+            done |= frontier
+        err = 0
+        if int(done.sum()) < nv:
+            # cycle-tangled residue: finish with Jacobi max-plus
+            # rounds, replicating the distributed loop's decision
+            # exactly — converge to the same least fixpoint (a
+            # non-improving cycle stabilizes) or raise after > |V|
+            # improving rounds (a growing cycle never does)
+            rounds = 0
+            while True:
+                nd = d.copy()
+                np.maximum.at(nd, gd, d[gs] + gw)
+                if bool((nd <= d).all()):
+                    break
+                d = nd
+                rounds += 1
+                if rounds > nv:
+                    err = 2
+                    break
+        return {
+            "id": ids,
+            "dist": d,
+            "err": np.full(nv, err, dtype=np.int32),
+        }
+
+    return run_local_kernel(
+        edges, statics, [], kernel, "id long, dist double, err int"
+    )
+
+
 def longest_path_lengths(
-    graph: LinkGraph, weighted: bool = False, num_partitions: int | None = None
+    graph: LinkGraph,
+    weighted: bool = False,
+    num_partitions: int | None = None,
+    local_max_edges: int = LOCAL_DAG_MAX_EDGES,
 ) -> DataFrame:
     """(id BIGINT, dist DOUBLE) — weight of the heaviest directed path
     ending at each vertex (0 for roots). The weighted max-plus form of
@@ -208,6 +284,33 @@ def longest_path_lengths(
     spark = graph.spark
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # single-task numpy kernel below the size gate (the kernel
+    # member-filters, takes parallel-edge maxes, detects self-loops
+    # and cycles internally)
+    if local_max_edges:
+        ep = graph.weighted_edges().select(
+            "src",
+            "dst",
+            (F.col("weight") if weighted else F.lit(1.0)).alias("weight"),
+        ).persist()
+        if ep.count() <= local_max_edges:
+            try:
+                res = _local_longest_paths(
+                    graph.vertices.select("id"), ep
+                ).persist()
+                meta = res.select("err").first()
+                if meta is not None and meta["err"]:
+                    res.unpersist()
+                    raise GraphContainsCycle(
+                        "self-loop"
+                        if meta["err"] == 1
+                        else "longest-path labels still growing (cycle)"
+                    )
+                return res.select("id", "dist")
+            finally:
+                ep.unpersist()
+        ep.unpersist()
 
     edges = (
         graph.weighted_edges()

@@ -29,6 +29,162 @@ from pyspark.sql import functions as F
 
 from ..graph import LinkGraph, build_adjacency
 from ..plans.loop import PowerIterationFailedConvergence, SuperstepLoop
+from ._local import member_maps, run_local_kernel
+
+# Size gate for the single-task numpy kernels below (shared by hits
+# and salsa): same cost-model physical choice as pagerank.py
+# LOCAL_PR_MAX_EDGES — under ~2M edges the two shuffles + three
+# one-row aggregates per superstep cost more in scheduling floor than
+# the whole vectorized loop. The distributed plans stay the 100 TB
+# path, pinned by the *_dist entry twins.
+LOCAL_HITS_MAX_EDGES = 2_000_000
+
+_META = (
+    "id long, hub double, authority double, "
+    "iterations int, l1_error double, converged boolean"
+)
+
+
+def _finish_local(res: DataFrame, error) -> DataFrame:
+    """Persist a local-kernel result, lift the constant convergence
+    metadata to the driver, raise ``error`` if the loop did not
+    converge, and strip the metadata columns."""
+    res = res.persist()
+    meta = res.select("converged").first()
+    if meta is not None and not meta["converged"]:
+        res.unpersist()
+        raise error
+    return res.select("id", "hub", "authority")
+
+
+def _local_hits(
+    statics: DataFrame,
+    edges: DataFrame,
+    tol: float,
+    max_iter: int,
+    fixed_iter: int | None,
+    normalized: bool,
+) -> DataFrame:
+    """Single-task HITS: the reference-exact update loop
+    (hits_alg.py:104-152 — a = Aᵀh then h = Aa, both max-normalized
+    per iteration, UNscaled L1 < tol stop, final sum-rescale when
+    ``normalized``) vectorized over numpy arrays inside one Arrow
+    task. Parallel edges sum in the gather, identical to the
+    coalesced CSR of the distributed plan."""
+    fixed = fixed_iter is not None
+    niter = int(fixed_iter) if fixed else int(max_iter)
+    thresh = float(tol)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        gw = ew[keep]
+        h = stat["h0"].copy()
+        a = np.zeros(nv)
+        iters = 0
+        err = float("nan")
+        converged = fixed
+        for it in range(niter):
+            hl = h
+            a = np.bincount(gd, weights=hl[gs] * gw, minlength=nv)
+            am = np.abs(a).max() if nv else 0.0
+            if am > 0:
+                a = a / am
+            h = np.bincount(gs, weights=a[gd] * gw, minlength=nv)
+            hm = np.abs(h).max() if nv else 0.0
+            if hm > 0:
+                h = h / hm
+            iters = it + 1
+            if not fixed:
+                err = float(np.abs(h - hl).sum())
+                if err < thresh:
+                    converged = True
+                    break
+        if normalized:
+            hs = h.sum()
+            if hs != 0:
+                h = h / hs
+            as_ = a.sum()
+            if as_ != 0:
+                a = a / as_
+        return {
+            "id": ids,
+            "hub": h,
+            "authority": a,
+            "iterations": np.full(nv, iters, dtype=np.int32),
+            "l1_error": np.full(nv, err, dtype=np.float64),
+            "converged": np.full(nv, converged, dtype=bool),
+        }
+
+    return run_local_kernel(edges, statics, ["h0"], kernel, _META)
+
+
+def _local_salsa(
+    statics: DataFrame,
+    edges: DataFrame,
+    tol: float,
+    max_iter: int,
+    fixed_iter: int | None,
+) -> DataFrame:
+    """Single-task SALSA: same update loop as the distributed plan —
+    w_out / w_in strengths computed over ALL edges of an endpoint
+    (the distributed ``outs``/``ins`` aggregates see the raw edge
+    table), gathers over member→member edges only, both vectors
+    L1-normalized per superstep, convergence on the authority step
+    delta from the second iteration on."""
+    fixed = fixed_iter is not None
+    niter = int(fixed_iter) if fixed else int(max_iter)
+    thresh = float(tol)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        _, sinv = np.unique(es, return_inverse=True)
+        w_out = ew / np.bincount(sinv, weights=ew)[sinv]
+        _, dinv = np.unique(ed, return_inverse=True)
+        w_in = ew / np.bincount(dinv, weights=ew)[dinv]
+        keep = ms & md
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        gwo = w_out[keep]
+        gwi = w_in[keep]
+        h = np.full(nv, 1.0 / nv) if nv else np.zeros(0)
+        a = np.zeros(nv)
+        a_prev = None
+        iters = 0
+        err = float("nan")
+        converged = fixed
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for it in range(niter):
+                a = np.bincount(gd, weights=h[gs] * gwo, minlength=nv)
+                a = a / a.sum()
+                h = np.bincount(gs, weights=a[gd] * gwi, minlength=nv)
+                h = h / h.sum()
+                iters = it + 1
+                if not fixed and a_prev is not None:
+                    err = float(np.abs(a - a_prev).sum())
+                    if err < thresh:
+                        converged = True
+                        a_prev = a
+                        break
+                a_prev = a
+        return {
+            "id": ids,
+            "hub": h,
+            "authority": a,
+            "iterations": np.full(nv, iters, dtype=np.int32),
+            "l1_error": np.full(nv, err, dtype=np.float64),
+            "converged": np.full(nv, converged, dtype=bool),
+        }
+
+    return run_local_kernel(edges, statics, [], kernel, _META)
 
 
 def hits(
@@ -41,6 +197,7 @@ def hits(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     fixed_iter: int | None = None,
+    local_max_edges: int = LOCAL_HITS_MAX_EDGES,
 ) -> DataFrame:
     """Returns (id BIGINT, hub DOUBLE, authority DOUBLE).
 
@@ -53,16 +210,10 @@ def hits(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
-    # parallel edges summed (CSR coalescing), no normalization for HITS
-    adj = build_adjacency(
-        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
-    ).persist()
-    adj.count()
 
     nodes = graph.vertices.select("id").repartition(num_partitions, "id").persist()
     n = nodes.count()
     if n == 0:
-        adj.unpersist()
         nodes.unpersist()
         return spark.createDataFrame(
             [], "id long, hub double, authority double"
@@ -78,6 +229,31 @@ def hits(
         h = nodes.join(hv, "id", "left").select(
             "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
         )
+
+    # single-task numpy kernel below the size gate (never when the
+    # caller asked for checkpointing — that contract belongs to the
+    # superstep loop)
+    if local_max_edges and checkpoint_dir is None:
+        ep = base.persist()
+        if ep.count() <= local_max_edges:
+            try:
+                return _finish_local(
+                    _local_hits(
+                        h.withColumnRenamed("hub", "h0"), ep, tol, max_iter,
+                        fixed_iter, normalized,
+                    ),
+                    PowerIterationFailedConvergence(max_iter),
+                )
+            finally:
+                ep.unpersist()
+                nodes.unpersist()
+        ep.unpersist()
+
+    # parallel edges summed (CSR coalescing), no normalization for HITS
+    adj = build_adjacency(
+        base, num_partitions=num_partitions, coalesce_parallel=True, normalize=False
+    ).persist()
+    adj.count()
 
     loop = SuperstepLoop(
         spark,
@@ -192,6 +368,7 @@ def salsa(
     tol: float = 1.0e-8,
     fixed_iter: int | None = None,
     num_partitions: int | None = None,
+    local_max_edges: int = LOCAL_HITS_MAX_EDGES,
 ) -> DataFrame:
     """(id, hub, authority) — SALSA (Lempel & Moran 2000, the
     degree-normalized HITS used by production link recommenders).
@@ -219,11 +396,32 @@ def salsa(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = (
-        (graph.weighted_edges() if graph.directed else graph.symmetrized_edges())
-        .groupBy("src", "dst")
-        .agg(F.sum("weight").alias("w"))
-    )
+    base = graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
+
+    # single-task numpy kernel below the size gate (parallel-edge
+    # coalescing is linear under the strength normalization, so the
+    # kernel skips the distributed plan's groupBy(src,dst) pre-pass)
+    if local_max_edges:
+        ep = base.persist()
+        if ep.count() <= local_max_edges:
+            nodes0 = graph.vertices.select("id")
+            if nodes0.isEmpty():
+                ep.unpersist()
+                return spark.createDataFrame(
+                    [], "id long, hub double, authority double"
+                )
+            try:
+                return _finish_local(
+                    _local_salsa(nodes0, ep, tol, max_iter, fixed_iter),
+                    PowerIterationFailedConvergence(
+                        f"salsa failed to converge in {max_iter} iterations"
+                    ),
+                )
+            finally:
+                ep.unpersist()
+        ep.unpersist()
+
+    e = base.groupBy("src", "dst").agg(F.sum("weight").alias("w"))
     outs = e.groupBy("src").agg(F.sum("w").alias("os"))
     ins = e.groupBy("dst").agg(F.sum("w").alias("is_"))
     edges = (

@@ -20,20 +20,85 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ._local import member_maps, run_local_kernel
 
 _MIX_MOD = 1_048_573
 _A = 1_103_515_245
 _P = 2_147_483_647
+
+# Size gate for the single-task numpy kernel: same cost-model physical
+# choice as pagerank.py LOCAL_PR_MAX_EDGES — each Luby round costs two
+# shuffles plus three eager materializations, a ~1-2 s scheduling
+# floor per round at toy scale that dwarfs the vectorized sweep.
+LOCAL_MIS_MAX_EDGES = 2_000_000
 
 
 def _priority(col, seed: int):
     return F.pmod(F.lit(_A) * F.pmod(col, F.lit(_MIX_MOD)) + F.lit(seed), F.lit(_P))
 
 
+def _local_mis(
+    statics: DataFrame,
+    edges: DataFrame,
+    seed: int,
+    max_rounds: int,
+) -> DataFrame:
+    """Single-task Luby: the exact distributed semantics — priority
+    (_A·(id mod _MIX_MOD) + seed) mod _P with id as tie-breaker, a
+    vertex joins when (p, id) precedes every undecided neighbor's
+    (p, id), winners' neighborhoods leave the game — vectorized with
+    ``np.minimum.at`` scatter-mins over (priority, position) keys
+    packed into one int64 (positions order exactly as ids: the member
+    array is sorted)."""
+    rounds = int(max_rounds)
+    sd = int(seed)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md & (es != ed)
+        # symmetrize: Luby neighborhoods are undirected
+        gs = np.concatenate([si[keep], di[keep]]).astype(np.int64)
+        gd = np.concatenate([di[keep], si[keep]]).astype(np.int64)
+        pri = (_A * (ids % _MIX_MOD) + sd) % _P
+        # lexicographic (p, id) == packed p*nv + position (ids sorted)
+        key = pri * np.int64(max(nv, 1)) + np.arange(nv, dtype=np.int64)
+        sentinel = np.iinfo(np.int64).max
+        und = np.ones(nv, dtype=bool)
+        in_mis = np.zeros(nv, dtype=bool)
+        exhausted = False
+        for _ in range(rounds):
+            if not und.any():
+                break
+            live = und[gs] & und[gd]
+            nbr_min = np.full(nv, sentinel, dtype=np.int64)
+            np.minimum.at(nbr_min, gs[live], key[gd[live]])
+            winners = und & (key < nbr_min)
+            in_mis |= winners
+            removed = winners.copy()
+            wins_at_src = winners[gs]
+            removed[gd[wins_at_src]] = True
+            und &= ~removed
+        else:
+            exhausted = und.any()
+        return {
+            "id": ids,
+            "in_mis": in_mis,
+            "exhausted": np.full(nv, exhausted, dtype=bool),
+        }
+
+    return run_local_kernel(
+        edges, statics, [], kernel, "id long, in_mis boolean, exhausted boolean"
+    )
+
+
 def maximal_independent_set(
     graph: LinkGraph,
     seed: int = 0,
     max_rounds: int = 64,
+    local_max_edges: int = LOCAL_MIS_MAX_EDGES,
 ) -> DataFrame:
     """(id BIGINT, in_mis BOOLEAN) for every vertex. Self-loops are
     ignored (a self-looped vertex can still enter the set), matching
@@ -45,6 +110,29 @@ def maximal_independent_set(
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     verts = graph.vertices.select("id")
+
+    # single-task numpy kernel below the size gate (the kernel
+    # symmetrizes and member-filters internally, so it takes the raw
+    # edge table)
+    if local_max_edges:
+        ep = graph.edges.select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        ).persist()
+        if ep.count() <= local_max_edges:
+            try:
+                res = _local_mis(verts, ep, seed, max_rounds).persist()
+                meta = res.select("exhausted").first()
+                if meta is not None and meta["exhausted"]:
+                    res.unpersist()
+                    raise RuntimeError(
+                        f"maximal_independent_set: undecided vertices remain "
+                        f"after max_rounds={max_rounds}; raise max_rounds"
+                    )
+                return res.select("id", "in_mis")
+            finally:
+                ep.unpersist()
+        ep.unpersist()
+
     sym = (
         graph.symmetrized_edges()
         .select("src", "dst")

@@ -18,6 +18,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ._local import member_maps, run_local_kernel
+
+# Size gate for the single-task MS-BFS kernel (same cost model as
+# pagerank.py LOCAL_PR_MAX_EDGES): the distributed bitset plan pays
+# one shuffle + persisted materialization per BFS depth. The kernel
+# additionally bounds its dense bitset state (|V| x ceil(|S|/64)
+# uint64 words) so a huge source sample never allocates unboundedly.
+LOCAL_MSBFS_MAX_EDGES = 2_000_000
+LOCAL_MSBFS_MAX_WORDS = 64_000_000
+
+
+def _local_msbfs_counts(
+    statics: DataFrame, edges: DataFrame, max_depth: int
+) -> DataFrame:
+    """Single-task MS-BFS: the same bitset technique as the
+    distributed plan (Then et al. VLDB'15), with the (vertex, word)
+    rows densified into a |V| x lanes uint64 matrix — per depth one
+    ``np.bitwise_or.at`` scatter over the edge array, new bits counted
+    via ``np.unpackbits``. Emits the identical (id, layer, n_src)
+    rows: one layer-0 row per source, then per (vertex, depth) the
+    number of sources first reaching it at that depth."""
+    depth_cap = int(max_depth)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        srcpos = np.nonzero(stat["is_src"] > 0)[0]
+        ns = len(srcpos)
+        out_id = [ids[srcpos]]
+        out_layer = [np.zeros(ns, dtype=np.int32)]
+        out_n = [np.ones(ns, dtype=np.int64)]
+        if ns:
+            lanes = (ns + 63) // 64
+            state = np.zeros((nv, lanes), dtype=np.uint64)
+            state[srcpos, np.arange(ns) // 64] = np.uint64(1) << (
+                np.arange(ns, dtype=np.uint64) % np.uint64(64)
+            )
+            for depth in range(1, depth_cap + 1):
+                new = np.zeros_like(state)
+                np.bitwise_or.at(new, gd, state[gs])
+                diff = new & ~state
+                rows = np.nonzero(diff.any(axis=1))[0]
+                if rows.size == 0:
+                    break
+                cnt = (
+                    np.unpackbits(
+                        np.ascontiguousarray(diff[rows]).view(np.uint8), axis=1
+                    )
+                    .sum(axis=1)
+                    .astype(np.int64)
+                )
+                out_id.append(ids[rows])
+                out_layer.append(np.full(rows.size, depth, dtype=np.int32))
+                out_n.append(cnt)
+                state |= diff
+        return {
+            "id": np.concatenate(out_id),
+            "layer": np.concatenate(out_layer),
+            "n_src": np.concatenate(out_n),
+        }
+
+    return run_local_kernel(
+        edges, statics, ["is_src"], kernel, "id long, layer int, n_src long"
+    )
 
 
 def bfs_layers(
@@ -197,6 +266,7 @@ def multi_source_bfs_counts(
     sources: Iterable[int] | DataFrame,
     max_depth: int = 10_000,
     directed: bool | None = None,
+    local_max_edges: int = LOCAL_MSBFS_MAX_EDGES,
 ) -> DataFrame:
     """(id BIGINT, layer INT, n_src BIGINT) — for every vertex and
     depth ≥ 1, HOW MANY of the sampled sources are at exactly that hop
@@ -242,8 +312,29 @@ def multi_source_bfs_counts(
     }
     src_ids = sorted(s for s in src_ids if s in present)
     if not src_ids:
+        edges.unpersist()
         return spark.createDataFrame([], "id long, layer int, n_src long")
     n_words = (len(src_ids) + 63) // 64
+
+    # single-task numpy kernel below the size gates (edge count AND
+    # dense bitset memory |V| x words)
+    if local_max_edges and edges.count() <= local_max_edges:
+        nv = verts.count()
+        if nv * n_words <= LOCAL_MSBFS_MAX_WORDS:
+            srcdf = spark.createDataFrame(
+                [(s,) for s in src_ids], "id long"
+            ).select("id", F.lit(1.0).alias("is_src"))
+            statics = verts.join(srcdf, "id", "left").select(
+                "id", F.coalesce("is_src", F.lit(0.0)).alias("is_src")
+            )
+            res = _local_msbfs_counts(
+                statics,
+                edges.select("src", "dst", F.lit(1.0).alias("weight")),
+                max_depth,
+            ).persist()
+            res.count()
+            edges.unpersist()
+            return res
 
     # state: one row per (reached vertex, word) with the word's bits =
     # sources that have reached it; seeded with each source's own bit

@@ -83,6 +83,9 @@ def main() -> None:
 
     from pin_pipeline_bench import cpu_probe
 
+    cpu_probe()  # warm BLAS thread pool — the first in-process matmul
+    # pays init cost and reads systematically low (~40%), which would
+    # starve the >=150 GFLOP/s quiet-host gate of clean legs
     probe_before = cpu_probe()
     t0 = time.monotonic()
     n_tri = all_triangles(g, local_max_edges=0).count()
