@@ -1287,6 +1287,25 @@ def q_betweenness_weighted_orders(spark, sf_dir):
     ).select("id", F.round("betweenness", 6).alias("betweenness_r"))
 
 
+def q_edge_betweenness_weighted_orders(spark, sf_dir):
+    """WEIGHTED Brandes EDGE betweenness (centrality.py
+    ``_weighted_betweenness`` edge_mode — reference betweenness.py:190
+    ``edge_betweenness_centrality`` with ``weight=``): per-tight-edge
+    credit sigma(v)*(1+delta(w))/sigma(w) on the weighted order graph,
+    same 15 deterministic sources, unnormalized; closes the round-2
+    NotImplementedError."""
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    g = weighted_order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return edge_betweenness_centrality(
+        g, sources=srcs, normalized=False, weight=True
+    ).select("src", "dst", F.round("betweenness", 6).alias("betweenness_r"))
+
+
 def q_edge_betweenness_orders(spark, sf_dir):
     """Source-sampled Brandes EDGE betweenness on the order graph —
     same 15 deterministic sources as q_betweenness_orders, raw
@@ -3008,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
         "edge_betweenness_orders": q_edge_betweenness_orders,
+        "edge_betweenness_weighted_orders": q_edge_betweenness_weighted_orders,
         "constraint_parts": q_constraint_parts,
         "square_clustering_parts": q_square_clustering_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
@@ -4606,7 +4626,9 @@ def _betweenness_sql(src_mod: int = 100, depth: int = 7) -> str:
     return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
 
 
-def _weighted_betweenness_sql(src_mod: int = 100, rounds: int = 12) -> str:
+def _weighted_betweenness_sql(
+    src_mod: int = 100, rounds: int = 12, edge_mode: bool = False
+) -> str:
     """Unrolled WEIGHTED Brandes over the weighted order graph
     (w = 1 + o_orderkey % 5, min per parallel edge): ``rounds``
     relaxation CTEs (min-plus, one edge per round) -> tight-edge DAG
@@ -4672,6 +4694,25 @@ def _weighted_betweenness_sql(src_mod: int = 100, rounds: int = 12) -> str:
             f" GROUP BY t.s, t.src"
             f") x ON x.s = sg.s AND x.src = sg.id),"
         )
+    if edge_mode:
+        # per-tight-edge credit sigma(v)*(1+delta(w))/sigma(w) with the
+        # FINAL delta fixpoint of the dst (_accumulate_edges), summed
+        # over sources; zero-credit edges kept via LEFT JOIN on ee
+        parts.append(
+            f"ecred AS (SELECT t.src, t.dst,"
+            f" SUM(sg.sigma * (1 + dn.delta) / dn.sigma) AS credit"
+            f" FROM tight t"
+            f" JOIN del{rounds} dn ON dn.s = t.s AND dn.id = t.dst"
+            f" JOIN sigma sg ON sg.s = t.s AND sg.id = t.src"
+            f" GROUP BY t.src, t.dst)"
+        )
+        parts.append(
+            "SELECT ee.src, ee.dst,"
+            " round(COALESCE(ecred.credit, 0), 6) AS betweenness_r"
+            " FROM ee LEFT JOIN ecred"
+            " ON ecred.src = ee.src AND ecred.dst = ee.dst"
+        )
+        return "\n".join(parts).replace(" AS (", " AS MATERIALIZED (")
     parts.append(
         f"b AS (SELECT id, SUM(delta) AS bt FROM del{rounds}"
         f" WHERE id <> s GROUP BY id)"
@@ -5618,6 +5659,7 @@ FROM events GROUP BY event_type""",
         "triadic_census_orders": _triadic_census_sql(),
         "conductance_orders": _conductance_sql(),
         "edge_betweenness_orders": _edge_betweenness_sql(),
+        "edge_betweenness_weighted_orders": _weighted_betweenness_sql(edge_mode=True),
         "constraint_parts": _constraint_sql(),
         "square_clustering_parts": _square_clustering_sql(),
         "doc_packing": """

@@ -148,15 +148,9 @@ def betweenness_centrality(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if weight:
-        if _edge_mode:
-            raise NotImplementedError(
-                "weighted edge betweenness is not implemented (node "
-                "betweenness supports weight=, parity with "
-                "betweenness.py:110 'weight' param)"
-            )
         return _weighted_betweenness(
             graph, k=k, sources=sources, normalized=normalized,
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, edge_mode=_edge_mode,
         )
 
     verts = graph.vertices.select("id").persist()
@@ -369,6 +363,7 @@ def _weighted_betweenness(
     normalized: bool,
     num_partitions: int,
     max_rounds: int = 10_000,
+    edge_mode: bool = False,
 ) -> DataFrame:
     """Weighted Brandes (reference betweenness.py:110 ``weight=`` via
     ``_single_source_dijkstra_path_basic`` :277): the layer-batched
@@ -522,6 +517,7 @@ def _weighted_betweenness(
             ).localCheckpoint(eager=True)
 
         deltas: list[DataFrame] = []
+        edge_credits: list[DataFrame] = []  # edge_mode: per-tight-edge terms
         delta_next: DataFrame | None = None
         for d in range(max_d, -1, -1):
             cur = layers[d]
@@ -547,6 +543,33 @@ def _weighted_betweenness(
                     (F.col("sigma") * F.coalesce("wsum", F.lit(0.0))).alias("delta"),
                 )
             delta_cur = delta_cur.localCheckpoint(eager=True)
+            if edge_mode and d > 0:
+                # every tight edge's dst has exactly one depth, so each
+                # edge is credited exactly once — at the step its dst's
+                # delta became final: credit = sigma(v)*(1+delta(w))/sigma(w)
+                # (_accumulate_edges, betweenness.py:190)
+                ec = (
+                    tight.join(
+                        delta_cur.select(
+                            "source",
+                            F.col("id").alias("dst"),
+                            ((1.0 + F.col("delta")) / F.col("sigma")).alias("wterm"),
+                        ),
+                        ["source", "dst"],
+                    )
+                    .join(
+                        sigma_acc.select(
+                            "source",
+                            F.col("id").alias("src"),
+                            F.col("sigma").alias("sig_v"),
+                        ),
+                        ["source", "src"],
+                    )
+                    .groupBy("src", "dst")
+                    .agg(F.sum(F.col("sig_v") * F.col("wterm")).alias("credit"))
+                    .localCheckpoint(eager=True)
+                )
+                edge_credits.append(ec)
             if d > 0:
                 deltas.append(delta_cur.select("id", "delta"))
             # delta flows along tight edges from ALL deeper layers,
@@ -556,6 +579,51 @@ def _weighted_betweenness(
                 if delta_next is None
                 else delta_next.unionByName(delta_cur).localCheckpoint(eager=True)
             )
+
+        if edge_mode:
+            # rescale (_rescale_e): normalized -> 1/(n(n-1));
+            # unnormalized undirected -> 1/2 (both orientations summed)
+            if normalized:
+                e_scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+            else:
+                e_scale = 1.0 if graph.directed else 0.5
+            e_factor = e_scale * scale_k
+            if edge_credits:
+                acc_e = edge_credits[0]
+                for ee in edge_credits[1:]:
+                    acc_e = acc_e.unionByName(ee)
+            else:
+                acc_e = spark.createDataFrame(
+                    [], "src long, dst long, credit double"
+                )
+            base = edges.select("src", "dst")
+            if not graph.directed:
+                acc_e = acc_e.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                    "credit",
+                )
+                base = base.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                ).distinct()
+            out_e = (
+                base.join(
+                    acc_e.groupBy("src", "dst").agg(F.sum("credit").alias("c")),
+                    ["src", "dst"],
+                    "left",
+                )
+                .select(
+                    "src",
+                    "dst",
+                    (F.coalesce("c", F.lit(0.0)) * F.lit(e_factor)).alias(
+                        "betweenness"
+                    ),
+                )
+                .persist()
+            )
+            out_e.count()
+            return out_e
 
         if deltas:
             acc = deltas[0]
@@ -968,6 +1036,7 @@ def edge_betweenness_centrality(
     sources: list[int] | None = None,
     normalized: bool = True,
     num_partitions: int | None = None,
+    weight: bool = False,
 ) -> DataFrame:
     """(src, dst, betweenness DOUBLE) — Brandes edge betweenness
     (networkx/algorithms/centrality/betweenness.py:190
@@ -985,4 +1054,5 @@ def edge_betweenness_centrality(
         normalized=normalized,
         num_partitions=num_partitions,
         _edge_mode=True,
+        weight=weight,
     )

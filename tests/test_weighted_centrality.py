@@ -88,3 +88,27 @@ def test_weighted_closeness_harmonic_match_nx(spark, directed):
         want_h = nx.harmonic_centrality(G, [node], distance="weight")[node]
         got_h = harmonic_centrality(g, node, weight=True)
         assert abs(got_h - want_h) < 1e-9, (node, got_h, want_h)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+@pytest.mark.parametrize("normalized", [True, False])
+def test_weighted_edge_betweenness_matches_nx(spark, directed, normalized):
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    g = _g(spark, WEDGES, directed=directed)
+    got = {
+        (r["src"], r["dst"]): r["betweenness"]
+        for r in edge_betweenness_centrality(
+            g, normalized=normalized, weight=True
+        ).collect()
+    }
+    want = nx.edge_betweenness_centrality(
+        _G(WEDGES, directed), weight="weight", normalized=normalized
+    )
+    want = {
+        ((u, v) if directed else (min(u, v), max(u, v))): c
+        for (u, v), c in want.items()
+    }
+    assert set(got) == set(want)
+    for e in want:
+        assert abs(got[e] - want[e]) < 1e-9, (e, got[e], want[e])
