@@ -1306,6 +1306,50 @@ def q_edge_betweenness_weighted_orders(spark, sf_dir):
     ).select("src", "dst", F.round("betweenness", 6).alias("betweenness_r"))
 
 
+def q_betweenness_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the batched
+    multi-source BFS sigma/delta superstep sweep."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return betweenness_centrality(
+        g, sources=srcs, normalized=False, local_max_edges=0
+    ).select("id", F.round("betweenness", 6).alias("betweenness_r"))
+
+
+def q_betweenness_weighted_orders_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the weighted
+    Bellman-Ford -> tight-DAG -> depth-stratified superstep sweep."""
+    from linkgraph.operators.centrality import betweenness_centrality
+
+    g = weighted_order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return betweenness_centrality(
+        g, sources=srcs, normalized=False, weight=True, local_max_edges=0
+    ).select("id", F.round("betweenness", 6).alias("betweenness_r"))
+
+
+def q_edge_betweenness_weighted_orders_dist(spark, sf_dir):
+    """Distributed-plan twin of edge_betweenness_weighted_orders."""
+    from linkgraph.operators.centrality import edge_betweenness_centrality
+
+    g = weighted_order_graph(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in g.vertices.where(F.pmod(F.col("id"), F.lit(100)) == 1).collect()
+    ]
+    return edge_betweenness_centrality(
+        g, sources=srcs, normalized=False, weight=True, local_max_edges=0
+    ).select("src", "dst", F.round("betweenness", 6).alias("betweenness_r"))
+
+
 def q_edge_betweenness_orders(spark, sf_dir):
     """Source-sampled Brandes EDGE betweenness on the order graph —
     same 15 deterministic sources as q_betweenness_orders, raw
@@ -2974,7 +3018,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_sort_orders": q_topo_sort_orders,
         "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
         "betweenness_orders": q_betweenness_orders,
+        "betweenness_orders_dist": q_betweenness_orders_dist,
         "betweenness_weighted_orders": q_betweenness_weighted_orders,
+        "betweenness_weighted_orders_dist": q_betweenness_weighted_orders_dist,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
         "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
         "katz_orders": q_katz_orders,
@@ -3028,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_orders": q_conductance_orders,
         "edge_betweenness_orders": q_edge_betweenness_orders,
         "edge_betweenness_weighted_orders": q_edge_betweenness_weighted_orders,
+        "edge_betweenness_weighted_orders_dist": q_edge_betweenness_weighted_orders_dist,
         "constraint_parts": q_constraint_parts,
         "square_clustering_parts": q_square_clustering_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
@@ -5660,6 +5707,7 @@ FROM events GROUP BY event_type""",
         "conductance_orders": _conductance_sql(),
         "edge_betweenness_orders": _edge_betweenness_sql(),
         "edge_betweenness_weighted_orders": _weighted_betweenness_sql(edge_mode=True),
+        "edge_betweenness_weighted_orders_dist": _weighted_betweenness_sql(edge_mode=True),
         "constraint_parts": _constraint_sql(),
         "square_clustering_parts": _square_clustering_sql(),
         "doc_packing": """
@@ -5765,7 +5813,9 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "topo_sort_orders": _topo_sort_sql(),
         "avg_nbr_degree_orders": _avg_nbr_degree_sql(),
         "betweenness_orders": _betweenness_sql(),
+        "betweenness_orders_dist": _betweenness_sql(),
         "betweenness_weighted_orders": _weighted_betweenness_sql(),
+        "betweenness_weighted_orders_dist": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "harmonic_sampled_orders_dist": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),

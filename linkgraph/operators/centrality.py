@@ -106,6 +106,119 @@ def _local_power_iteration(
     )
 
 
+LOCAL_BRANDES_MAX_WORK = 100_000_000  # |E| x |sources| dense-state bound
+
+
+def _local_brandes(
+    statics: DataFrame,
+    edges: DataFrame,
+    edge_mode: bool,
+    max_rounds: int,
+) -> DataFrame:
+    """Single-task Brandes (node or edge mode, weighted or unit
+    weights — the caller resolves the weight column): the exact
+    distributed phases — min-plus relaxation to shortest distances,
+    tight-edge DAG, max-plus DAG depths, depth-ascending sigma,
+    depth-descending delta (betweenness.py:13-123, :190 and the
+    ``weight=`` Dijkstra variant :110) — vectorized over dense
+    (vertex, source) matrices. Raw per-node delta sums / per-edge
+    credits come back; the caller applies _rescale factors and the
+    undirected canonical-key merge, identical to the superstep path."""
+    rounds = int(max_rounds)
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md & (es != ed)
+        gs0 = si[keep].astype(np.int64)
+        gd0 = di[keep].astype(np.int64)
+        gw0 = ew[keep]
+        # coalesce parallel edges to the min weight (the distributed
+        # prep's groupBy(src,dst).min(w) / distinct())
+        packed = gs0 * np.int64(max(nv, 1)) + gd0
+        order = np.lexsort((gw0, packed))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = packed[order][1:] != packed[order][:-1]
+        sel = order[first]
+        gs, gd, gw = gs0[sel], gd0[sel], gw0[sel]
+        ne = len(gs)
+        srcpos = np.nonzero(stat["is_src"] > 0)[0]
+        S = len(srcpos)
+        if S == 0 or nv == 0:
+            if edge_mode:
+                return {
+                    "src": ids[gs], "dst": ids[gd],
+                    "value": np.zeros(ne), "err": np.zeros(ne, np.int32),
+                }
+            return {
+                "src": ids, "dst": ids,
+                "value": np.zeros(nv), "err": np.zeros(nv, np.int32),
+            }
+
+        INF = np.inf
+        dist = np.full((nv, S), INF)
+        dist[srcpos, np.arange(S)] = 0.0
+        err = 0
+        for _ in range(rounds):
+            nd = dist.copy()
+            np.minimum.at(nd, gd, dist[gs] + gw[:, None])
+            if np.array_equal(nd, dist):
+                break
+            dist = nd
+        else:
+            err = 1
+        tightm = np.isfinite(dist[gs]) & (dist[gs] + gw[:, None] == dist[gd])
+
+        depth = np.zeros((nv, S), dtype=np.int64)
+        for _ in range(rounds):
+            nd = depth.copy()
+            np.maximum.at(nd, gd, np.where(tightm, depth[gs] + 1, 0))
+            if np.array_equal(nd, depth):
+                break
+            depth = nd
+        else:
+            err = 2
+        maxd = int(depth.max()) if depth.size else 0
+
+        sigma = np.zeros((nv, S))
+        sigma[srcpos, np.arange(S)] = 1.0
+        for d in range(1, maxd + 1):
+            mask = tightm & (depth[gd] == d)
+            np.add.at(sigma, gd, np.where(mask, sigma[gs], 0.0))
+
+        delta = np.zeros((nv, S))
+        wsum = np.zeros((nv, S))
+        ecred = np.zeros(ne) if edge_mode else None
+        reached = np.isfinite(dist)
+        for d in range(maxd, 0, -1):
+            mask = tightm & (depth[gd] == d)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                w_t = np.where(mask, (1.0 + delta[gd]) / sigma[gd], 0.0)
+            if edge_mode:
+                ecred += (np.where(mask, sigma[gs], 0.0) * w_t).sum(axis=1)
+            np.add.at(wsum, gs, w_t)
+            lev = reached & (depth == d - 1)
+            delta[lev] = sigma[lev] * wsum[lev]
+
+        if edge_mode:
+            return {
+                "src": ids[gs], "dst": ids[gd],
+                "value": ecred, "err": np.full(ne, err, np.int32),
+            }
+        b = (delta * ((depth > 0) & reached)).sum(axis=1)
+        return {
+            "src": ids, "dst": ids,
+            "value": b, "err": np.full(nv, err, np.int32),
+        }
+
+    return run_local_kernel(
+        edges, statics, ["is_src"], kernel,
+        "src long, dst long, value double, err int",
+    )
+
+
 def _finish_local_centrality(res: DataFrame, max_iter: int) -> DataFrame:
     res = res.persist()
     meta = res.select("converged").first()
@@ -123,6 +236,7 @@ def betweenness_centrality(
     num_partitions: int | None = None,
     _edge_mode: bool = False,
     weight: bool = False,
+    local_max_edges: int = LOCAL_CENTRALITY_MAX_EDGES,
 ) -> DataFrame:
     """(id BIGINT, betweenness DOUBLE) — Brandes' algorithm
     (networkx/algorithms/centrality/betweenness.py:13-123 via
@@ -147,6 +261,98 @@ def betweenness_centrality(
     spark = graph.spark
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # single-task Brandes kernel below the size gates (edge count AND
+    # the |E|x|S| dense-state work bound) — serves all four variants
+    # (node/edge x unit/weighted); the superstep sweeps remain the
+    # 100 TB path, pinned by the *_dist / sampled entry queries
+    if local_max_edges:
+        base = (
+            graph.weighted_edges() if graph.directed else graph.symmetrized_edges()
+        )
+        if not weight:
+            base = base.select("src", "dst", F.lit(1.0).alias("weight"))
+        ep = base.persist()
+        m = ep.count()
+        if m <= local_max_edges:
+            verts0 = graph.vertices.select("id")
+            n0 = verts0.count()
+            if n0 == 0:
+                ep.unpersist()
+                return spark.createDataFrame(
+                    [],
+                    "src long, dst long, betweenness double"
+                    if _edge_mode
+                    else "id long, betweenness double",
+                )
+            if sources is None:
+                if k is None:
+                    src_ids0 = [r["id"] for r in verts0.collect()]
+                    scale_k0 = 1.0
+                else:
+                    src_ids0 = [
+                        r["id"] for r in verts0.orderBy("id").limit(k).collect()
+                    ]
+                    scale_k0 = n0 / float(len(src_ids0))
+            else:
+                src_ids0 = [int(x) for x in sources]
+                scale_k0 = 1.0
+            if m * max(len(src_ids0), 1) <= LOCAL_BRANDES_MAX_WORK:
+                srcdf = spark.createDataFrame(
+                    [(int(x),) for x in src_ids0] or [(None,)], "id long"
+                ).select("id", F.lit(1.0).alias("is_src"))
+                statics = verts0.join(srcdf, "id", "left").select(
+                    "id", F.coalesce("is_src", F.lit(0.0)).alias("is_src")
+                )
+                res = _local_brandes(statics, ep, _edge_mode, 10_000).persist()
+                meta = res.select("err").first()
+                if meta is not None and meta["err"]:
+                    res.unpersist()
+                    ep.unpersist()
+                    raise RuntimeError(
+                        "betweenness relaxation did not converge"
+                        if meta["err"] == 1
+                        else "betweenness depth pass did not converge"
+                    )
+                if _edge_mode:
+                    if normalized:
+                        e_scale = 1.0 / (n0 * (n0 - 1)) if n0 > 1 else 1.0
+                    else:
+                        e_scale = 1.0 if graph.directed else 0.5
+                    e_factor = e_scale * scale_k0
+                    keyed = res.select("src", "dst", "value")
+                    if not graph.directed:
+                        keyed = keyed.select(
+                            F.least("src", "dst").alias("src"),
+                            F.greatest("src", "dst").alias("dst"),
+                            "value",
+                        )
+                    out = (
+                        keyed.groupBy("src", "dst")
+                        .agg(F.sum("value").alias("c"))
+                        .select(
+                            "src",
+                            "dst",
+                            (F.col("c") * F.lit(e_factor)).alias("betweenness"),
+                        )
+                        .persist()
+                    )
+                else:
+                    if normalized:
+                        scale0 = 1.0 / ((n0 - 1) * (n0 - 2)) if n0 > 2 else None
+                    else:
+                        scale0 = None if graph.directed else 0.5
+                    factor0 = scale0 * scale_k0 if scale0 is not None else 1.0
+                    out = res.select(
+                        F.col("src").alias("id"),
+                        (F.col("value") * F.lit(factor0)).alias("betweenness"),
+                    ).persist()
+                out.count()
+                res.unpersist()
+                ep.unpersist()
+                return out
+        ep.unpersist()
+
     if weight:
         return _weighted_betweenness(
             graph, k=k, sources=sources, normalized=normalized,
@@ -1037,6 +1243,7 @@ def edge_betweenness_centrality(
     normalized: bool = True,
     num_partitions: int | None = None,
     weight: bool = False,
+    local_max_edges: int = LOCAL_CENTRALITY_MAX_EDGES,
 ) -> DataFrame:
     """(src, dst, betweenness DOUBLE) — Brandes edge betweenness
     (networkx/algorithms/centrality/betweenness.py:190
@@ -1055,4 +1262,5 @@ def edge_betweenness_centrality(
         num_partitions=num_partitions,
         _edge_mode=True,
         weight=weight,
+        local_max_edges=local_max_edges,
     )

@@ -112,3 +112,27 @@ def test_weighted_edge_betweenness_matches_nx(spark, directed, normalized):
     assert set(got) == set(want)
     for e in want:
         assert abs(got[e] - want[e]) < 1e-9, (e, got[e], want[e])
+
+
+@pytest.mark.parametrize("weight", [True, False])
+@pytest.mark.parametrize("edge_mode", [True, False])
+def test_brandes_local_vs_distributed(spark, weight, edge_mode):
+    """The size-gated dense-matrix Brandes kernel (centrality.py
+    ``_local_brandes``) and the superstep sweeps are the same
+    algorithm in two physical shapes — raw credits must agree."""
+    from linkgraph.operators.centrality import (
+        betweenness_centrality,
+        edge_betweenness_centrality,
+    )
+
+    g = _g(spark, WEDGES, directed=True)
+    fn = edge_betweenness_centrality if edge_mode else betweenness_centrality
+    key = (lambda r: (r["src"], r["dst"])) if edge_mode else (lambda r: r["id"])
+    local = {key(r): r["betweenness"]
+             for r in fn(g, normalized=False, weight=weight).collect()}
+    dist = {key(r): r["betweenness"]
+            for r in fn(g, normalized=False, weight=weight,
+                        local_max_edges=0).collect()}
+    assert local.keys() == dist.keys()
+    for x in local:
+        assert abs(local[x] - dist[x]) < 1e-9, (x, local[x], dist[x])

@@ -31,7 +31,9 @@ BANNED = ("CartesianProduct", "BatchEvalPython")
 # showing a BNLJ fails the audit.
 SCALAR_BROADCAST = {
     "hits_orders",
+    "hits_orders_dist",  # same max-norm one-row broadcast as hits_orders
     "katz_orders",
+    "katz_orders_dist",  # same final-norm one-row broadcast as katz_orders
     "distance_summary_orders",
     "rich_club_parts",
     "modularity_nations",
