@@ -424,6 +424,15 @@ def q_find_cycle_nations(spark, sf_dir):
     return find_cycle(g).select("pos", "src", "dst")
 
 
+def q_find_cycle_nations_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the SCC + BFS
+    tree + pointer-doubling witness composition."""
+    from linkgraph.operators.cycles import find_cycle
+
+    g = nation_ring_graph(spark, sf_dir, closed=True, directed=True)
+    return find_cycle(g, local_max_edges=0).select("pos", "src", "dst")
+
+
 def q_simple_cycles_orders(spark, sf_dir):
     """Bounded simple-cycle enumeration (cycles.py:180 with
     length_bound) over the directed order graph — the link-spam-loop
@@ -3084,6 +3093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation_chains": q_lpa_nation_chains,
         "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
         "find_cycle_nations": q_find_cycle_nations,
+        "find_cycle_nations_dist": q_find_cycle_nations,
+        "find_cycle_nations_dist": q_find_cycle_nations_dist,
         "simple_cycles_orders": q_simple_cycles_orders,
         "girth_parts": q_girth_parts,
         "louvain_parts": q_louvain_parts,
@@ -5412,6 +5423,15 @@ FROM customer""",
 SELECT c_custkey AS id, MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS component
 FROM customer""",
         "find_cycle_nations": """
+WITH seq AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+  FROM nation
+)
+SELECT s.pos AS pos, s.id AS src,
+       COALESCE(s2.id, (SELECT min(id) FROM seq)) AS dst
+FROM seq s LEFT JOIN seq s2 ON s2.pos = s.pos + 1""",
+        "find_cycle_nations_dist": """
 WITH seq AS (
   SELECT CAST(n_nationkey AS BIGINT) AS id,
          row_number() OVER (ORDER BY n_nationkey) - 1 AS pos

@@ -46,6 +46,15 @@ from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
 from ..plans.loop import stable_checkpoint
+from ._local import member_maps, run_local_kernel
+
+# Size gate for the single-task witness kernel: find_cycle composes
+# SCC + BFS tree + pointer doubling — each O(diameter) superstep
+# rounds, a brutal scheduling floor on small cyclic graphs (a 25-node
+# ring costs ~24 BFS rounds). Below the gate one Arrow task runs the
+# same deterministic rules (python Tarjan is O(V+E); the gate keeps it
+# comfortably sub-second).
+LOCAL_CYCLE_MAX_EDGES = 200_000
 
 
 class NoCycle(ValueError):
@@ -99,7 +108,161 @@ def _pred_chain(spark, pred: DataFrame, end_id: int) -> DataFrame:
     return chain
 
 
-def find_cycle(graph: LinkGraph) -> DataFrame:
+def _local_find_cycle(statics, edges) -> DataFrame:
+    """Single-task witness with the exact distributed rules: min
+    self-loop first; else anchor = min id in any SCC of size >= 2
+    (iterative Tarjan), BFS inside the anchor's SCC, closing
+    in-neighbor at min (dist, src), path via min-src tight
+    predecessors. err=1 signals acyclic (wrapper raises NoCycle)."""
+
+    def kernel(ids, stat, es, ed, ew):
+        import numpy as np
+
+        nv = len(ids)
+        si, di, ms, md = member_maps(ids, es, ed)
+        keep = ms & md
+        gs = si[keep].astype(np.int64)
+        gd = di[keep].astype(np.int64)
+        empty = {
+            "pos": np.zeros(0, np.int64),
+            "src": np.zeros(0, np.int64),
+            "dst": np.zeros(0, np.int64),
+            "err": np.zeros(0, np.int32),
+        }
+
+        def rows(pairs):
+            p = np.arange(len(pairs), dtype=np.int64)
+            return {
+                "pos": p,
+                "src": np.array([a for a, _ in pairs], dtype=np.int64),
+                "dst": np.array([b for _, b in pairs], dtype=np.int64),
+                "err": np.zeros(len(pairs), np.int32),
+            }
+
+        # 1. min self-loop
+        selfm = gs == gd
+        if selfm.any():
+            v = int(ids[gs[selfm].min()])
+            return rows([(v, v)])
+        if nv == 0 or len(gs) == 0:
+            empty["pos"] = np.zeros(1, np.int64)
+            empty["src"] = np.zeros(1, np.int64)
+            empty["dst"] = np.zeros(1, np.int64)
+            empty["err"] = np.ones(1, np.int32)
+            return empty
+
+        # adjacency (deduped pairs, positions)
+        pairkey = gs * np.int64(nv) + gd
+        uniq = np.unique(pairkey)
+        ugs = (uniq // nv).astype(np.int64)
+        ugd = (uniq % nv).astype(np.int64)
+        order = np.argsort(ugs, kind="stable")
+        ugs, ugd = ugs[order], ugd[order]
+        indptr = np.searchsorted(ugs, np.arange(nv + 1))
+
+        # 2. iterative Tarjan SCC
+        index = np.full(nv, -1, np.int64)
+        low = np.zeros(nv, np.int64)
+        onstk = np.zeros(nv, bool)
+        comp = np.full(nv, -1, np.int64)
+        stack: list[int] = []
+        counter = 0
+        ncomp = 0
+        for root in range(nv):
+            if index[root] != -1:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter
+                    counter += 1
+                    stack.append(v)
+                    onstk[v] = True
+                recurse = False
+                for j in range(indptr[v] + pi, indptr[v + 1]):
+                    w = int(ugd[j])
+                    if index[w] == -1:
+                        work[-1] = (v, j - indptr[v] + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if onstk[w] and index[w] < low[v]:
+                        low[v] = index[w]
+                if recurse:
+                    continue
+                work.pop()
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        onstk[w] = False
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+                if work:
+                    p = work[-1][0]
+                    if low[v] < low[p]:
+                        low[p] = low[v]
+
+        sizes = np.bincount(comp, minlength=ncomp)
+        big = sizes[comp] >= 2
+        if not big.any():
+            empty["pos"] = np.zeros(1, np.int64)
+            empty["src"] = np.zeros(1, np.int64)
+            empty["dst"] = np.zeros(1, np.int64)
+            empty["err"] = np.ones(1, np.int32)
+            return empty
+        # 3. anchor = min id among big-SCC members (ids sorted -> min pos)
+        anchor = int(np.nonzero(big)[0].min())
+        cid = comp[anchor]
+        inscc = comp == cid
+        sub = inscc[ugs] & inscc[ugd]
+        sgs, sgd = ugs[sub], ugd[sub]
+
+        # BFS distances from the anchor inside the SCC
+        dist = np.full(nv, -1, np.int64)
+        dist[anchor] = 0
+        frontier = np.zeros(nv, bool)
+        frontier[anchor] = True
+        d = 0
+        while frontier.any():
+            d += 1
+            fe = frontier[sgs] & (dist[sgd] == -1)
+            nxt = np.zeros(nv, bool)
+            nxt[sgd[fe]] = True
+            dist[nxt] = d
+            frontier = nxt
+
+        # 4. closing in-neighbor of the anchor at min (dist, src)
+        into = sgd == anchor
+        cand = sgs[into]
+        cand = cand[dist[cand] >= 0]
+        ckey = dist[cand] * np.int64(nv) + cand
+        u = int(cand[np.argmin(ckey)])
+
+        # 5. path anchor -> u via min-src tight predecessors
+        path = [u]
+        v = u
+        while v != anchor:
+            tight = sgd == v
+            preds = sgs[tight]
+            preds = preds[(dist[preds] >= 0) & (dist[preds] + 1 == dist[v])]
+            v = int(preds.min())
+            path.append(v)
+        path.reverse()
+        pairs = [(int(ids[a]), int(ids[b])) for a, b in zip(path, path[1:])]
+        pairs.append((int(ids[u]), int(ids[anchor])))
+        return rows(pairs)
+
+    return run_local_kernel(
+        edges, statics, [], kernel, "pos long, src long, dst long, err int"
+    )
+
+
+def find_cycle(
+    graph: LinkGraph, local_max_edges: int = LOCAL_CYCLE_MAX_EDGES
+) -> DataFrame:
     """(pos BIGINT, src BIGINT, dst BIGINT) — the edges of one
     directed cycle, pos 0 at the cycle's deterministic anchor (see
     module docstring). Raises :class:`NoCycle` when the graph is a
@@ -112,6 +275,28 @@ def find_cycle(graph: LinkGraph) -> DataFrame:
             "undirected cycles use girth/simple_cycles"
         )
     spark = graph.spark
+
+    # single-task witness kernel below the size gate
+    if local_max_edges:
+        ep = graph.edges.select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        ).persist()
+        if ep.count() <= local_max_edges:
+            try:
+                res = _local_find_cycle(
+                    graph.vertices.select("id"), ep
+                ).persist()
+                meta = res.select("err").first()
+                if meta is None or meta["err"]:
+                    res.unpersist()
+                    raise NoCycle(
+                        "graph is acyclic (no self-loop, no SCC of size >= 2)"
+                    )
+                return res.select("pos", "src", "dst").orderBy("pos")
+            finally:
+                ep.unpersist()
+        ep.unpersist()
+
     edges = (
         graph.edges.select("src", "dst")
         .distinct()

@@ -119,3 +119,33 @@ def test_girth_matches_nx(spark):
     assert girth(_g(spark, ring, directed=False)) == nx.girth(nx.cycle_graph(7))
     tree = [(0, 1), (1, 2), (1, 3)]
     assert girth(_g(spark, tree, directed=False), length_bound=6) == float("inf")
+
+
+def test_find_cycle_local_vs_distributed(spark):
+    """The single-task witness kernel and the SCC+BFS superstep path
+    follow the same deterministic rules — identical witness edges on
+    a graph with several cycles, self-loops excluded."""
+    from linkgraph.graph import graph_from_edge_names
+    from linkgraph.operators.cycles import find_cycle
+
+    edges = [(3, 4), (4, 5), (5, 3), (0, 1), (1, 2), (2, 0), (2, 6),
+             (6, 7), (7, 2), (1, 4)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    local = [(r["pos"], r["src"], r["dst"]) for r in find_cycle(g).collect()]
+    dist = [(r["pos"], r["src"], r["dst"])
+            for r in find_cycle(g, local_max_edges=0).collect()]
+    assert local == dist
+    assert len(local) >= 3
+
+
+def test_find_cycle_local_selfloop_and_acyclic(spark):
+    from linkgraph.graph import graph_from_edge_names
+    from linkgraph.operators.cycles import NoCycle, find_cycle
+
+    g = graph_from_edge_names(spark, [(0, 1), (1, 1), (1, 2)], directed=True)
+    rows = find_cycle(g).collect()
+    assert len(rows) == 1 and rows[0]["src"] == rows[0]["dst"]
+    g2 = graph_from_edge_names(spark, [(0, 1), (1, 2)], directed=True)
+    import pytest as _pt
+    with _pt.raises(NoCycle):
+        find_cycle(g2)
