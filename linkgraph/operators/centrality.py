@@ -114,109 +114,176 @@ def _local_brandes(
     edges: DataFrame,
     edge_mode: bool,
     max_rounds: int,
+    n_groups: int = 16,
 ) -> DataFrame:
-    """Single-task Brandes (node or edge mode, weighted or unit
+    """Size-gated Brandes (node or edge mode, weighted or unit
     weights — the caller resolves the weight column): the exact
     distributed phases — min-plus relaxation to shortest distances,
     tight-edge DAG, max-plus DAG depths, depth-ascending sigma,
     depth-descending delta (betweenness.py:13-123, :190 and the
-    ``weight=`` Dijkstra variant :110) — vectorized over dense
-    (vertex, source) matrices. Raw per-node delta sums / per-edge
-    credits come back; the caller applies _rescale factors and the
-    undirected canonical-key merge, identical to the superstep path."""
+    ``weight=`` Dijkstra variant :110) — vectorized per source with
+    1D segment ``reduceat`` sweeps (measured ~10x the 2D/scatter
+    forms). Sources are hash-split into ``n_groups`` groups, each
+    group's (edges + statics) replica landing in its own Arrow task,
+    so the per-source loop parallelizes across cores; the caller
+    sums the per-group partial credits (associative) and applies the
+    _rescale factors and the undirected canonical-key merge,
+    identical to the superstep path. Output: partial (src, dst,
+    value, err) rows — node mode uses src as the vertex id."""
     rounds = int(max_rounds)
-
-    def kernel(ids, stat, es, ed, ew):
-        import numpy as np
-
-        nv = len(ids)
-        si, di, ms, md = member_maps(ids, es, ed)
-        keep = ms & md & (es != ed)
-        gs0 = si[keep].astype(np.int64)
-        gd0 = di[keep].astype(np.int64)
-        gw0 = ew[keep]
-        # coalesce parallel edges to the min weight (the distributed
-        # prep's groupBy(src,dst).min(w) / distinct())
-        packed = gs0 * np.int64(max(nv, 1)) + gd0
-        order = np.lexsort((gw0, packed))
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = packed[order][1:] != packed[order][:-1]
-        sel = order[first]
-        gs, gd, gw = gs0[sel], gd0[sel], gw0[sel]
-        ne = len(gs)
-        srcpos = np.nonzero(stat["is_src"] > 0)[0]
-        S = len(srcpos)
-        if S == 0 or nv == 0:
-            if edge_mode:
-                return {
-                    "src": ids[gs], "dst": ids[gd],
-                    "value": np.zeros(ne), "err": np.zeros(ne, np.int32),
-                }
-            return {
-                "src": ids, "dst": ids,
-                "value": np.zeros(nv), "err": np.zeros(nv, np.int32),
-            }
-
-        INF = np.inf
-        dist = np.full((nv, S), INF)
-        dist[srcpos, np.arange(S)] = 0.0
-        err = 0
-        for _ in range(rounds):
-            nd = dist.copy()
-            np.minimum.at(nd, gd, dist[gs] + gw[:, None])
-            if np.array_equal(nd, dist):
-                break
-            dist = nd
-        else:
-            err = 1
-        tightm = np.isfinite(dist[gs]) & (dist[gs] + gw[:, None] == dist[gd])
-
-        depth = np.zeros((nv, S), dtype=np.int64)
-        for _ in range(rounds):
-            nd = depth.copy()
-            np.maximum.at(nd, gd, np.where(tightm, depth[gs] + 1, 0))
-            if np.array_equal(nd, depth):
-                break
-            depth = nd
-        else:
-            err = 2
-        maxd = int(depth.max()) if depth.size else 0
-
-        sigma = np.zeros((nv, S))
-        sigma[srcpos, np.arange(S)] = 1.0
-        for d in range(1, maxd + 1):
-            mask = tightm & (depth[gd] == d)
-            np.add.at(sigma, gd, np.where(mask, sigma[gs], 0.0))
-
-        delta = np.zeros((nv, S))
-        wsum = np.zeros((nv, S))
-        ecred = np.zeros(ne) if edge_mode else None
-        reached = np.isfinite(dist)
-        for d in range(maxd, 0, -1):
-            mask = tightm & (depth[gd] == d)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                w_t = np.where(mask, (1.0 + delta[gd]) / sigma[gd], 0.0)
-            if edge_mode:
-                ecred += (np.where(mask, sigma[gs], 0.0) * w_t).sum(axis=1)
-            np.add.at(wsum, gs, w_t)
-            lev = reached & (depth == d - 1)
-            delta[lev] = sigma[lev] * wsum[lev]
-
-        if edge_mode:
-            return {
-                "src": ids[gs], "dst": ids[gd],
-                "value": ecred, "err": np.full(ne, err, np.int32),
-            }
-        b = (delta * ((depth > 0) & reached)).sum(axis=1)
-        return {
-            "src": ids, "dst": ids,
-            "value": b, "err": np.full(nv, err, np.int32),
-        }
-
-    return run_local_kernel(
-        edges, statics, ["is_src"], kernel,
-        "src long, dst long, value double, err int",
+    spark = statics.sparkSession
+    ng = max(1, int(n_groups))
+    grps = spark.range(ng).select(F.col("id").cast("int").alias("grp"))
+    ev = edges.crossJoin(grps).select(
+        "grp",
+        F.lit(0).alias("tag"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+        F.lit(0.0).alias("is_src"),
     )
+    vv = statics.crossJoin(grps).select(
+        "grp",
+        F.lit(1).alias("tag"),
+        F.col("id").cast("long").alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+        F.lit(0.0).alias("weight"),
+        (
+            F.col("is_src")
+            * (F.pmod(F.col("id"), F.lit(ng)) == F.col("grp")).cast("double")
+        ).alias("is_src"),
+    )
+    inp = ev.unionByName(vv).repartition(ng, "grp")
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        dfs = list(batches)
+        if not dfs:
+            return
+        df = pd.concat(dfs, ignore_index=True)
+        for _, gdf in df.groupby("grp"):
+            v = gdf[gdf["tag"] == 1]
+            e = gdf[gdf["tag"] == 0]
+            ids_raw = v["src"].to_numpy(dtype="int64")
+            order = np.argsort(ids_raw, kind="stable")
+            ids = ids_raw[order]
+            is_src = v["is_src"].to_numpy(dtype="float64")[order]
+            es = e["src"].to_numpy(dtype="int64")
+            ed = e["dst"].to_numpy(dtype="int64")
+            ew = e["weight"].to_numpy(dtype="float64")
+            nv = len(ids)
+            si, di, ms, md = member_maps(ids, es, ed)
+            keep = ms & md & (es != ed)
+            gs0 = si[keep].astype(np.int64)
+            gd0 = di[keep].astype(np.int64)
+            gw0 = ew[keep]
+            # coalesce parallel edges to the min weight (the
+            # distributed prep's groupBy(src,dst).min(w) / distinct())
+            packed = gs0 * np.int64(max(nv, 1)) + gd0
+            order2 = np.lexsort((gw0, packed))
+            firstm = np.ones(len(order2), dtype=bool)
+            firstm[1:] = packed[order2][1:] != packed[order2][:-1]
+            sel = order2[firstm]
+            gs, gd, gw = gs0[sel], gd0[sel], gw0[sel]
+            ne = len(gs)
+            srcpos = np.nonzero(is_src > 0)[0]
+            if len(srcpos) == 0 or nv == 0 or ne == 0:
+                if edge_mode and ne:
+                    yield pd.DataFrame({
+                        "src": ids[gs], "dst": ids[gd],
+                        "value": np.zeros(ne),
+                        "err": np.zeros(ne, np.int32),
+                    })
+                elif not edge_mode and nv:
+                    yield pd.DataFrame({
+                        "src": ids, "dst": ids,
+                        "value": np.zeros(nv),
+                        "err": np.zeros(nv, np.int32),
+                    })
+                continue
+
+            dorder = np.argsort(gd, kind="stable")
+            gs_d, gd_d, gw_d = gs[dorder], gd[dorder], gw[dorder]
+            dstart = np.nonzero(np.r_[True, gd_d[1:] != gd_d[:-1]])[0]
+            duniq = gd_d[dstart]
+            sorder = np.argsort(gs, kind="stable")
+            gs_s, gd_s = gs[sorder], gd[sorder]
+            gw_s = gw[sorder]
+            sstart = np.nonzero(np.r_[True, gs_s[1:] != gs_s[:-1]])[0]
+            suniq = gs_s[sstart]
+
+            INF = np.inf
+            err = 0
+            b = np.zeros(nv)
+            ecred = np.zeros(ne) if edge_mode else None
+            for sp in srcpos:
+                dist = np.full(nv, INF)
+                dist[sp] = 0.0
+                for _ in range(rounds):
+                    seg = np.minimum.reduceat(dist[gs_d] + gw_d, dstart)
+                    nd = dist.copy()
+                    nd[duniq] = np.minimum(nd[duniq], seg)
+                    if np.array_equal(nd, dist):
+                        break
+                    dist = nd
+                else:
+                    err = 1
+                fin_d = np.isfinite(dist[gs_d])
+                tight_d = fin_d & (dist[gs_d] + gw_d == dist[gd_d])
+                depth = np.zeros(nv, np.int64)
+                for _ in range(rounds):
+                    seg = np.maximum.reduceat(
+                        np.where(tight_d, depth[gs_d] + 1, 0), dstart
+                    )
+                    nd = depth.copy()
+                    nd[duniq] = np.maximum(nd[duniq], seg)
+                    if np.array_equal(nd, depth):
+                        break
+                    depth = nd
+                else:
+                    err = 2
+                maxd = int(depth.max())
+                sigma = np.zeros(nv)
+                sigma[sp] = 1.0
+                dd_d = depth[gd_d]
+                for d in range(1, maxd + 1):
+                    contrib = np.where(
+                        tight_d & (dd_d == d), sigma[gs_d], 0.0
+                    )
+                    sigma[duniq] += np.add.reduceat(contrib, dstart)
+                fin_s = np.isfinite(dist[gs_s])
+                tight_s = fin_s & (dist[gs_s] + gw_s == dist[gd_s])
+                dd_s = depth[gd_s]
+                delta = np.zeros(nv)
+                wsum = np.zeros(nv)
+                reached = np.isfinite(dist)
+                for d in range(maxd, 0, -1):
+                    mask = tight_s & (dd_s == d)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        w_t = np.where(
+                            mask, (1.0 + delta[gd_s]) / sigma[gd_s], 0.0
+                        )
+                    if edge_mode:
+                        ecred += np.where(mask, sigma[gs_s], 0.0) * w_t
+                    wsum[suniq] += np.add.reduceat(w_t, sstart)
+                    lev = reached & (depth == d - 1)
+                    delta[lev] = sigma[lev] * wsum[lev]
+                b += delta * ((depth > 0) & reached)
+
+            if edge_mode:
+                yield pd.DataFrame({
+                    "src": ids[gs_s], "dst": ids[gd_s],
+                    "value": ecred, "err": np.full(ne, err, np.int32),
+                })
+            else:
+                yield pd.DataFrame({
+                    "src": ids, "dst": ids,
+                    "value": b, "err": np.full(nv, err, np.int32),
+                })
+
+    return inp.mapInPandas(fn, "src long, dst long, value double, err int")
 
 
 def _finish_local_centrality(res: DataFrame, max_iter: int) -> DataFrame:
@@ -305,13 +372,13 @@ def betweenness_centrality(
                     "id", F.coalesce("is_src", F.lit(0.0)).alias("is_src")
                 )
                 res = _local_brandes(statics, ep, _edge_mode, 10_000).persist()
-                meta = res.select("err").first()
-                if meta is not None and meta["err"]:
+                maxerr = res.agg(F.max("err")).first()[0]
+                if maxerr:
                     res.unpersist()
                     ep.unpersist()
                     raise RuntimeError(
                         "betweenness relaxation did not converge"
-                        if meta["err"] == 1
+                        if maxerr == 1
                         else "betweenness depth pass did not converge"
                     )
                 if _edge_mode:
@@ -343,10 +410,15 @@ def betweenness_centrality(
                     else:
                         scale0 = None if graph.directed else 0.5
                     factor0 = scale0 * scale_k0 if scale0 is not None else 1.0
-                    out = res.select(
-                        F.col("src").alias("id"),
-                        (F.col("value") * F.lit(factor0)).alias("betweenness"),
-                    ).persist()
+                    out = (
+                        res.groupBy(F.col("src").alias("id"))
+                        .agg(F.sum("value").alias("v"))
+                        .select(
+                            "id",
+                            (F.col("v") * F.lit(factor0)).alias("betweenness"),
+                        )
+                        .persist()
+                    )
                 out.count()
                 res.unpersist()
                 ep.unpersist()
