@@ -1488,6 +1488,25 @@ def q_distance_summary_orders(spark, sf_dir):
     )
 
 
+def q_hyperball_orders(spark, sf_dir):
+    """HyperBall distance-≤3 out-ball sketches for EVERY vertex
+    (hyperball.py ``hyperball_registers``; Boldi & Vigna 2013 — the
+    published web-scale approximate-neighbourhood algorithm nx lacks;
+    exact counterpart = one nx BFS per node). b=4 → 16 registers per
+    vertex; one superstep = registers⋈edges join + 16-column max hash
+    agg, pure JVM. The oracle compares the exact INTEGER registers —
+    the float ball estimate (linear-counting branch needs libm ``ln``)
+    is pytest-verified instead (tests/test_hyperball.py)."""
+    from linkgraph.operators.hyperball import hyperball_registers
+
+    g = order_graph(spark, sf_dir)
+    regs = hyperball_registers(g, b=4, t=3)
+    reg_sum = sum((F.col(f"r{i}") for i in range(16)), F.lit(0))
+    return regs.select(
+        "id", *[f"r{i}" for i in range(16)], reg_sum.cast("int").alias("reg_sum")
+    )
+
+
 def q_walks_orders(spark, sf_dir):
     """Deterministic random walks (walks.py ``random_walks``) on the
     order graph: starts = custkey % 10 == 1, 6 steps, seed 1 —
@@ -3032,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_weighted_orders_dist": q_betweenness_weighted_orders_dist,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
         "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
+        "hyperball_orders": q_hyperball_orders,
         "katz_orders": q_katz_orders,
         "katz_orders_dist": q_katz_orders_dist,
         "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -3141,6 +3161,60 @@ tri AS (
   JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
 """
+
+
+def _hyperball_sql(b: int = 4, t: int = 3) -> str:
+    """Unrolled HyperBall supersteps over the order graph: register
+    init from the 60-bit md5-prefix hash (identical integer primitives
+    in Spark and DuckDB — substr(md5)→BIGINT, %, >>, bit_count), then
+    t rounds of UNION ALL self+neighbor registers → per-id column-wise
+    max. Compares exact integers only; the float estimate is excluded
+    by design (hyperball.py module docstring)."""
+    m = 1 << b
+    rcols = [f"r{i}" for i in range(m)]
+    rlist = ", ".join(rcols)
+    init_regs = ",\n    ".join(
+        f"CAST(CASE WHEN j = {i} THEN rho ELSE 0 END AS INTEGER) AS r{i}"
+        for i in range(m)
+    )
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders),
+nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+h AS MATERIALIZED (
+  SELECT id,
+         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM nodes),
+hb AS MATERIALIZED (
+  SELECT id, hv % {m} AS j,
+         CAST(CASE WHEN (hv >> {b}) = 0 THEN {61 - b}
+              ELSE bit_count((((hv >> {b})) & -((hv >> {b}))) - 1) + 1 END
+              AS INTEGER) AS rho
+  FROM h),
+g0 AS MATERIALIZED (
+  SELECT id,
+    {init_regs}
+  FROM hb)"""
+    steps = []
+    for k in range(t):
+        maxes = ", ".join(f"max(r{i}) AS r{i}" for i in range(m))
+        steps.append(f"""
+g{k + 1} AS MATERIALIZED (
+  SELECT id, {maxes} FROM (
+    SELECT id, {rlist} FROM g{k}
+    UNION ALL
+    SELECT e.src AS id, {rlist} FROM e JOIN g{k} g ON g.id = e.dst
+  ) u GROUP BY id)""")
+    reg_sum = " + ".join(rcols)
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT id, {rlist}, CAST({reg_sum} AS INT) AS reg_sum FROM g{t}"
+    )
 
 
 def _pagerank_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA) -> str:
@@ -5837,6 +5911,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "betweenness_weighted_orders": _weighted_betweenness_sql(),
         "betweenness_weighted_orders_dist": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
+        "hyperball_orders": _hyperball_sql(),
         "harmonic_sampled_orders_dist": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
         "katz_orders_dist": _katz_sql(),

@@ -1,0 +1,280 @@
+"""HyperBall: approximate neighborhood function, average distance and
+effective diameter over the whole graph in O(t) supersteps.
+
+The reference has no approximate-neighborhood operator; its exact
+counterpart is one BFS per node (``nx.single_source_shortest_path_
+length`` for every source, e.g. networkx/algorithms/shortest_paths/
+unweighted.py:21) — O(n·m) work and n sequential sweeps, unusable at
+web scale. This module implements the published HyperBall algorithm
+(Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+HyperBall", 2013 — itself the HyperLogLog refinement of ANF, Palmer/
+Gibbons/Faloutsos KDD 2002): every vertex carries a HyperLogLog
+sketch of its distance-≤t ball, and one superstep merges each
+vertex's sketch with its out-neighbors' sketches,
+
+    B(v, t) = {v} ∪ ⋃_{(v,w)∈E} B(w, t-1)
+    M_v(t)  = elementwise-max(M_v(t-1), M_w(t-1) for v→w)
+
+so after t supersteps ``|B(v,t)|`` — the number of vertices within
+distance t of v — is estimated from M_v in O(m) memory total (m = 2^b
+registers per vertex), versus ANF's exact-bitset O(n²/64).
+
+Spark-first physical shape
+--------------------------
+Registers live as **m small integer columns** (not an array): the
+merge is then ``groupBy(id).agg(max(r0), …, max(r_{m-1}))`` — a plain
+hash aggregate with map-side partial max, fully inside whole-stage
+codegen, no UDF, no higher-order array functions. One superstep = one
+shuffle join (registers ⋈ edges on dst) + one hash agg, the identical
+shape as the pagerank gather. At 100 TB the register table is
+n × (m+1) ints — for b=6 that is 65 ints/vertex, far below the
+bitset ANF equivalent, and the join partitioning is reused across
+supersteps.
+
+Determinism / oracle parity: the hash is the first 15 hex chars of
+``md5(cast(id as string))`` (60-bit, positive), the register index is
+``hash mod m``, and rho is **pure-integer** trailing-zeros+1 of
+``hash >> b`` via ``bit_count((w & -w) - 1) + 1`` — every primitive
+exists identically in Spark SQL and DuckDB, so the driver's oracle
+hash-matches the registers bit-for-bit. The ball-size estimate keeps
+the raw-HLL formula with a **fixed left-to-right register order** in
+the denominator sum so Spark and the oracle round identically (the
+terms are exact powers of two; only the accumulation order could
+differ).
+
+``ball_size_estimate`` applies the standard small-range linear-
+counting correction (E ≤ 2.5m with empty registers → m·ln(m/V),
+Flajolet et al. 2007) — it needs ``ln``, whose last-bit rounding is
+libm-specific, so the DRIVER-ORACLE entry query compares the exact
+integer REGISTERS (plus their sum), never the float estimate; the
+estimate's accuracy (standard 1.04/sqrt(m), b=6 → ~13%) is verified
+in pytest against exact per-node BFS ball sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import LinkGraph
+
+__all__ = [
+    "hll_alpha",
+    "init_registers",
+    "hyperball_registers",
+    "ball_size_estimate",
+    "neighborhood_function",
+    "distance_summary_hyperball",
+]
+
+# max rho for a 60-bit hash with b index bits: all (60-b) suffix bits
+# zero → rho = 61-b (the standard "w == 0" sentinel)
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HyperLogLog bias constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _register_cols(b: int) -> list[str]:
+    return [f"r{i}" for i in range(1 << b)]
+
+
+def init_registers(vertices: DataFrame, b: int = 6) -> DataFrame:
+    """(id, r0 … r_{m-1}) — each vertex's HLL sketch of {itself}.
+
+    hash = 60-bit md5 prefix; register j = hash mod m gets
+    rho(hash >> b) = trailing zeros + 1; every other register 0.
+    """
+    m = 1 << b
+    hv = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    df = vertices.select(F.col("id").cast("long").alias("id"), hv.alias("_hv"))
+    w = f"shiftright(_hv, {b})"
+    rho = F.expr(
+        f"CASE WHEN {w} = 0 THEN {61 - b} "
+        f"ELSE bit_count(({w} & -{w}) - 1) + 1 END"
+    )
+    j = F.pmod(F.col("_hv"), F.lit(m))
+    return df.select(
+        "id",
+        *[
+            F.when(j == i, rho).otherwise(F.lit(0)).cast("int").alias(f"r{i}")
+            for i in range(m)
+        ],
+    )
+
+
+def hyperball_registers(
+    graph: LinkGraph,
+    b: int = 6,
+    t: int = 3,
+    reverse: bool = False,
+    directed: bool | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Registers of every vertex's distance-≤t ball: (id, r0 … r_{m-1}).
+
+    Out-balls by default (vertices REACHABLE FROM v in ≤t hops);
+    ``reverse=True`` gives in-balls (who reaches v — the side HyperBall
+    uses for harmonic/closeness centrality). On an undirected graph
+    (``graph.directed=False`` or ``directed=False``) edges are
+    symmetrized first, so both orientations coincide.
+    """
+    if directed is None:
+        directed = graph.directed
+    edges = (
+        graph.weighted_edges() if directed else graph.symmetrized_edges()
+    ).select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    if reverse and directed:
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # max-merge is idempotent: parallel edge rows are harmless, but
+    # deduping keeps the per-superstep join input minimal
+    edges = edges.distinct()
+    rcols = _register_cols(b)
+    reg = init_registers(graph.vertices, b).persist()
+    reg.count()
+    prev = [reg]
+    for step in range(t):
+        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
+            edges["src"].alias("id"), *rcols
+        )
+        nxt = (
+            reg.unionByName(msgs)
+            .groupBy("id")
+            .agg(*[F.max(c).alias(c) for c in rcols])
+        )
+        if (step + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+            nxt.count()
+        for p in prev:
+            p.unpersist()
+        prev = [nxt]
+        reg = nxt
+    return reg
+
+
+def ball_size_estimate(registers: DataFrame, b: int) -> DataFrame:
+    """Adds ``est`` (HLL ball-size estimate, DOUBLE) and ``reg_sum``
+    (INT, exact) to a register table.
+
+    Standard HyperLogLog estimator: raw harmonic-mean estimate
+    α_m·m²/Σ 2^{-r_j}, replaced by linear counting m·ln(m/V) when the
+    raw estimate is ≤ 2.5m and V>0 registers are still empty (the
+    small-range regime where the raw formula is badly biased). The
+    harmonic denominator is a fixed left-to-right sum so repeated
+    evaluations are bit-stable.
+    """
+    m = 1 << b
+    alpha = hll_alpha(m)
+    denom = " + ".join(f"1.0 / CAST(shiftleft(1, r{i}) AS DOUBLE)" for i in range(m))
+    zeros = " + ".join(f"(CASE WHEN r{i} = 0 THEN 1 ELSE 0 END)" for i in range(m))
+    raw = f"{alpha!r} * {m} * {m} / ({denom})"
+    est = F.expr(
+        f"CASE WHEN ({raw}) <= {2.5 * m!r} AND ({zeros}) > 0 "
+        f"THEN {m} * ln({m} / CAST(({zeros}) AS DOUBLE)) "
+        f"ELSE ({raw}) END"
+    )
+    reg_sum = sum((F.col(c) for c in _register_cols(b)), F.lit(0))
+    return registers.withColumn("reg_sum", reg_sum.cast("int")).withColumn("est", est)
+
+
+def neighborhood_function(
+    graph: LinkGraph,
+    b: int = 6,
+    max_t: int = 16,
+    directed: bool | None = None,
+    rel_tol: float = 1e-4,
+) -> DataFrame:
+    """N(t) for t = 0..T: estimated number of (source, target) pairs
+    with d(source→target) ≤ t (ANF's neighbourhood function). Stops
+    early once N(t) grows by less than ``rel_tol`` relative (all balls
+    saturated) — the HyperBall termination rule. Returns a small
+    driver-built DataFrame (t INT, nf DOUBLE); one scalar crosses the
+    driver per superstep, like pagerank's convergence metric.
+    """
+    if directed is None:
+        directed = graph.directed
+    edges = (
+        graph.weighted_edges() if directed else graph.symmetrized_edges()
+    ).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).distinct().persist()
+    rcols = _register_cols(b)
+    reg = init_registers(graph.vertices, b).persist()
+    reg.count()
+
+    def total(r: DataFrame) -> float:
+        return float(
+            ball_size_estimate(r, b).agg(F.sum("est").alias("s")).first()["s"] or 0.0
+        )
+
+    nf = [total(reg)]
+    for _step in range(max_t):
+        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
+            edges["src"].alias("id"), *rcols
+        )
+        nxt = (
+            reg.unionByName(msgs)
+            .groupBy("id")
+            .agg(*[F.max(c).alias(c) for c in rcols])
+            .persist()
+        )
+        val = total(nxt)
+        reg.unpersist()
+        reg = nxt
+        nf.append(val)
+        if val <= nf[-2] * (1.0 + rel_tol):
+            break
+    edges.unpersist()
+    reg.unpersist()
+    spark = graph.spark
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(nf)], "t int, nf double"
+    )
+
+
+def distance_summary_hyperball(
+    graph: LinkGraph,
+    b: int = 6,
+    max_t: int = 16,
+    q: float = 0.9,
+    directed: bool | None = None,
+) -> DataFrame:
+    """One row (avg_distance DOUBLE, effective_diameter DOUBLE,
+    n_pairs_est DOUBLE) from the neighbourhood function:
+
+    * avg_distance  = Σ_t t·(N(t)−N(t−1)) / (N(T)−N(0))  — mean over
+      reachable ordered pairs (excluding d=0 self pairs),
+    * effective_diameter = the interpolated t where N first reaches
+      q·N(T) (Palmer et al.'s 90%-effective-diameter for q=0.9).
+    """
+    pdf = neighborhood_function(graph, b=b, max_t=max_t, directed=directed).toPandas()
+    nfs = list(pdf.sort_values("t")["nf"])
+    n_final, n0 = nfs[-1], nfs[0]
+    reach = max(n_final - n0, 1e-12)
+    avg = sum(t * (nfs[t] - nfs[t - 1]) for t in range(1, len(nfs))) / reach
+    target = q * n_final
+    eff = float(len(nfs) - 1)
+    for t in range(len(nfs)):
+        if nfs[t] >= target:
+            if t == 0:
+                eff = 0.0
+            else:
+                step = nfs[t] - nfs[t - 1]
+                eff = t - 1 + ((target - nfs[t - 1]) / step if step > 0 else 1.0)
+            break
+    spark = graph.spark
+    return spark.createDataFrame(
+        [(float(avg), float(eff), float(n_final))],
+        "avg_distance double, effective_diameter double, n_pairs_est double",
+    )
