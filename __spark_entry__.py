@@ -535,6 +535,33 @@ def q_pages_pipeline_pagerank(spark, sf_dir):
     )
 
 
+def q_anchor_profile_orders(spark, sf_dir):
+    """Anchor-text profiles per target page (extract.py
+    ``anchors_from_pages`` + ``anchor_text_profile``): pages rendered
+    distributedly from the orders edge list with o_orderpriority as
+    each link's anchor text, parsed back by the vectorized anchor UDF,
+    then aggregated per dst — the classic in-link anchor-text signal
+    search indexers attach to the TARGET document. The oracle derives
+    the identical profile straight from the parquet tables, so the
+    render→parse round-trip is what gets cross-checked."""
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.sources.extract import anchor_text_profile, anchors_from_pages
+
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    verts = cust.select(F.col("c_custkey").cast("string").alias("name"))
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_name"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+        F.col("o_orderpriority").alias("anchor_name"),
+    )
+    pages = pages_from_edges(verts, edges, name="ord", anchor_col="anchor_name")
+    return anchor_text_profile(anchors_from_pages(pages)).select(
+        "dst_url", "n_inlinks", "n_unique_anchors", "top_anchor", "top_anchor_n"
+    )
+
+
 def q_scc_orders(spark, sf_dir):
     from linkgraph.operators.strongly_connected import strongly_connected_components
 
@@ -3014,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
         "scc_orders": q_scc_orders,
+        "anchor_profile_orders": q_anchor_profile_orders,
         "flow_hierarchy_orders": q_flow_hierarchy_orders,
         "wl_hashes_chains": q_wl_hashes_chains,
         "node_class_chains": q_node_class_chains,
@@ -5824,6 +5852,29 @@ SELECT doc_id, n_tokens, start_offset,
   start_offset % 512 AS pack_offset
 FROM offs""",
         "scc_orders": _scc_sql(),
+        "anchor_profile_orders": """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+a AS MATERIALIZED (
+  SELECT 'https://test.example/ord/'
+           || CAST(o_orderkey % (SELECT n FROM nn) AS VARCHAR) AS dst_url,
+         o_orderpriority AS anchor
+  FROM orders),
+pa AS MATERIALIZED (
+  SELECT dst_url, anchor, count(*) AS n FROM a GROUP BY dst_url, anchor),
+top AS MATERIALIZED (
+  SELECT dst_url, anchor, n,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY n DESC, anchor) AS rk
+  FROM pa)
+SELECT g.dst_url,
+       CAST(g.n_inlinks AS BIGINT) AS n_inlinks,
+       CAST(g.n_unique_anchors AS BIGINT) AS n_unique_anchors,
+       t.anchor AS top_anchor,
+       CAST(t.n AS BIGINT) AS top_anchor_n
+FROM (SELECT dst_url, sum(n) AS n_inlinks, count(*) AS n_unique_anchors
+      FROM pa GROUP BY dst_url) g
+JOIN top t ON t.dst_url = g.dst_url AND t.rk = 1
+""",
         "flow_hierarchy_orders": """
 WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
 e AS (SELECT DISTINCT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),

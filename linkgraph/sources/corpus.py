@@ -160,7 +160,10 @@ def zipf_pages(
 
 
 def pages_from_edges(
-    vertices: DataFrame, edges: DataFrame, name: str = "g"
+    vertices: DataFrame,
+    edges: DataFrame,
+    name: str = "g",
+    anchor_col: str | None = None,
 ) -> DataFrame:
     """Render a pages table from an arbitrary named edge table, fully
     distributed and JVM-only (no UDF, no driver collection).
@@ -179,14 +182,23 @@ def pages_from_edges(
     sentence so the page content is reproducible from (vertices, edges)
     alone — which is what lets a SQL oracle skip the html round-trip and
     derive the same graph straight from the edge table.
+
+    ``anchor_col`` (optional) names a STRING column on ``edges`` used
+    as the link's visible anchor text instead of the constant ``l`` —
+    the hook for anchor-text workloads (extract.anchors_from_pages):
+    the anchor stream stays derivable from the edge table alone, so a
+    SQL oracle can check the full render→parse round-trip.
     """
     url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("name"))
     dst_url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("dst_name"))
+    anchor_text = F.col(anchor_col) if anchor_col else F.lit("l")
     body = edges.groupBy(F.col("src_name").alias("name")).agg(
         F.concat_ws(
             "",
             F.array_sort(
-                F.collect_list(F.format_string('<a href="%s">l</a>', dst_url))
+                F.collect_list(
+                    F.format_string('<a href="%s">%s</a>', dst_url, anchor_text)
+                )
             ),
         ).alias("anchors")
     )

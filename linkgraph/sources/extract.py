@@ -84,6 +84,90 @@ def extract_pages(pages_df):
     ).select("url", F.col("x.text").alias("extracted_text"), F.col("x.links").alias("links"))
 
 
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def anchors_one(html_bytes: bytes, base_url: str) -> list[tuple[str, str]]:
+    """Extract (dst_url, anchor_text) pairs from one page.
+
+    Anchor text goes through the same cleanup contract as body text
+    (strip nested tags, unescape entities, collapse whitespace) so the
+    pair stream is byte-deterministic. Pure, shared by the Spark UDF
+    and the test oracle like :func:`extract_one`.
+    """
+    raw = html_bytes.decode("utf-8", errors="replace")
+    out = []
+    for href, inner in _ANCHOR_RE.findall(raw):
+        text = _WS_RE.sub(" ", _htmlmod.unescape(_TAG_RE.sub(" ", inner))).strip()
+        out.append((urljoin(base_url, href), text))
+    return out
+
+
+_ANCHORS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dst_url", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ANCHORS_SCHEMA)
+def anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            anchors_one(h if isinstance(h, (bytes, bytearray)) else bytes(h), u)
+            for h, u in zip(html, url)
+        ]
+    )
+
+
+def anchors_from_pages(pages_df):
+    """pages -> (src_url, dst_url, anchor) rows — the in-link anchor
+    text stream search indexers aggregate per target page. Vectorized
+    Arrow UDF + posexplode, column-pruned to (url, html) like
+    :func:`extract_pages`."""
+    return (
+        pages_df.select("url", anchors_udf(F.col("html"), F.col("url")).alias("a"))
+        .select(F.col("url").alias("src_url"), F.explode("a").alias("p"))
+        .select("src_url", F.col("p.dst_url").alias("dst_url"), F.col("p.anchor").alias("anchor"))
+    )
+
+
+def anchor_text_profile(anchors_df):
+    """Per-target anchor-text profile: (dst_url, n_inlinks,
+    n_unique_anchors, top_anchor, top_anchor_n).
+
+    ``top_anchor`` is the most frequent in-link anchor string with a
+    deterministic tie-break (higher count first, then lexicographic) —
+    the aggregate web indexers attach to the TARGET page's document
+    (anchor text describes the target better than its own body; the
+    signal behind classic anchor-text ranking). Two hash aggregations,
+    both with map-side partial agg; no window over the full stream.
+    """
+    per_anchor = anchors_df.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_anchor.groupBy("dst_url").agg(
+        F.sum("n").alias("n_inlinks"),
+        F.count(F.lit(1)).alias("n_unique_anchors"),
+        F.min_by(
+            F.struct(F.col("anchor").alias("anchor"), F.col("n").alias("n")),
+            F.struct((-F.col("n")).alias("neg"), F.col("anchor").alias("anchor")),
+        ).alias("top"),
+    ).select(
+        "dst_url",
+        "n_inlinks",
+        "n_unique_anchors",
+        F.col("top.anchor").alias("top_anchor"),
+        F.col("top.n").alias("top_anchor_n"),
+    )
+
+
 def edges_from_pages(pages_df):
     """pages -> (src_url, dst_url) edge rows via posexplode(links).
 

@@ -49,3 +49,75 @@ def test_relative_href_resolution():
     )
     assert links == ["https://test.example/g/child", "https://test.example/abs"]
     assert text == "c a"
+
+
+def test_anchors_one_pure():
+    from linkgraph.sources.extract import anchors_one
+
+    html = (
+        b'<html><body>'
+        b'<a href="child">plain text</a>'
+        b'<a class="x" href="/abs">has <b>nested</b> tags</a>'
+        b'<a href="e">ent &amp; ity</a>'
+        b'<a href="ws">  lots \n of   space </a>'
+        b"</body></html>"
+    )
+    got = anchors_one(html, "https://test.example/g/1")
+    assert got == [
+        ("https://test.example/g/child", "plain text"),
+        ("https://test.example/abs", "has nested tags"),
+        ("https://test.example/g/e", "ent & ity"),
+        ("https://test.example/g/ws", "lots of space"),
+    ]
+
+
+def test_anchors_from_pages_fixture(spark):
+    # render_page writes "to {d}" anchors; the UDF must get them back
+    from linkgraph.sources.extract import anchors_from_pages
+
+    pages = corpus.pages_df(spark, "p1", P1_EDGES)
+    got = {
+        (
+            r["src_url"].rsplit("/", 1)[-1],
+            r["dst_url"].rsplit("/", 1)[-1],
+            r["anchor"],
+        )
+        for r in anchors_from_pages(pages).collect()
+    }
+    assert got == {(str(u), str(v), f"to {v}") for u, v in P1_EDGES}
+
+
+def test_anchor_text_profile_tiebreak(spark):
+    from linkgraph.sources.extract import anchor_text_profile
+
+    rows = [
+        ("s1", "d", "beta"),
+        ("s2", "d", "beta"),
+        ("s3", "d", "alpha"),
+        ("s4", "d", "alpha"),  # tie 2-2 -> lexicographic winner "alpha"
+        ("s5", "d", "gamma"),
+        ("s6", "e", "only"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    got = {r["dst_url"]: r for r in anchor_text_profile(df).collect()}
+    assert got["d"]["n_inlinks"] == 5
+    assert got["d"]["n_unique_anchors"] == 3
+    assert got["d"]["top_anchor"] == "alpha" and got["d"]["top_anchor_n"] == 2
+    assert got["e"]["top_anchor"] == "only" and got["e"]["n_inlinks"] == 1
+
+
+def test_pages_from_edges_anchor_col_roundtrip(spark):
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.sources.extract import anchors_from_pages
+
+    verts = spark.createDataFrame([("1",), ("2",), ("3",)], "name string")
+    edges = spark.createDataFrame(
+        [("1", "2", "two links"), ("1", "3", "three"), ("2", "3", "three")],
+        "src_name string, dst_name string, label string",
+    )
+    pages = pages_from_edges(verts, edges, name="ax", anchor_col="label")
+    got = {
+        (r["src_url"].rsplit("/", 1)[-1], r["dst_url"].rsplit("/", 1)[-1], r["anchor"])
+        for r in anchors_from_pages(pages).collect()
+    }
+    assert got == {("1", "2", "two links"), ("1", "3", "three"), ("2", "3", "three")}
