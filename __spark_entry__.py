@@ -2938,6 +2938,81 @@ x{i + 1} AS MATERIALIZED (
     )
 
 
+def q_spam_mass_orders(spark, sf_dir):
+    """Relative spam mass (pagerank.py ``spam_mass``; Gyöngyi et al.
+    VLDB 2006) on the order graph, trusted core = BUILDING customers —
+    the fraction of each page's rank not backed by the trusted seeds.
+    Joins the two rank vectors the engine already computes (PageRank +
+    TrustRank, same gather substrate)."""
+    from linkgraph.operators.pagerank import spam_mass
+
+    g = order_graph(spark, sf_dir)
+    seeds = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").cast("long").alias("id"))
+    return spam_mass(g, seeds, alpha=PR_ALPHA, fixed_iter=PR_ITERS).select(
+        "id",
+        F.round("rank", 8).alias("rank_r"),
+        F.round("trust_rank", 8).alias("trust_r"),
+        F.round("spam_mass", 6).alias("spam_mass_r"),
+    )
+
+
+def _spam_mass_sql(iters: int = PR_ITERS, alpha: float = PR_ALPHA) -> str:
+    """The `_pagerank_sql` (uniform) and `_trustrank_sql` (seed-
+    biased) iteration chains side by side over shared graph CTEs,
+    joined into the VLDB'06 relative-mass ratio."""
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e AS MATERIALIZED (SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e GROUP BY src, dst),
+os AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec GROUP BY src),
+ne AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w / os.s AS w FROM ec JOIN os ON os.src = ec.src),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+praw AS MATERIALIZED (
+  SELECT c_custkey AS id,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END AS v
+  FROM customer),
+p AS MATERIALIZED (SELECT id, v / (SELECT sum(v) FROM praw) AS p FROM praw),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM os)),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+y0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT nodes.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM x{i} x JOIN dang d ON d.id = x.id)
+        * (1.0 / (SELECT n FROM nn)))
+    + {1.0 - alpha} * (1.0 / (SELECT n FROM nn)) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(x.r * ne.w) AS gathered
+    FROM x{i} x JOIN ne ON ne.src = x.id GROUP BY ne.dst
+  ) g ON g.id = nodes.id
+),
+y{i + 1} AS MATERIALIZED (
+  SELECT p.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(y.r), 0) FROM y{i} y JOIN dang d ON d.id = y.id)
+        * p.p)
+    + {1.0 - alpha} * p.p AS r
+  FROM p
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(y.r * ne.w) AS gathered
+    FROM y{i} y JOIN ne ON ne.src = y.id GROUP BY ne.dst
+  ) g ON g.id = p.id
+)""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+SELECT x.id, round(x.r, 8) AS rank_r, round(y.r, 8) AS trust_r,
+       round((x.r - y.r) / x.r, 6) AS spam_mass_r
+FROM x{iters} x JOIN y{iters} y ON y.id = x.id"""
+    )
+
+
 def q_skipgram_orders(spark, sf_dir):
     """Skip-gram (center, context, offset) pairs from the same walks
     as q_walks_orders, window 2 — the DeepWalk corpus step."""
@@ -3042,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_number_parts": q_core_number_parts,
         "scc_orders": q_scc_orders,
         "anchor_profile_orders": q_anchor_profile_orders,
+        "spam_mass_orders": q_spam_mass_orders,
         "flow_hierarchy_orders": q_flow_hierarchy_orders,
         "wl_hashes_chains": q_wl_hashes_chains,
         "node_class_chains": q_node_class_chains,
@@ -6017,6 +6093,7 @@ FROM deg d LEFT JOIN intra i ON i.label = d.label""",
         "cocitation_orders": _COCITATION_SQL,
         "coupling_orders": _COUPLING_SQL,
         "trustrank_orders": _trustrank_sql(),
+        "spam_mass_orders": _spam_mass_sql(),
         "skipgram_orders": _skipgram_sql(2),
         "moral_orders": _MORAL_SQL,
         "partition_quality_nations": """

@@ -233,3 +233,30 @@ def test_local_kernel_fixed_iter_parity(spark):
             for r in pagerank(g, fixed_iter=7, local_max_edges=0).collect()}
     for k in local:
         assert local[k] == pytest.approx(dist[k], abs=1e-12)
+
+
+def test_spam_mass_vs_nx(spark):
+    """spam_mass == (PR - TrustRank)/PR with both vectors matching nx;
+    a node fed only by untrusted pages scores higher relative mass
+    than the trusted seeds themselves."""
+    from linkgraph.operators.pagerank import spam_mass
+    from nx_oracle import nx_graph, oracle_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 3), (7, 5), (7, 4)]
+    g = graph_from_edge_names(spark, edges, directed=True)
+    nm = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    rev = {v: k for k, v in nm.items()}
+    seeds = [rev["1"], rev["6"]]
+    rows = {nm[r["id"]]: r for r in spam_mass(g, seeds, tol=1e-10).collect()}
+    gnx = nx_graph(edges, directed=True)
+    pr = oracle_pagerank(gnx, tol=1e-10)
+    pv = {1: 1.0, 6: 1.0}
+    tr = oracle_pagerank(gnx, personalization=pv, dangling=pv, tol=1e-10)
+    for k in pr:
+        r = rows[str(k)]
+        assert r["rank"] == pytest.approx(pr[k], abs=1e-7)
+        assert r["trust_rank"] == pytest.approx(tr[k], abs=1e-7)
+        assert r["spam_mass"] == pytest.approx((pr[k] - tr[k]) / pr[k], abs=1e-5)
+    # node 7 is a dangling-free source no trust reaches except via
+    # teleport: its rank is all untrusted -> highest relative mass
+    assert rows["7"]["spam_mass"] == max(r["spam_mass"] for r in rows.values())
