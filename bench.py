@@ -185,6 +185,11 @@ def main() -> None:
         "find_cycle_nations",
         "simple_cycles_orders",
         "betweenness_weighted_orders",
+        # round-3 additions (later session): HyperBall sketches, the
+        # anchor-text render->parse round-trip, spam mass (PR+TrustRank)
+        "hyperball_orders",
+        "anchor_profile_orders",
+        "spam_mass_orders",
     ]:
         run(name, lambda n=name: qs[n](spark, sf_dir).write.format("noop").mode("overwrite").save())
 
