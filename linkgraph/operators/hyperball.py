@@ -65,6 +65,7 @@ __all__ = [
     "ball_size_estimate",
     "neighborhood_function",
     "distance_summary_hyperball",
+    "harmonic_centrality_hyperball",
 ]
 
 # max rho for a 60-bit hash with b index bits: all (60-b) suffix bits
@@ -136,8 +137,15 @@ def hyperball_registers(
     if reverse and directed:
         edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     # max-merge is idempotent: parallel edge rows are harmless, but
-    # deduping keeps the per-superstep join input minimal
-    edges = edges.distinct()
+    # deduping keeps the per-superstep join input minimal. Persist the
+    # deduped edges HASH-PARTITIONED BY dst: the cached scan keeps its
+    # outputPartitioning, so every superstep's join shuffles only the
+    # (changing) register table — the same persisted-adjacency shape
+    # as the pagerank gather.
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.distinct().repartition(nparts, "dst").persist()
+    edges.count()
     rcols = _register_cols(b)
     reg = init_registers(graph.vertices, b).persist()
     reg.count()
@@ -160,6 +168,7 @@ def hyperball_registers(
             p.unpersist()
         prev = [nxt]
         reg = nxt
+    edges.unpersist()
     return reg
 
 
@@ -204,11 +213,18 @@ def neighborhood_function(
     """
     if directed is None:
         directed = graph.directed
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
-        graph.weighted_edges() if directed else graph.symmetrized_edges()
-    ).select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    ).distinct().persist()
+        (graph.weighted_edges() if directed else graph.symmetrized_edges())
+        .select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .distinct()
+        .repartition(nparts, "dst")
+        .persist()
+    )
     rcols = _register_cols(b)
     reg = init_registers(graph.vertices, b).persist()
     reg.count()
@@ -237,7 +253,6 @@ def neighborhood_function(
             break
     edges.unpersist()
     reg.unpersist()
-    spark = graph.spark
     return spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(nf)], "t int, nf double"
     )
@@ -278,3 +293,103 @@ def distance_summary_hyperball(
         [(float(avg), float(eff), float(n_final))],
         "avg_distance double, effective_diameter double, n_pairs_est double",
     )
+
+
+def harmonic_centrality_hyperball(
+    graph: LinkGraph,
+    b: int = 6,
+    max_t: int = 16,
+    directed: bool | None = None,
+    rel_tol: float = 1e-4,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(id, harmonic_est DOUBLE) — the HyperBall paper's headline:
+    approximate harmonic centrality  H(v) = Σ_{u≠v} 1/d(u→v)  for
+    EVERY vertex in O(diameter) supersteps,
+
+        H(v) ≈ Σ_t (|B_in(v,t)| − |B_in(v,t−1)|) / t,
+
+    i.e. each superstep credits the newly-reached shell at weight 1/t
+    (Boldi & Vigna 2013 §4, eq. for harmonic centrality). Exact
+    counterparts in the engine: ``centrality.sampled_closeness_
+    harmonic`` gives EXACT sums from a PIVOT SAMPLE; this gives
+    ≈(1±1.04/√m) sums for ALL vertices — the right trade at web scale
+    where you want every page's score, not 60 pivots'.
+
+    Physical shape: identical to :func:`hyperball_registers` (edge
+    side persisted hash-partitioned, one register shuffle per
+    superstep). The running (prev_est, harmonic) accumulators ride
+    the SAME aggregate as null-for-messages columns reduced with
+    ``max`` — exactly one non-null (the vertex's own row) exists per
+    group, so no second join is added. Shell increments are clamped
+    at ≥0 (the raw→linear-counting estimator switch can step down).
+    """
+    if directed is None:
+        directed = graph.directed
+    edges = (
+        graph.weighted_edges() if directed else graph.symmetrized_edges()
+    ).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    if directed:
+        # in-balls: who reaches v  ==  out-balls on the reversed graph
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = graph.spark
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.distinct().repartition(nparts, "dst").persist()
+    edges.count()
+    rcols = _register_cols(b)
+    reg = (
+        ball_size_estimate(init_registers(graph.vertices, b), b)
+        .withColumnRenamed("est", "prev_est")
+        .withColumn("harm", F.lit(0.0))
+        .drop("reg_sum")
+        .persist()
+    )
+    reg.count()
+    prev = [reg]
+    for step in range(1, max_t + 1):
+        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
+            edges["src"].alias("id"),
+            *rcols,
+            F.lit(None).cast("double").alias("prev_est"),
+            F.lit(None).cast("double").alias("harm"),
+        )
+        merged = (
+            reg.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                *[F.max(c).alias(c) for c in rcols],
+                F.max("prev_est").alias("prev_est"),
+                F.max("harm").alias("harm"),
+            )
+        )
+        nxt = (
+            ball_size_estimate(merged, b)
+            .withColumn(
+                "harm",
+                F.col("harm")
+                + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
+                / F.lit(float(step)),
+            )
+            .drop("prev_est", "reg_sum")
+            .withColumnRenamed("est", "prev_est")
+        )
+        if step % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.persist()
+        grown = nxt.agg(
+            F.sum("prev_est").alias("s"), F.sum("harm").alias("h")
+        ).first()
+        for p in prev:
+            p.unpersist()
+        prev = [nxt]
+        old_total = None if step == 1 else total
+        total = float(grown["s"])
+        reg = nxt
+        if old_total is not None and total <= old_total * (1.0 + rel_tol):
+            break
+    edges.unpersist()
+    out = reg.select("id", F.col("harm").alias("harmonic_est"))
+    return out

@@ -156,3 +156,29 @@ def test_undirected_symmetrizes(spark):
     }
     want = _py_hyperball(g_nx.to_directed(), 4, 2)
     assert got == want
+
+
+def test_harmonic_centrality_hyperball_accuracy(spark):
+    """Per-node approximate harmonic centrality tracks nx's exact
+    values: mean absolute relative error bounded by the b=6 sketch
+    error, and the estimate is exact-ish on tiny in-shells (linear
+    counting regime)."""
+    from linkgraph.operators.hyperball import harmonic_centrality_hyperball
+
+    g_nx = nx.gnp_random_graph(250, 0.025, seed=13, directed=True)
+    g = _lg(spark, 250, list(g_nx.edges()))
+    got = {
+        r["id"]: r["harmonic_est"]
+        for r in harmonic_centrality_hyperball(g, b=6, max_t=12).collect()
+    }
+    want = nx.harmonic_centrality(g_nx)
+    assert set(got) == set(want)
+    errs = []
+    for v, w in want.items():
+        if w > 0:
+            errs.append(abs(got[v] - w) / w)
+        else:
+            assert got[v] == pytest.approx(0.0, abs=1e-9)
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+    # aggregate mass within the sketch error too
+    assert sum(got.values()) == pytest.approx(sum(want.values()), rel=0.15)
