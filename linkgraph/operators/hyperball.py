@@ -113,13 +113,78 @@ def init_registers(vertices: DataFrame, b: int = 6) -> DataFrame:
     )
 
 
+def _prep_edges(graph: LinkGraph, directed: bool, reverse: bool):
+    """Deduped (src, dst) persisted HASH-PARTITIONED BY dst: the
+    cached scan keeps its outputPartitioning, so every superstep's
+    join shuffles only the (changing) register table — the same
+    persisted-adjacency shape as the pagerank gather. Max-merge is
+    idempotent, so dropping parallel edge rows is lossless."""
+    edges = (
+        graph.weighted_edges() if directed else graph.symmetrized_edges()
+    ).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    if reverse and directed:
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nparts = int(graph.spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.distinct().repartition(nparts, "dst").persist()
+    edges.count()
+    return edges
+
+
+def _delta_superstep(
+    edges: DataFrame, reg: DataFrame, rcols: list[str], extras: list[str]
+) -> DataFrame:
+    """One systolic merge round with the HyperBall paper's
+    modified-counter optimization (Boldi & Vigna 2013 §3): only
+    vertices whose sketch CHANGED last round send messages — register
+    sums are strictly monotone, so ``chg = (Σr > prev Σr)`` detects
+    change exactly, and an unchanged neighbor's message is a repeat
+    the receiver already merged. Late supersteps (when most balls have
+    saturated) then ship almost nothing instead of one 2^b-column row
+    per edge.
+
+    ``reg`` carries (id, *rcols, rs, chg, *extras); messages carry
+    null rs/extras, so the per-vertex accumulators ride the SAME hash
+    aggregate via ``max`` (exactly one non-null per group — the
+    vertex's own row) and no second join is added.
+    """
+    senders = reg.where(F.col("chg") == 1)
+    msgs = edges.join(senders, edges["dst"] == senders["id"]).select(
+        edges["src"].alias("id"),
+        *rcols,
+        F.lit(None).cast("int").alias("rs"),
+        *[F.lit(None).cast("double").alias(c) for c in extras],
+    )
+    merged = (
+        reg.drop("chg")
+        .unionByName(msgs)
+        .groupBy("id")
+        .agg(
+            *[F.max(c).alias(c) for c in rcols],
+            F.max("rs").alias("_prev_rs"),
+            *[F.max(c).alias(c) for c in extras],
+        )
+    )
+    rs = sum((F.col(c) for c in rcols), F.lit(0)).cast("int")
+    return merged.withColumn("rs", rs).withColumn(
+        "chg", (F.col("rs") > F.col("_prev_rs")).cast("int")
+    ).drop("_prev_rs")
+
+
+def _init_state(graph: LinkGraph, b: int) -> DataFrame:
+    reg = init_registers(graph.vertices, b)
+    rs = sum((F.col(c) for c in _register_cols(b)), F.lit(0)).cast("int")
+    return reg.withColumn("rs", rs).withColumn("chg", F.lit(1))
+
+
 def hyperball_registers(
     graph: LinkGraph,
     b: int = 6,
     t: int = 3,
     reverse: bool = False,
     directed: bool | None = None,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Registers of every vertex's distance-≤t ball: (id, r0 … r_{m-1}).
 
@@ -127,49 +192,32 @@ def hyperball_registers(
     ``reverse=True`` gives in-balls (who reaches v — the side HyperBall
     uses for harmonic/closeness centrality). On an undirected graph
     (``graph.directed=False`` or ``directed=False``) edges are
-    symmetrized first, so both orientations coincide.
+    symmetrized first, so both orientations coincide. Supersteps past
+    global saturation are exact no-ops and the loop stops early (the
+    modified-counter rule, see :func:`_delta_superstep`).
     """
     if directed is None:
         directed = graph.directed
-    edges = (
-        graph.weighted_edges() if directed else graph.symmetrized_edges()
-    ).select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
-    if reverse and directed:
-        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    # max-merge is idempotent: parallel edge rows are harmless, but
-    # deduping keeps the per-superstep join input minimal. Persist the
-    # deduped edges HASH-PARTITIONED BY dst: the cached scan keeps its
-    # outputPartitioning, so every superstep's join shuffles only the
-    # (changing) register table — the same persisted-adjacency shape
-    # as the pagerank gather.
-    spark = graph.spark
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.distinct().repartition(nparts, "dst").persist()
-    edges.count()
+    edges = _prep_edges(graph, directed, reverse)
     rcols = _register_cols(b)
-    reg = init_registers(graph.vertices, b).persist()
+    reg = _init_state(graph, b).persist()
     reg.count()
     prev = [reg]
     for step in range(t):
-        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
-            edges["src"].alias("id"), *rcols
-        )
-        nxt = (
-            reg.unionByName(msgs)
-            .groupBy("id")
-            .agg(*[F.max(c).alias(c) for c in rcols])
-        )
+        nxt = _delta_superstep(edges, reg, rcols, [])
         if (step + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.persist()
-            nxt.count()
+        n_changed = nxt.agg(F.sum("chg").alias("c")).first()["c"] or 0
         for p in prev:
             p.unpersist()
         prev = [nxt]
         reg = nxt
+        if n_changed == 0:
+            break
     edges.unpersist()
-    return reg
+    return reg.drop("rs", "chg")
 
 
 def ball_size_estimate(registers: DataFrame, b: int) -> DataFrame:
@@ -214,42 +262,33 @@ def neighborhood_function(
     if directed is None:
         directed = graph.directed
     spark = graph.spark
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = (
-        (graph.weighted_edges() if directed else graph.symmetrized_edges())
-        .select(
-            F.col("src").cast("long").alias("src"),
-            F.col("dst").cast("long").alias("dst"),
-        )
-        .distinct()
-        .repartition(nparts, "dst")
-        .persist()
-    )
+    edges = _prep_edges(graph, directed, reverse=False)
     rcols = _register_cols(b)
-    reg = init_registers(graph.vertices, b).persist()
+    reg = _init_state(graph, b).persist()
     reg.count()
 
-    def total(r: DataFrame) -> float:
-        return float(
-            ball_size_estimate(r, b).agg(F.sum("est").alias("s")).first()["s"] or 0.0
+    def stats(r: DataFrame):
+        row = (
+            ball_size_estimate(r, b)
+            .agg(F.sum("est").alias("s"), F.sum("chg").alias("c"))
+            .first()
         )
+        return float(row["s"] or 0.0), int(row["c"] or 0)
 
-    nf = [total(reg)]
+    val, _ = stats(reg)
+    nf = [val]
     for _step in range(max_t):
-        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
-            edges["src"].alias("id"), *rcols
-        )
-        nxt = (
-            reg.unionByName(msgs)
-            .groupBy("id")
-            .agg(*[F.max(c).alias(c) for c in rcols])
-            .persist()
-        )
-        val = total(nxt)
+        # lineage MUST be truncated every round: each superstep
+        # references the previous state twice (senders + self-union),
+        # so an un-checkpointed plan doubles per round — exponential
+        # analysis cost that OOMs small drivers. localCheckpoint is
+        # the persist-equivalent that also cuts the logical plan.
+        nxt = _delta_superstep(edges, reg, rcols, []).localCheckpoint(eager=True)
+        val, n_changed = stats(nxt)
         reg.unpersist()
         reg = nxt
         nf.append(val)
-        if val <= nf[-2] * (1.0 + rel_tol):
+        if n_changed == 0 or val <= nf[-2] * (1.0 + rel_tol):
             break
     edges.unpersist()
     reg.unpersist()
@@ -301,7 +340,7 @@ def harmonic_centrality_hyperball(
     max_t: int = 16,
     directed: bool | None = None,
     rel_tol: float = 1e-4,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(id, harmonic_est DOUBLE) — the HyperBall paper's headline:
     approximate harmonic centrality  H(v) = Σ_{u≠v} 1/d(u→v)  for
@@ -326,21 +365,11 @@ def harmonic_centrality_hyperball(
     """
     if directed is None:
         directed = graph.directed
-    edges = (
-        graph.weighted_edges() if directed else graph.symmetrized_edges()
-    ).select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    )
-    if directed:
-        # in-balls: who reaches v  ==  out-balls on the reversed graph
-        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    spark = graph.spark
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.distinct().repartition(nparts, "dst").persist()
-    edges.count()
+    # in-balls: who reaches v  ==  out-balls on the reversed graph
+    edges = _prep_edges(graph, directed, reverse=True)
     rcols = _register_cols(b)
     reg = (
-        ball_size_estimate(init_registers(graph.vertices, b), b)
+        ball_size_estimate(_init_state(graph, b), b)
         .withColumnRenamed("est", "prev_est")
         .withColumn("harm", F.lit(0.0))
         .drop("reg_sum")
@@ -348,22 +377,9 @@ def harmonic_centrality_hyperball(
     )
     reg.count()
     prev = [reg]
+    total = None
     for step in range(1, max_t + 1):
-        msgs = edges.join(reg, edges["dst"] == reg["id"]).select(
-            edges["src"].alias("id"),
-            *rcols,
-            F.lit(None).cast("double").alias("prev_est"),
-            F.lit(None).cast("double").alias("harm"),
-        )
-        merged = (
-            reg.unionByName(msgs)
-            .groupBy("id")
-            .agg(
-                *[F.max(c).alias(c) for c in rcols],
-                F.max("prev_est").alias("prev_est"),
-                F.max("harm").alias("harm"),
-            )
-        )
+        merged = _delta_superstep(edges, reg, rcols, ["prev_est", "harm"])
         nxt = (
             ball_size_estimate(merged, b)
             .withColumn(
@@ -380,16 +396,18 @@ def harmonic_centrality_hyperball(
         else:
             nxt = nxt.persist()
         grown = nxt.agg(
-            F.sum("prev_est").alias("s"), F.sum("harm").alias("h")
+            F.sum("prev_est").alias("s"), F.sum("chg").alias("c")
         ).first()
         for p in prev:
             p.unpersist()
         prev = [nxt]
-        old_total = None if step == 1 else total
+        old_total = total
         total = float(grown["s"])
+        n_changed = int(grown["c"] or 0)
         reg = nxt
-        if old_total is not None and total <= old_total * (1.0 + rel_tol):
+        if n_changed == 0 or (
+            old_total is not None and total <= old_total * (1.0 + rel_tol)
+        ):
             break
     edges.unpersist()
-    out = reg.select("id", F.col("harm").alias("harmonic_est"))
-    return out
+    return reg.select("id", F.col("harm").alias("harmonic_est"))
