@@ -342,36 +342,42 @@ def harmonic_centrality_hyperball(
     rel_tol: float = 1e-4,
     checkpoint_every: int = 1,
 ) -> DataFrame:
-    """(id, harmonic_est DOUBLE) — the HyperBall paper's headline:
-    approximate harmonic centrality  H(v) = Σ_{u≠v} 1/d(u→v)  for
-    EVERY vertex in O(diameter) supersteps,
+    """(id, harmonic_est, n_in_est, dist_sum_est, closeness_est) — the
+    HyperBall paper's geometric centralities for EVERY vertex in
+    O(diameter) supersteps, from in-ball shell increments
+    Δ_t = |B_in(v,t)| − |B_in(v,t−1)|:
 
-        H(v) ≈ Σ_t (|B_in(v,t)| − |B_in(v,t−1)|) / t,
+        harmonic_est  ≈ Σ_t Δ_t / t            (Σ_{u≠v} 1/d(u→v))
+        dist_sum_est  ≈ Σ_t Δ_t · t            (Σ_u d(u→v))
+        n_in_est      ≈ |B_in(v,T)|            (v's reachers, incl v)
+        closeness_est = (r−1)²/((n−1)·dsum)    (nx's Wasserman–Faust
+                        ``closeness_centrality`` with r = n_in_est)
 
-    i.e. each superstep credits the newly-reached shell at weight 1/t
-    (Boldi & Vigna 2013 §4, eq. for harmonic centrality). Exact
-    counterparts in the engine: ``centrality.sampled_closeness_
-    harmonic`` gives EXACT sums from a PIVOT SAMPLE; this gives
-    ≈(1±1.04/√m) sums for ALL vertices — the right trade at web scale
-    where you want every page's score, not 60 pivots'.
+    (Boldi & Vigna 2013 §4). Exact counterparts in the engine:
+    ``centrality.sampled_closeness_harmonic`` gives EXACT sums from a
+    PIVOT SAMPLE; this gives ≈(1±1.04/√m) sums for ALL vertices — the
+    right trade at web scale where you want every page's score, not
+    60 pivots'.
 
     Physical shape: identical to :func:`hyperball_registers` (edge
-    side persisted hash-partitioned, one register shuffle per
-    superstep). The running (prev_est, harmonic) accumulators ride
-    the SAME aggregate as null-for-messages columns reduced with
-    ``max`` — exactly one non-null (the vertex's own row) exists per
-    group, so no second join is added. Shell increments are clamped
-    at ≥0 (the raw→linear-counting estimator switch can step down).
+    side persisted hash-partitioned, delta messaging, one register
+    shuffle per superstep). The running accumulators ride the SAME
+    aggregate as null-for-messages columns reduced with ``max`` —
+    exactly one non-null (the vertex's own row) exists per group, so
+    no second join is added. Shell increments are clamped at ≥0 (the
+    raw→linear-counting estimator switch can step down).
     """
     if directed is None:
         directed = graph.directed
     # in-balls: who reaches v  ==  out-balls on the reversed graph
     edges = _prep_edges(graph, directed, reverse=True)
     rcols = _register_cols(b)
+    n_vertices = graph.vertices.count()
     reg = (
         ball_size_estimate(_init_state(graph, b), b)
         .withColumnRenamed("est", "prev_est")
         .withColumn("harm", F.lit(0.0))
+        .withColumn("dsum", F.lit(0.0))
         .drop("reg_sum")
         .persist()
     )
@@ -379,15 +385,12 @@ def harmonic_centrality_hyperball(
     prev = [reg]
     total = None
     for step in range(1, max_t + 1):
-        merged = _delta_superstep(edges, reg, rcols, ["prev_est", "harm"])
+        merged = _delta_superstep(edges, reg, rcols, ["prev_est", "harm", "dsum"])
+        shell = F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
         nxt = (
             ball_size_estimate(merged, b)
-            .withColumn(
-                "harm",
-                F.col("harm")
-                + F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
-                / F.lit(float(step)),
-            )
+            .withColumn("harm", F.col("harm") + shell / F.lit(float(step)))
+            .withColumn("dsum", F.col("dsum") + shell * F.lit(float(step)))
             .drop("prev_est", "reg_sum")
             .withColumnRenamed("est", "prev_est")
         )
@@ -410,4 +413,14 @@ def harmonic_centrality_hyperball(
         ):
             break
     edges.unpersist()
-    return reg.select("id", F.col("harm").alias("harmonic_est"))
+    r1 = F.greatest(F.col("prev_est") - F.lit(1.0), F.lit(0.0))
+    closeness = F.when(
+        F.col("dsum") > 0, r1 * r1 / (F.lit(float(max(n_vertices - 1, 1))) * F.col("dsum"))
+    ).otherwise(F.lit(0.0))
+    return reg.select(
+        "id",
+        F.col("harm").alias("harmonic_est"),
+        F.col("prev_est").alias("n_in_est"),
+        F.col("dsum").alias("dist_sum_est"),
+        closeness.alias("closeness_est"),
+    )

@@ -182,3 +182,31 @@ def test_harmonic_centrality_hyperball_accuracy(spark):
     assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
     # aggregate mass within the sketch error too
     assert sum(got.values()) == pytest.approx(sum(want.values()), rel=0.15)
+
+
+def test_closeness_hyperball_accuracy(spark):
+    """closeness_est tracks nx.closeness_centrality (Wasserman–Faust,
+    in-distances) on the same digraph as the harmonic test."""
+    from linkgraph.operators.hyperball import harmonic_centrality_hyperball
+
+    g_nx = nx.gnp_random_graph(250, 0.025, seed=13, directed=True)
+    g = _lg(spark, 250, list(g_nx.edges()))
+    rows = {
+        r["id"]: r for r in harmonic_centrality_hyperball(g, b=6, max_t=12).collect()
+    }
+    want = nx.closeness_centrality(g_nx)
+    errs = []
+    for v, w in want.items():
+        if w > 0:
+            errs.append(abs(rows[v]["closeness_est"] - w) / w)
+        else:
+            assert rows[v]["closeness_est"] == pytest.approx(0.0, abs=1e-9)
+    assert sum(errs) / len(errs) < 0.20, sum(errs) / len(errs)
+    # reachable-set sizes track the exact in-ball sizes
+    dists = dict(nx.all_pairs_shortest_path_length(g_nx))
+    n_in = {v: 0 for v in g_nx}
+    for s in dists:
+        for t_ in dists[s]:
+            n_in[t_] += 1
+    for v, r in rows.items():
+        assert r["n_in_est"] == pytest.approx(n_in[v], rel=0.30, abs=2.0)
