@@ -87,16 +87,21 @@ def _register_cols(b: int) -> list[str]:
     return [f"r{i}" for i in range(1 << b)]
 
 
-def init_registers(vertices: DataFrame, b: int = 6) -> DataFrame:
+def init_registers(
+    vertices: DataFrame, b: int = 6, hash_col: str = "id"
+) -> DataFrame:
     """(id, r0 … r_{m-1}) — each vertex's HLL sketch of {itself}.
 
-    hash = 60-bit md5 prefix; register j = hash mod m gets
-    rho(hash >> b) = trailing zeros + 1; every other register 0.
+    hash = 60-bit md5 prefix of ``hash_col``; register j = hash mod m
+    gets rho(hash >> b) = trailing zeros + 1; every other register 0.
+    ``hash_col`` must be STABLE across graph rebuilds when sketches
+    are reused (incremental serving hashes the url — dense ids remap
+    as the vertex set grows, which would scramble warm registers).
     """
     m = 1 << b
-    hv = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    hv = F.conv(
+        F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
     df = vertices.select(F.col("id").cast("long").alias("id"), hv.alias("_hv"))
     w = f"shiftright(_hv, {b})"
     rho = F.expr(
@@ -172,9 +177,36 @@ def _delta_superstep(
     ).drop("_prev_rs")
 
 
-def _init_state(graph: LinkGraph, b: int) -> DataFrame:
-    reg = init_registers(graph.vertices, b)
-    rs = sum((F.col(c) for c in _register_cols(b)), F.lit(0)).cast("int")
+def _init_state(
+    graph: LinkGraph,
+    b: int,
+    registers_start: DataFrame | None = None,
+    hash_col: str = "id",
+) -> DataFrame:
+    reg = init_registers(graph.vertices, b, hash_col=hash_col)
+    rcols = _register_cols(b)
+    if registers_start is not None:
+        # warm start: element-wise max with a previous fixpoint's
+        # registers. Valid under edge APPENDS: old sketches are lower
+        # bounds of the new reach sets in the max-merge lattice, so
+        # iteration from the warm point reaches the IDENTICAL fixpoint
+        # a cold run does (same argument as connected_components'
+        # labels_start), just in fewer supersteps. Vertices absent
+        # from the start table (new pages) keep their fresh init.
+        start = registers_start.select(
+            F.col("id").cast("long").alias("id"),
+            *[F.col(c).cast("int").alias(f"_p{i}") for i, c in enumerate(rcols)],
+        )
+        reg = reg.join(start, "id", "left").select(
+            "id",
+            *[
+                F.greatest(F.col(c), F.coalesce(F.col(f"_p{i}"), F.lit(0)))
+                .cast("int")
+                .alias(c)
+                for i, c in enumerate(rcols)
+            ],
+        )
+    rs = sum((F.col(c) for c in rcols), F.lit(0)).cast("int")
     return reg.withColumn("rs", rs).withColumn("chg", F.lit(1))
 
 
@@ -185,6 +217,9 @@ def hyperball_registers(
     reverse: bool = False,
     directed: bool | None = None,
     checkpoint_every: int = 1,
+    registers_start: DataFrame | None = None,
+    stats_out: dict | None = None,
+    hash_col: str = "id",
 ) -> DataFrame:
     """Registers of every vertex's distance-≤t ball: (id, r0 … r_{m-1}).
 
@@ -194,15 +229,23 @@ def hyperball_registers(
     (``graph.directed=False`` or ``directed=False``) edges are
     symmetrized first, so both orientations coincide. Supersteps past
     global saturation are exact no-ops and the loop stops early (the
-    modified-counter rule, see :func:`_delta_superstep`).
+    modified-counter rule, see :func:`_delta_superstep`) — with a
+    large ``t`` this runs to the full REACHABILITY sketch fixpoint.
+
+    ``registers_start`` (id, r0 … r_{m-1}) warm-starts from a previous
+    fixpoint (incremental serving under edge appends — see
+    :func:`_init_state`); ``stats_out`` receives ``supersteps``;
+    ``hash_col`` picks the init-hash key (MUST be rebuild-stable, e.g.
+    ``url``, whenever sketches outlive one graph build).
     """
     if directed is None:
         directed = graph.directed
     edges = _prep_edges(graph, directed, reverse)
     rcols = _register_cols(b)
-    reg = _init_state(graph, b).persist()
+    reg = _init_state(graph, b, registers_start, hash_col=hash_col).persist()
     reg.count()
     prev = [reg]
+    steps_run = 0
     for step in range(t):
         nxt = _delta_superstep(edges, reg, rcols, [])
         if (step + 1) % checkpoint_every == 0:
@@ -210,6 +253,7 @@ def hyperball_registers(
         else:
             nxt = nxt.persist()
         n_changed = nxt.agg(F.sum("chg").alias("c")).first()["c"] or 0
+        steps_run = step + 1
         for p in prev:
             p.unpersist()
         prev = [nxt]
@@ -217,6 +261,8 @@ def hyperball_registers(
         if n_changed == 0:
             break
     edges.unpersist()
+    if stats_out is not None:
+        stats_out["supersteps"] = steps_run
     return reg.drop("rs", "chg")
 
 

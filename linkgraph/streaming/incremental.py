@@ -363,3 +363,61 @@ def incremental_components_sink(
         refresh_components(spark, pages_path, labels_path, **cc_kwargs)
 
     return _sink
+
+
+def refresh_reach(
+    spark: SparkSession,
+    pages_path: str,
+    reach_path: str,
+    b: int = 6,
+    max_t: int = 64,
+    stats_out: dict | None = None,
+    **hb_kwargs,
+) -> DataFrame:
+    """Incremental HYPERBALL-REACH serving (the sketch analog of
+    :func:`refresh_ranks`): read ALL pages, build the graph, run the
+    HyperBall register loop to its full-reachability fixpoint
+    warm-started from the previous serving table, write the new
+    serving table as (url, r0…r_{m-1}, reach_est).
+
+    Registers are url-keyed for the same id-remap reason as the other
+    refreshers. Warm starting is EXACT here: under page appends the
+    old registers are lower bounds in the max-merge lattice, so the
+    warm fixpoint is bit-identical to a cold run's (see
+    ``hyperball_registers``'s ``registers_start``), only the superstep
+    count drops (``stats_out["supersteps"]``) — most of the crawl has
+    already saturated, and delta messaging ships only the disturbed
+    frontier."""
+    from ..operators.hyperball import (
+        _register_cols,
+        ball_size_estimate,
+        hyperball_registers,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    g = graph_from_pages(pages)
+    rcols = _register_cols(b)
+    registers_start = None
+    if os.path.isdir(reach_path):
+        prev = spark.read.parquet(reach_path)
+        seeded = g.vertices.select("url", "id").join(prev, "url", "inner").select(
+            "id", *rcols
+        )
+        if seeded.limit(1).count() > 0:
+            registers_start = seeded
+    # hash by URL, not dense id: ids remap as the vertex set grows,
+    # and the sketch CONTENT is the hash — url keying makes warm
+    # registers valid lower bounds of the new fixpoint
+    regs = hyperball_registers(
+        g, b=b, t=max_t, registers_start=registers_start, stats_out=stats_out,
+        hash_col="url", **hb_kwargs,
+    )
+    serving = (
+        ball_size_estimate(regs, b)
+        .join(g.vertices.select("url", "id"), "id")
+        .select("url", *rcols, F.col("est").alias("reach_est"))
+    )
+    serving.write.mode("overwrite").parquet(reach_path + "._tmp")
+    out = spark.read.parquet(reach_path + "._tmp")
+    out.write.mode("overwrite").parquet(reach_path)
+    return spark.read.parquet(reach_path)

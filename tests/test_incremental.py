@@ -195,3 +195,42 @@ def test_incremental_triangles_refresh(spark, tmp_path):
         spark, pages, tri, stats_out=s_cold).collect()}
     assert s_cold["mode"] == "full"
     assert t2 == t_cold
+
+
+def test_incremental_reach_refresh(spark, tmp_path):
+    """HyperBall reach serving: warm registers land on the bit-identical
+    fixpoint a cold run reaches (max-merge lattice), in fewer
+    supersteps."""
+    from linkgraph.streaming.incremental import refresh_reach
+
+    pages = str(tmp_path / "pages")
+    reach = str(tmp_path / "reach")
+
+    _write_pages(spark, pages, EPOCH1, "overwrite")
+    s1: dict = {}
+    r1 = {r["url"]: r for r in refresh_reach(
+        spark, pages, reach, b=6, stats_out=s1).collect()}
+    assert len(r1) == 40
+    # ring+chords is strongly connected: every page reaches all 40
+    for r in r1.values():
+        # one shared sketch draw for the whole reach set (no per-node
+        # averaging): allow ~2 sigma of the b=6 sketch error
+        assert r["reach_est"] == pytest.approx(40.0, rel=0.25)
+
+    _write_pages(spark, pages, EPOCH2, "append")
+    s_warm: dict = {}
+    r2 = {r["url"]: r for r in refresh_reach(
+        spark, pages, reach, b=6, stats_out=s_warm).collect()}
+    assert len(r2) == 41
+
+    import shutil
+
+    shutil.rmtree(reach)
+    s_cold: dict = {}
+    r_cold = {r["url"]: r for r in refresh_reach(
+        spark, pages, reach, b=6, stats_out=s_cold).collect()}
+    regs = [f"r{i}" for i in range(64)]
+    for u in r_cold:
+        assert [r2[u][c] for c in regs] == [r_cold[u][c] for c in regs]
+        assert r2[u]["reach_est"] == r_cold[u]["reach_est"]
+    assert s_warm["supersteps"] < s_cold["supersteps"]
