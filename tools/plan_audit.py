@@ -47,6 +47,17 @@ SCALAR_BROADCAST = {
     "embedding_decontaminate",  # tiny benchmark side broadcast (stated precondition)
     "embedding_ivf_topk",  # one-row broadcast centroid relation rides the plan
     "embedding_semantic_dedup",  # same one-row centroid-relation idiom
+    # The four default-path betweenness queries take the SIZE-GATED
+    # local Brandes kernel (centrality.py LOCAL_BRANDES_MAX_WORK,
+    # |E|x|sources| <= 1e8): its crossJoin replicates the small gated
+    # edge table across a 16-row task-group relation so source groups
+    # fan out across Arrow tasks - a bounded 16x replication, not an
+    # all-pairs blowup. The at-scale superstep plans are audited with
+    # 0 BNLJ via their *_dist twins.
+    "betweenness_orders",
+    "betweenness_weighted_orders",
+    "edge_betweenness_orders",
+    "edge_betweenness_weighted_orders",
 }
 # queries whose callables run driver loops with collect() inside — the
 # returned DF is a small local result; plan audit is not meaningful
