@@ -210,3 +210,27 @@ def test_closeness_hyperball_accuracy(spark):
             n_in[t_] += 1
     for v, r in rows.items():
         assert r["n_in_est"] == pytest.approx(n_in[v], rel=0.30, abs=2.0)
+
+
+def test_registers_equal_exact_ball_closure(spark):
+    """Semantic definition check, independent of the superstep
+    implementation: M_v(t) must equal the element-wise max of INIT
+    sketches over the exact BFS out-ball B(v,t) computed by nx."""
+    g_nx = nx.gnp_random_graph(80, 0.05, seed=23, directed=True)
+    g = _lg(spark, 80, list(g_nx.edges()))
+    for t in (1, 2, 4):
+        got = {
+            r["id"]: [r[f"r{i}"] for i in range(16)]
+            for r in hyperball_registers(g, b=4, t=t).collect()
+        }
+        for v in g_nx.nodes():
+            ball = {v} | {
+                u
+                for u, d in nx.single_source_shortest_path_length(
+                    g_nx, v, cutoff=t
+                ).items()
+            }
+            want = [0] * 16
+            for u in ball:
+                want = [max(a, c) for a, c in zip(want, _init(u, 4))]
+            assert got[v] == want, (t, v)
