@@ -149,30 +149,42 @@ def _delta_superstep(
     saturated) then ship almost nothing instead of one 2^b-column row
     per edge.
 
-    ``reg`` carries (id, *rcols, rs, chg, *extras); messages carry
-    null rs/extras, so the per-vertex accumulators ride the SAME hash
-    aggregate via ``max`` (exactly one non-null per group — the
-    vertex's own row) and no second join is added.
+    ``reg`` carries (id, *rcols, rs, chg, *extras). Messages are
+    aggregated ALONE — one repartition of the (delta-filtered) raw
+    message stream by receiver, then an exchange-free final max — and
+    merged into the state via a co-partitioned ``greatest`` LEFT join
+    (both sides hash-partitioned by id), so per-vertex accumulators
+    never enter the aggregate at all. This ships the raw message rows
+    exactly once and avoids the union-with-state plan whose partial
+    aggregate re-processes every self row and whose map-side output
+    grows with parallelism (≈ partitions × n once each partition sees
+    most vertex ids — no compression left at high core counts).
     """
-    senders = reg.where(F.col("chg") == 1)
+    nparts = int(reg.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    senders = reg.where(F.col("chg") == 1).select("id", *rcols)
     msgs = edges.join(senders, edges["dst"] == senders["id"]).select(
-        edges["src"].alias("id"),
-        *rcols,
-        F.lit(None).cast("int").alias("rs"),
-        *[F.lit(None).cast("double").alias(c) for c in extras],
+        edges["src"].alias("id"), *rcols
     )
-    merged = (
-        reg.drop("chg")
-        .unionByName(msgs)
+    magg = (
+        msgs.repartition(nparts, "id")
         .groupBy("id")
-        .agg(
-            *[F.max(c).alias(c) for c in rcols],
-            F.max("rs").alias("_prev_rs"),
-            *[F.max(c).alias(c) for c in extras],
-        )
+        .agg(*[F.max(c).alias(f"_m{i}") for i, c in enumerate(rcols)])
+    )
+    # reg is already hash-partitioned by id (previous round's join /
+    # checkpoint preserves it) — EnsureRequirements adds an exchange
+    # only when it is not, so no explicit repartition here
+    merged = reg.drop("chg").join(magg, "id", "left")
+    new_regs = [
+        F.greatest(F.col(c), F.coalesce(F.col(f"_m{i}"), F.lit(0)))
+        .cast("int")
+        .alias(c)
+        for i, c in enumerate(rcols)
+    ]
+    out = merged.select(
+        "id", *new_regs, F.col("rs").alias("_prev_rs"), *extras
     )
     rs = sum((F.col(c) for c in rcols), F.lit(0)).cast("int")
-    return merged.withColumn("rs", rs).withColumn(
+    return out.withColumn("rs", rs).withColumn(
         "chg", (F.col("rs") > F.col("_prev_rs")).cast("int")
     ).drop("_prev_rs")
 
