@@ -1534,6 +1534,24 @@ def q_hyperball_orders(spark, sf_dir):
     )
 
 
+def q_hyperball_orders_b6(spark, sf_dir):
+    """Production-width twin of ``hyperball_orders``: b=6 → 64
+    registers per vertex, the width the module defaults to at web
+    scale. Internally the superstep ships 8 broadword-packed BIGINT
+    columns (hyperball.py module docstring — 8× narrower messages than
+    the unpacked r2/r3 layout); the oracle hashes the exact UNPACKED
+    integer registers, so this pins the packed wire format's
+    correctness at the width that matters, not just the b=4 toy."""
+    from linkgraph.operators.hyperball import hyperball_registers
+
+    g = order_graph(spark, sf_dir)
+    regs = hyperball_registers(g, b=6, t=3)
+    reg_sum = sum((F.col(f"r{i}") for i in range(64)), F.lit(0))
+    return regs.select(
+        "id", *[f"r{i}" for i in range(64)], reg_sum.cast("int").alias("reg_sum")
+    )
+
+
 def q_walks_orders(spark, sf_dir):
     """Deterministic random walks (walks.py ``random_walks``) on the
     order graph: starts = custkey % 10 == 1, 6 steps, seed 1 —
@@ -3156,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
         "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
         "hyperball_orders": q_hyperball_orders,
+        "hyperball_orders_b6": q_hyperball_orders_b6,
         "katz_orders": q_katz_orders,
         "katz_orders_dist": q_katz_orders_dist,
         "doc_dedup_clusters": q_doc_dedup_clusters,
@@ -6039,6 +6058,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "betweenness_weighted_orders_dist": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "hyperball_orders": _hyperball_sql(),
+        "hyperball_orders_b6": _hyperball_sql(6, 3),
         "harmonic_sampled_orders_dist": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
         "katz_orders_dist": _katz_sql(),

@@ -21,26 +21,36 @@ registers per vertex), versus ANF's exact-bitset O(n²/64).
 
 Spark-first physical shape
 --------------------------
-Registers live as **m small integer columns** (not an array): the
-merge is then ``groupBy(id).agg(max(r0), …, max(r_{m-1}))`` — a plain
-hash aggregate with map-side partial max, fully inside whole-stage
-codegen, no UDF, no higher-order array functions. One superstep = one
-shuffle join (registers ⋈ edges on dst) + one hash agg, the identical
-shape as the pagerank gather. At 100 TB the register table is
-n × (m+1) ints — for b=6 that is 65 ints/vertex, far below the
-bitset ANF equivalent, and the join partitioning is reused across
-supersteps.
+Registers are **broadword-packed, 8 per BIGINT lane-group** (Boldi &
+Vigna 2013 §3.2's register-packing idea): internal state and every
+shuffled message row carry ``m/8`` BIGINT columns (``p0 … p_{m/8-1}``,
+register j in byte lane ``j mod 8`` of word ``j div 8``) instead of
+``m`` INT columns. In Tungsten's UnsafeRow every fixed-width field
+occupies 8 bytes regardless of declared type, so b=6 messages shrink
+from 64×8 = 512 B to 8×8 = 64 B — an 8× cut in the raw-message
+shuffle that BENCH §7g measured as this operator's bottleneck
+(shuffle-bandwidth-bound at 8→32 cores, wall ∝ 2^b). Register values
+are ρ ≤ 61−b < 128, so each byte lane's high bit is always clear and
+lane extraction is plain ``(p >> 8l) & 255``.
+
+One superstep = one shuffle join (packed registers ⋈ edges on dst) +
+one per-lane max hash aggregate — the aggregate computes
+``max((p_q >> 8l) & 255)`` per register (still a plain codegen'd hash
+agg; only the SHIPPED rows are packed), then repacks the maxima into
+BIGINT lanes and merges them into the state via a co-partitioned
+``greatest``-per-lane LEFT join. Per-vertex accumulators (the
+harmonic/closeness running sums) ride through that join, never
+through the aggregate. The edge side is persisted hash-partitioned by
+dst and reused across supersteps, the same shape as the pagerank
+gather.
 
 Determinism / oracle parity: the hash is the first 15 hex chars of
 ``md5(cast(id as string))`` (60-bit, positive), the register index is
 ``hash mod m``, and rho is **pure-integer** trailing-zeros+1 of
 ``hash >> b`` via ``bit_count((w & -w) - 1) + 1`` — every primitive
 exists identically in Spark SQL and DuckDB, so the driver's oracle
-hash-matches the registers bit-for-bit. The ball-size estimate keeps
-the raw-HLL formula with a **fixed left-to-right register order** in
-the denominator sum so Spark and the oracle round identically (the
-terms are exact powers of two; only the accumulation order could
-differ).
+hash-matches the (unpacked) registers bit-for-bit; packing is an
+internal wire format, the public schema stays ``(id, r0 … r_{m-1})``.
 
 ``ball_size_estimate`` applies the standard small-range linear-
 counting correction (E ≤ 2.5m with empty registers → m·ln(m/V),
@@ -48,7 +58,10 @@ Flajolet et al. 2007) — it needs ``ln``, whose last-bit rounding is
 libm-specific, so the DRIVER-ORACLE entry query compares the exact
 integer REGISTERS (plus their sum), never the float estimate; the
 estimate's accuracy (standard 1.04/sqrt(m), b=6 → ~13%) is verified
-in pytest against exact per-node BFS ball sizes.
+in pytest against exact per-node BFS ball sizes. The 2^r denominator
+terms are built with ``shiftleft(CAST(1 AS BIGINT), r)`` — a 32-bit
+literal would mask the shift amount mod 32 and corrupt the estimate
+for any register ≥ 31 (legal up to 61−b).
 """
 
 from __future__ import annotations
@@ -69,7 +82,8 @@ __all__ = [
 ]
 
 # max rho for a 60-bit hash with b index bits: all (60-b) suffix bits
-# zero → rho = 61-b (the standard "w == 0" sentinel)
+# zero → rho = 61-b (the standard "w == 0" sentinel). 61-b < 128, so
+# every register fits an unsigned byte lane.
 
 
 def hll_alpha(m: int) -> float:
@@ -87,6 +101,63 @@ def _register_cols(b: int) -> list[str]:
     return [f"r{i}" for i in range(1 << b)]
 
 
+def _npk(b: int) -> int:
+    """Number of packed BIGINT columns (8 byte lanes each)."""
+    return ((1 << b) + 7) // 8
+
+
+def _packed_cols(b: int) -> list[str]:
+    return [f"p{q}" for q in range(_npk(b))]
+
+
+def _lane_sql(j: int, prefix: str = "p") -> str:
+    """SQL snippet extracting register j from the packed columns."""
+    return f"(({prefix}{j // 8} >> {8 * (j % 8)}) & 255)"
+
+
+def _lane_count(b: int, q: int) -> int:
+    """Lanes actually used in packed word q (8, except a short tail
+    when m < 8)."""
+    return min(8, (1 << b) - 8 * q)
+
+
+def _lane_merge_sql(a: str, bexpr: str, nlanes: int) -> str:
+    """SQL for the per-lane (byte-wise unsigned) max of two packed
+    BIGINTs — the broadword register merge. Lanes are independent, so
+    the merged word is the OR of per-lane ``greatest`` results shifted
+    back into place; all inputs are < 2^62 (lane values ≤ 61), so no
+    sign-bit hazards under ANSI arithmetic."""
+    parts = [
+        f"shiftleft(greatest((({a}) >> {8 * l}) & 255, "
+        f"(({bexpr}) >> {8 * l}) & 255), {8 * l})"
+        for l in range(nlanes)
+    ]
+    return "CAST(" + " | ".join(parts) + " AS BIGINT)"
+
+
+def _pack_exprs(b: int, rcol) -> list:
+    """Pack m register columns (name via ``rcol(j)``) into BIGINT lane
+    words: register j → byte lane j%8 of word j//8."""
+    out = []
+    for q in range(_npk(b)):
+        parts = [
+            f"shiftleft(CAST({rcol(8 * q + l)} AS BIGINT) & 255, {8 * l})"
+            for l in range(_lane_count(b, q))
+        ]
+        out.append(F.expr("CAST(" + " | ".join(parts) + " AS BIGINT)"))
+    return out
+
+
+def _unpack_select(df: DataFrame, b: int, extras: list[str] = ()) -> DataFrame:
+    """Public-schema projection: packed words → (id, r0 … r_{m-1})."""
+    m = 1 << b
+    return df.select(
+        "id",
+        *[F.expr(f"CAST({_lane_sql(j)} AS INT)").alias(f"r{j}") for j in range(m)],
+        *extras,
+    )
+
+
 def init_registers(
     vertices: DataFrame, b: int = 6, hash_col: str = "id"
 ) -> DataFrame:
@@ -98,22 +169,37 @@ def init_registers(
     are reused (incremental serving hashes the url — dense ids remap
     as the vertex set grows, which would scramble warm registers).
     """
+    return _unpack_select(_init_packed(vertices, b, hash_col), b)
+
+
+def _init_packed(
+    vertices: DataFrame, b: int = 6, hash_col: str = "id"
+) -> DataFrame:
+    """(id, p0 … p_{npk-1}) — the packed form of :func:`init_registers`:
+    the single nonzero register rho lands in byte lane j%8 of word
+    j//8."""
     m = 1 << b
     hv = F.conv(
         F.substring(F.md5(F.col(hash_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     df = vertices.select(F.col("id").cast("long").alias("id"), hv.alias("_hv"))
     w = f"shiftright(_hv, {b})"
-    rho = F.expr(
-        f"CASE WHEN {w} = 0 THEN {61 - b} "
-        f"ELSE bit_count(({w} & -{w}) - 1) + 1 END"
-    )
-    j = F.pmod(F.col("_hv"), F.lit(m))
+    df = df.withColumn(
+        "_rho",
+        F.expr(
+            f"CASE WHEN {w} = 0 THEN {61 - b} "
+            f"ELSE bit_count(({w} & -{w}) - 1) + 1 END"
+        ),
+    ).withColumn("_j", F.pmod(F.col("_hv"), F.lit(m)))
     return df.select(
         "id",
         *[
-            F.when(j == i, rho).otherwise(F.lit(0)).cast("int").alias(f"r{i}")
-            for i in range(m)
+            F.expr(
+                f"CAST(CASE WHEN (_j >> 3) = {q} THEN "
+                f"shiftleft(CAST(_rho AS BIGINT), CAST((_j & 7) * 8 AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END AS BIGINT)"
+            ).alias(f"p{q}")
+            for q in range(_npk(b))
         ],
     )
 
@@ -138,55 +224,90 @@ def _prep_edges(graph: LinkGraph, directed: bool, reverse: bool):
 
 
 def _delta_superstep(
-    edges: DataFrame, reg: DataFrame, rcols: list[str], extras: list[str]
+    edges: DataFrame, reg: DataFrame, b: int, extras: list[str]
 ) -> DataFrame:
     """One systolic merge round with the HyperBall paper's
     modified-counter optimization (Boldi & Vigna 2013 §3): only
-    vertices whose sketch CHANGED last round send messages — register
-    sums are strictly monotone, so ``chg = (Σr > prev Σr)`` detects
-    change exactly, and an unchanged neighbor's message is a repeat
-    the receiver already merged. Late supersteps (when most balls have
-    saturated) then ship almost nothing instead of one 2^b-column row
-    per edge.
+    vertices whose sketch CHANGED last round send messages — the
+    max-merge is monotone, so ``chg`` (any packed word differing from
+    its previous value) detects change exactly, and an unchanged
+    neighbor's message is a repeat the receiver already merged. Late
+    supersteps (when most balls have saturated) then ship almost
+    nothing instead of one packed row per edge.
 
-    ``reg`` carries (id, *rcols, rs, chg, *extras). Messages are
-    aggregated ALONE — one repartition of the (delta-filtered) raw
-    message stream by receiver, then an exchange-free final max — and
-    merged into the state via a co-partitioned ``greatest`` LEFT join
-    (both sides hash-partitioned by id), so per-vertex accumulators
-    never enter the aggregate at all. This ships the raw message rows
-    exactly once and avoids the union-with-state plan whose partial
-    aggregate re-processes every self row and whose map-side output
-    grows with parallelism (≈ partitions × n once each partition sees
-    most vertex ids — no compression left at high core counts).
+    ``reg`` carries (id, p0 … p_{npk-1}, *extras, chg). Messages are
+    aggregated ALONE — one repartition of the (delta-filtered) PACKED
+    raw message stream by receiver, then an exchange-free per-lane
+    final max, repacked — and merged into the state via a
+    co-partitioned per-lane-``greatest`` LEFT join (both sides
+    hash-partitioned by id). The per-vertex accumulators in ``extras``
+    ride through that join untouched; they never enter the aggregate.
+    This ships each raw message row exactly once at packed width
+    (npk BIGINTs ≈ m bytes, vs m 8-byte UnsafeRow slots unpacked —
+    8× narrower, the §7g fix) and avoids the union-with-state plan
+    whose partial aggregate re-processes every self row and whose
+    map-side output grows with parallelism.
     """
+    m = 1 << b
+    pcols = _packed_cols(b)
     nparts = int(reg.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    senders = reg.where(F.col("chg") == 1).select("id", *rcols)
+    senders = reg.where(F.col("chg") == 1).select("id", *pcols)
     msgs = edges.join(senders, edges["dst"] == senders["id"]).select(
-        edges["src"].alias("id"), *rcols
+        edges["src"].alias("id"), *pcols
     )
+    lane_max = [
+        F.max(F.expr(_lane_sql(j))).alias(f"_l{j}") for j in range(m)
+    ]
     magg = (
         msgs.repartition(nparts, "id")
         .groupBy("id")
-        .agg(*[F.max(c).alias(f"_m{i}") for i, c in enumerate(rcols)])
+        .agg(*lane_max)
+        .select("id", *_pack_from(b, "_l", "_m"))
     )
     # reg is already hash-partitioned by id (previous round's join /
     # checkpoint preserves it) — EnsureRequirements adds an exchange
     # only when it is not, so no explicit repartition here
     merged = reg.drop("chg").join(magg, "id", "left")
-    new_regs = [
-        F.greatest(F.col(c), F.coalesce(F.col(f"_m{i}"), F.lit(0)))
-        .cast("int")
-        .alias(c)
-        for i, c in enumerate(rcols)
+    new_words = [
+        F.expr(
+            _lane_merge_sql(
+                f"p{q}", f"coalesce(_m{q}, CAST(0 AS BIGINT))", _lane_count(b, q)
+            )
+        ).alias(f"_n{q}")
+        for q in range(_npk(b))
     ]
     out = merged.select(
-        "id", *new_regs, F.col("rs").alias("_prev_rs"), *extras
+        "id",
+        *new_words,
+        *[F.col(f"p{q}").alias(f"_o{q}") for q in range(_npk(b))],
+        *extras,
     )
-    rs = sum((F.col(c) for c in rcols), F.lit(0)).cast("int")
-    return out.withColumn("rs", rs).withColumn(
-        "chg", (F.col("rs") > F.col("_prev_rs")).cast("int")
-    ).drop("_prev_rs")
+    chg = F.lit(False)
+    for q in range(_npk(b)):
+        chg = chg | (F.col(f"_n{q}") != F.col(f"_o{q}"))
+    return out.select(
+        "id",
+        *[F.col(f"_n{q}").alias(f"p{q}") for q in range(_npk(b))],
+        *extras,
+        chg.cast("int").alias("chg"),
+    )
+
+
+def _pack_from(b: int, src_prefix: str, dst_prefix: str) -> list:
+    """Repack per-lane scalar columns ``{src_prefix}{j}`` into BIGINT
+    words ``{dst_prefix}{q}`` (post-aggregate projection)."""
+    out = []
+    for q in range(_npk(b)):
+        parts = [
+            f"shiftleft(CAST({src_prefix}{8 * q + l} AS BIGINT) & 255, {8 * l})"
+            for l in range(_lane_count(b, q))
+        ]
+        out.append(
+            F.expr("CAST(" + " | ".join(parts) + " AS BIGINT)").alias(
+                f"{dst_prefix}{q}"
+            )
+        )
+    return out
 
 
 def _init_state(
@@ -195,8 +316,8 @@ def _init_state(
     registers_start: DataFrame | None = None,
     hash_col: str = "id",
 ) -> DataFrame:
-    reg = init_registers(graph.vertices, b, hash_col=hash_col)
-    rcols = _register_cols(b)
+    """Packed initial state (id, p*, chg=1), warm-started if given."""
+    reg = _init_packed(graph.vertices, b, hash_col=hash_col)
     if registers_start is not None:
         # warm start: element-wise max with a previous fixpoint's
         # registers. Valid under edge APPENDS: old sketches are lower
@@ -207,19 +328,27 @@ def _init_state(
         # from the start table (new pages) keep their fresh init.
         start = registers_start.select(
             F.col("id").cast("long").alias("id"),
-            *[F.col(c).cast("int").alias(f"_p{i}") for i, c in enumerate(rcols)],
+            *[
+                e.alias(f"_s{q}")
+                for q, e in enumerate(
+                    _pack_exprs(b, lambda j: f"CAST(r{j} AS BIGINT)")
+                )
+            ],
         )
         reg = reg.join(start, "id", "left").select(
             "id",
             *[
-                F.greatest(F.col(c), F.coalesce(F.col(f"_p{i}"), F.lit(0)))
-                .cast("int")
-                .alias(c)
-                for i, c in enumerate(rcols)
+                F.expr(
+                    _lane_merge_sql(
+                        f"p{q}",
+                        f"coalesce(_s{q}, CAST(0 AS BIGINT))",
+                        _lane_count(b, q),
+                    )
+                ).alias(f"p{q}")
+                for q in range(_npk(b))
             ],
         )
-    rs = sum((F.col(c) for c in rcols), F.lit(0)).cast("int")
-    return reg.withColumn("rs", rs).withColumn("chg", F.lit(1))
+    return reg.withColumn("chg", F.lit(1))
 
 
 def hyperball_registers(
@@ -248,18 +377,19 @@ def hyperball_registers(
     fixpoint (incremental serving under edge appends — see
     :func:`_init_state`); ``stats_out`` receives ``supersteps``;
     ``hash_col`` picks the init-hash key (MUST be rebuild-stable, e.g.
-    ``url``, whenever sketches outlive one graph build).
+    ``url``, whenever sketches outlive one graph build). State and
+    messages are broadword-packed internally (module docstring); only
+    this public projection unpacks.
     """
     if directed is None:
         directed = graph.directed
     edges = _prep_edges(graph, directed, reverse)
-    rcols = _register_cols(b)
     reg = _init_state(graph, b, registers_start, hash_col=hash_col).persist()
     reg.count()
     prev = [reg]
     steps_run = 0
     for step in range(t):
-        nxt = _delta_superstep(edges, reg, rcols, [])
+        nxt = _delta_superstep(edges, reg, b, [])
         if (step + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
@@ -275,32 +405,46 @@ def hyperball_registers(
     edges.unpersist()
     if stats_out is not None:
         stats_out["supersteps"] = steps_run
-    return reg.drop("rs", "chg")
+    return _unpack_select(reg, b)
 
 
-def ball_size_estimate(registers: DataFrame, b: int) -> DataFrame:
-    """Adds ``est`` (HLL ball-size estimate, DOUBLE) and ``reg_sum``
-    (INT, exact) to a register table.
-
-    Standard HyperLogLog estimator: raw harmonic-mean estimate
+def _est_sql(b: int, lane) -> str:
+    """SQL for the HLL ball-size estimate given a per-register SQL
+    snippet factory ``lane(j)``. Raw harmonic-mean estimate
     α_m·m²/Σ 2^{-r_j}, replaced by linear counting m·ln(m/V) when the
-    raw estimate is ≤ 2.5m and V>0 registers are still empty (the
-    small-range regime where the raw formula is badly biased). The
-    harmonic denominator is a fixed left-to-right sum so repeated
-    evaluations are bit-stable.
-    """
+    raw estimate is ≤ 2.5m and V>0 registers are still empty. The
+    denominator is a fixed left-to-right sum of exact powers of two
+    (``shiftleft(CAST(1 AS BIGINT), r)`` — BIGINT, because a 32-bit
+    base masks the shift mod 32 and r can legally reach 61−b), so
+    repeated evaluations are bit-stable."""
     m = 1 << b
     alpha = hll_alpha(m)
-    denom = " + ".join(f"1.0 / CAST(shiftleft(1, r{i}) AS DOUBLE)" for i in range(m))
-    zeros = " + ".join(f"(CASE WHEN r{i} = 0 THEN 1 ELSE 0 END)" for i in range(m))
+    denom = " + ".join(
+        f"1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST({lane(j)} AS INT)) AS DOUBLE)"
+        for j in range(m)
+    )
+    zeros = " + ".join(f"(CASE WHEN {lane(j)} = 0 THEN 1 ELSE 0 END)" for j in range(m))
     raw = f"{alpha!r} * {m} * {m} / ({denom})"
-    est = F.expr(
+    return (
         f"CASE WHEN ({raw}) <= {2.5 * m!r} AND ({zeros}) > 0 "
         f"THEN {m} * ln({m} / CAST(({zeros}) AS DOUBLE)) "
         f"ELSE ({raw}) END"
     )
+
+
+def ball_size_estimate(registers: DataFrame, b: int) -> DataFrame:
+    """Adds ``est`` (HLL ball-size estimate, DOUBLE) and ``reg_sum``
+    (INT, exact) to an UNPACKED register table (id, r0 … r_{m-1})."""
+    est = F.expr(_est_sql(b, lambda j: f"r{j}"))
     reg_sum = sum((F.col(c) for c in _register_cols(b)), F.lit(0))
     return registers.withColumn("reg_sum", reg_sum.cast("int")).withColumn("est", est)
+
+
+def _est_packed(b: int) -> F.Column:
+    """The same estimate as :func:`ball_size_estimate`, computed
+    directly from the packed words (identical term order → identical
+    doubles)."""
+    return F.expr(_est_sql(b, _lane_sql))
 
 
 def neighborhood_function(
@@ -321,27 +465,24 @@ def neighborhood_function(
         directed = graph.directed
     spark = graph.spark
     edges = _prep_edges(graph, directed, reverse=False)
-    rcols = _register_cols(b)
     reg = _init_state(graph, b).persist()
     reg.count()
 
     def stats(r: DataFrame):
-        row = (
-            ball_size_estimate(r, b)
-            .agg(F.sum("est").alias("s"), F.sum("chg").alias("c"))
-            .first()
-        )
+        row = r.agg(
+            F.sum(_est_packed(b)).alias("s"), F.sum("chg").alias("c")
+        ).first()
         return float(row["s"] or 0.0), int(row["c"] or 0)
 
     val, _ = stats(reg)
     nf = [val]
     for _step in range(max_t):
         # lineage MUST be truncated every round: each superstep
-        # references the previous state twice (senders + self-union),
+        # references the previous state twice (senders + merge join),
         # so an un-checkpointed plan doubles per round — exponential
         # analysis cost that OOMs small drivers. localCheckpoint is
         # the persist-equivalent that also cuts the logical plan.
-        nxt = _delta_superstep(edges, reg, rcols, []).localCheckpoint(eager=True)
+        nxt = _delta_superstep(edges, reg, b, []).localCheckpoint(eager=True)
         val, n_changed = stats(nxt)
         reg.unpersist()
         reg = nxt
@@ -365,25 +506,35 @@ def distance_summary_hyperball(
     """One row (avg_distance DOUBLE, effective_diameter DOUBLE,
     n_pairs_est DOUBLE) from the neighbourhood function:
 
-    * avg_distance  = Σ_t t·(N(t)−N(t−1)) / (N(T)−N(0))  — mean over
-      reachable ordered pairs (excluding d=0 self pairs),
+    * avg_distance  = Σ_t t·ΔN(t) / Σ_t ΔN(t) — mean over reachable
+      ordered pairs (excluding d=0 self pairs),
     * effective_diameter = the interpolated t where N first reaches
       q·N(T) (Palmer et al.'s 90%-effective-diameter for q=0.9).
+
+    The raw→linear-counting estimator switch can make the estimated
+    N(t) step DOWN even though the true function is monotone, so the
+    sequence is first clamped to its monotone envelope
+    (N'(t) = max(N'(t−1), N(t))) — per-step increments are then ≥ 0
+    and the clamped total is the normalizer, the same guard
+    :func:`harmonic_centrality_hyperball` applies to its shells.
     """
     pdf = neighborhood_function(graph, b=b, max_t=max_t, directed=directed).toPandas()
     nfs = list(pdf.sort_values("t")["nf"])
-    n_final, n0 = nfs[-1], nfs[0]
+    mono = []
+    for v in nfs:
+        mono.append(v if not mono else max(mono[-1], v))
+    n_final, n0 = mono[-1], mono[0]
     reach = max(n_final - n0, 1e-12)
-    avg = sum(t * (nfs[t] - nfs[t - 1]) for t in range(1, len(nfs))) / reach
+    avg = sum(t * (mono[t] - mono[t - 1]) for t in range(1, len(mono))) / reach
     target = q * n_final
-    eff = float(len(nfs) - 1)
-    for t in range(len(nfs)):
-        if nfs[t] >= target:
+    eff = float(len(mono) - 1)
+    for t in range(len(mono)):
+        if mono[t] >= target:
             if t == 0:
                 eff = 0.0
             else:
-                step = nfs[t] - nfs[t - 1]
-                eff = t - 1 + ((target - nfs[t - 1]) / step if step > 0 else 1.0)
+                step = mono[t] - mono[t - 1]
+                eff = t - 1 + ((target - mono[t - 1]) / step if step > 0 else 1.0)
             break
     spark = graph.spark
     return spark.createDataFrame(
@@ -418,40 +569,40 @@ def harmonic_centrality_hyperball(
     60 pivots'.
 
     Physical shape: identical to :func:`hyperball_registers` (edge
-    side persisted hash-partitioned, delta messaging, one register
-    shuffle per superstep). The running accumulators ride the SAME
-    aggregate as null-for-messages columns reduced with ``max`` —
-    exactly one non-null (the vertex's own row) exists per group, so
-    no second join is added. Shell increments are clamped at ≥0 (the
-    raw→linear-counting estimator switch can step down).
+    side persisted hash-partitioned, delta messaging, one PACKED
+    register shuffle per superstep). The running accumulators
+    (prev_est, harm, dsum) ride through the co-partitioned merge join
+    as untouched extras — they never enter the message aggregate.
+    Shell increments are clamped at ≥0 (the raw→linear-counting
+    estimator switch can step down).
     """
     if directed is None:
         directed = graph.directed
     # in-balls: who reaches v  ==  out-balls on the reversed graph
     edges = _prep_edges(graph, directed, reverse=True)
-    rcols = _register_cols(b)
     n_vertices = graph.vertices.count()
     reg = (
-        ball_size_estimate(_init_state(graph, b), b)
-        .withColumnRenamed("est", "prev_est")
+        _init_state(graph, b)
+        .withColumn("prev_est", _est_packed(b))
         .withColumn("harm", F.lit(0.0))
         .withColumn("dsum", F.lit(0.0))
-        .drop("reg_sum")
+        .select("id", *_packed_cols(b), "prev_est", "harm", "dsum", "chg")
         .persist()
     )
     reg.count()
     prev = [reg]
     total = None
     for step in range(1, max_t + 1):
-        merged = _delta_superstep(edges, reg, rcols, ["prev_est", "harm", "dsum"])
-        shell = F.greatest(F.col("est") - F.col("prev_est"), F.lit(0.0))
-        nxt = (
-            ball_size_estimate(merged, b)
-            .withColumn("harm", F.col("harm") + shell / F.lit(float(step)))
-            .withColumn("dsum", F.col("dsum") + shell * F.lit(float(step)))
-            .drop("prev_est", "reg_sum")
-            .withColumnRenamed("est", "prev_est")
-        )
+        merged = _delta_superstep(edges, reg, b, ["prev_est", "harm", "dsum"])
+        shell = F.greatest(_est_packed(b) - F.col("prev_est"), F.lit(0.0))
+        nxt = merged.select(
+            "id",
+            *_packed_cols(b),
+            _est_packed(b).alias("_est"),
+            (F.col("harm") + shell / F.lit(float(step))).alias("harm"),
+            (F.col("dsum") + shell * F.lit(float(step))).alias("dsum"),
+            "chg",
+        ).withColumnRenamed("_est", "prev_est")
         if step % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         else:
