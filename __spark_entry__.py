@@ -413,6 +413,25 @@ def q_lpa_nation_chains(spark, sf_dir):
     return label_propagation_communities(g).select("id", "label")
 
 
+def q_lpa_weighted_nation_chains(spark, sf_dir):
+    """Weighted LPA (label_propagation.py ``weight=`` — reference
+    community/label_propagation.py:216, asyn_lpa weight semantics):
+    chain edges get deterministic integer weights 1-5, so heavy edges
+    outvote unit edges and the converged segmentation differs from the
+    unweighted run. Rows-only for the same reason as its siblings
+    (xxhash64 sweep priorities have no DuckDB twin); the weighted
+    fixpoint contract is pytest-verified
+    (tests/test_label_propagation.py weighted suite)."""
+    from linkgraph.graph import LinkGraph
+
+    g = nation_chain_graph(spark, sf_dir)
+    edges = g.edges.withColumn(
+        "weight", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double")
+    )
+    gw = LinkGraph(vertices=g.vertices, edges=edges, directed=False)
+    return label_propagation_communities(gw, weight="weight").select("id", "label")
+
+
 def q_find_cycle_nations(spark, sf_dir):
     """Deterministic cycle witness (cycles.py find_cycle analog,
     networkx/algorithms/cycles.py:93) on the directed 25-nation ring:
@@ -3235,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Both are exact/1e-6-verified vs live networkx in pytest.
         "lpa_nation_chains": q_lpa_nation_chains,
         "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
+        "lpa_weighted_nation_chains": q_lpa_weighted_nation_chains,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,

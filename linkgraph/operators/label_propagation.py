@@ -283,6 +283,7 @@ def label_propagation_communities(
     warmup_rounds: int = 4,
     labels_start: DataFrame | None = None,
     stats_out: dict | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT); communities = groups of equal
     label. Raises ValueError on directed graphs (parity with
@@ -314,7 +315,24 @@ def label_propagation_communities(
     from unique labels, which would discard the warm start).
     ``stats_out`` (optional dict) gets ``sweeps`` — warm vs cold sweep
     counts are the incremental-serving win, asserted in
-    tests/test_incremental.py."""
+    tests/test_incremental.py.
+
+    ``weight`` names an edge column: neighbor votes become SUMS OF
+    EDGE WEIGHT instead of counts (reference semantics: an edge of
+    weight w is equivalent to w parallel unweighted edges —
+    networkx/algorithms/community/label_propagation.py:41-45 and the
+    weighted vote loop at :216, ``asyn_lpa_communities(weight=)``
+    :166-170). Duplicate (src,dst) rows sum, matching the multigraph
+    vote loop. Weights must be non-negative; the drain's potential
+    argument carries over with the weighted edge-agreement potential
+    Φ_w = Σ_e w_e·[l(u)=l(v)] (each accepted move raises it by its
+    strictly-positive local gain, so termination holds — the bound is
+    the finite labeling lattice rather than m moves). Integer-valued
+    weights keep the float vote sums exact (≤ 2^53), hence
+    order-independent; irrational weights could in principle flip
+    argmax TIES across partial-agg orders. Forces the distributed
+    path (the local kernel replays the reference's unweighted
+    schedule)."""
     if graph.directed:
         raise ValueError(
             "label_propagation_communities is not defined for directed "
@@ -323,20 +341,29 @@ def label_propagation_communities(
     spark = graph.spark
     if (
         labels_start is None
+        and weight is None
         and local_max_edges
         and graph.edges.count() <= local_max_edges
     ):
         return _local_lpa(graph)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    edges = (
-        graph.symmetrized_edges()
-        .select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(nparts, "src")
-        .persist()
-    )
+    if weight is None:
+        edges = (
+            graph.symmetrized_edges()
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+    else:
+        edges = (
+            graph.symmetrized_edges()
+            .select("src", "dst", F.col(weight).cast("double").alias("w"))
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    edges = edges.repartition(nparts, "src").persist()
     edges.count()
     vertices = graph.vertices.select("id")
 
@@ -369,13 +396,14 @@ def label_propagation_communities(
         e = edges
         if targets is not None:
             e = e.join(targets.withColumnRenamed("id", "src"), "src", "left_semi")
+        vote = F.count(F.lit(1)) if weight is None else F.sum("w")
         freq = (
             e.join(
                 labels_df.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), F.col("nl"))
-            .agg(F.count(F.lit(1)).alias("freq"))
+            .agg(vote.alias("freq"))
         )
         cur = labels_df.select("id", F.col("label").alias("cur"))
         return (

@@ -180,3 +180,91 @@ def test_distributed_and_local_both_reach_fixpoints(spark):
         assert _is_lpa_fixpoint(rows, edges, name_of), kw
         tri = {r["label"] for r in rows if name_of[r["id"]] in {"200", "201", "202"}}
         assert len(tri) == 1, kw
+
+
+def _is_weighted_lpa_fixpoint(rows, edges_w, name_of):
+    """Weighted termination contract: each node's label attains the
+    MAX weighted neighbor vote (an edge of weight w counts as w
+    parallel edges — label_propagation.py:41-45,216)."""
+    from collections import defaultdict
+
+    lab = {name_of[r["id"]]: r["label"] for r in rows}
+    adj = defaultdict(lambda: defaultdict(float))
+    for u, v, w in edges_w:
+        adj[str(u)][str(v)] += w
+        adj[str(v)][str(u)] += w
+    for n, nbrs in adj.items():
+        votes = defaultdict(float)
+        for u, w in nbrs.items():
+            votes[lab[u]] += w
+        if votes and votes.get(lab[n], 0.0) != max(votes.values()):
+            return False
+    return True
+
+
+def test_weighted_lpa_bridge_outvotes_clique(spark):
+    """Two K4s joined by one bridge of weight 10: the bridge endpoint's
+    3 unit intra-clique votes lose to the weight-10 cross vote, so in
+    EVERY valid weighted fixpoint the two bridge endpoints share a
+    label — the discriminator weighted votes add over unweighted
+    (where the same node keeps its clique's label, 3 > 1)."""
+    c1, c2 = ["a", "b", "c", "d"], ["p", "q", "r", "s"]
+    edges = (
+        [(u, v, 1.0) for i, u in enumerate(c1) for v in c1[i + 1:]]
+        + [(u, v, 1.0) for i, u in enumerate(c2) for v in c2[i + 1:]]
+        + [("d", "p", 10.0)]
+    )
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_of = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    rows = label_propagation_communities(g, weight="weight").collect()
+    assert _is_weighted_lpa_fixpoint(rows, edges, name_of)
+    lab = {name_of[r["id"]]: r["label"] for r in rows}
+    assert lab["d"] == lab["p"]
+    # the light cliques keep coherent communities
+    assert len({lab[x] for x in "abc"}) == 1
+    assert len({lab[x] for x in "qrs"}) == 1
+
+
+def test_weighted_lpa_unit_weights_match_unweighted(spark):
+    """weight= with an all-ones column must reproduce the unweighted
+    distributed run exactly (sum(1.0) == count(*) vote for vote, same
+    schedule)."""
+    edges = [(i, i + 1, 1.0) for i in range(0, 9)]
+    edges += [(100 + i, 100 + (i + 1) % 7, 1.0) for i in range(7)]
+    edges += [(200, 201, 1.0), (201, 202, 1.0), (202, 200, 1.0)]
+    g = graph_from_edge_names(spark, edges, directed=False)
+    unw = {
+        r["id"]: r["label"]
+        for r in label_propagation_communities(g, local_max_edges=0).collect()
+    }
+    wtd = {
+        r["id"]: r["label"]
+        for r in label_propagation_communities(g, weight="weight").collect()
+    }
+    assert unw == wtd
+
+
+def test_weighted_lpa_random_fixpoint_and_parallel_edges(spark):
+    """Seeded random weighted graph: result is a valid weighted
+    Prec-Max fixpoint; duplicate (u,v) rows vote additively (the
+    multigraph rule)."""
+    import random
+
+    rng = random.Random(17)
+    n = 30
+    edges = []
+    for u in range(n):
+        for _ in range(3):
+            v = rng.randrange(n)
+            if v != u:
+                edges.append((u, v, float(rng.randint(1, 5))))
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_of = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    rows = label_propagation_communities(g, weight="weight").collect()
+    assert _is_weighted_lpa_fixpoint(rows, edges, name_of)
+
+
+def test_weighted_lpa_directed_raises(spark):
+    g = graph_from_edge_names(spark, [(1, 2, 3.0)], directed=True)
+    with pytest.raises(ValueError):
+        label_propagation_communities(g, weight="weight")
