@@ -88,17 +88,28 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Predicted language: argmax stopword score, ties → lexicographic
-    language code, 'und' when all scores are zero."""
+    language code, 'und' when all scores are zero.
+
+    Shape matters here: an explicit WHEN-fold duplicates the running
+    ``best`` struct (score expressions and all) on BOTH branches of
+    every step, so the expression tree doubles per language and janino
+    refuses the >64KB generated method — Spark then drops the whole
+    stage to interpreted eval (observed on the doc_training_mix plan).
+    ``array_max`` over one struct per language keeps every score
+    expression exactly once; struct ordering on (score, pref) gives
+    max score with ties → highest ``pref`` = lexicographically first
+    language, identical semantics to the fold."""
     scores = lang_scores(text)
-    pairs = [
-        F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        for lang, s in sorted(scores.items())
+    langs = sorted(scores)
+    entries = [
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(len(langs) - i).alias("pref"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
     ]
-    # max over (score, inverted-lang) would break lexicographic ties the
-    # wrong way; fold explicitly: keep first-seen on equal score
-    best = pairs[0]
-    for p in pairs[1:]:
-        best = F.when(p["score"] > best["score"], p).otherwise(best)
+    best = F.array_max(F.array(*entries))
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
