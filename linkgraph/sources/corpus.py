@@ -159,6 +159,18 @@ def zipf_pages(
     return page
 
 
+def _escape_html(c):
+    """Minimal HTML escaping for rendered text content (the five
+    characters python's ``html.escape`` handles; ``&`` first so later
+    entities aren't double-escaped). ``html.unescape`` on the parse
+    side is the exact inverse."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    return F.replace(c, F.lit("'"), F.lit("&#x27;"))
+
+
 def pages_from_edges(
     vertices: DataFrame,
     edges: DataFrame,
@@ -187,11 +199,20 @@ def pages_from_edges(
     as the link's visible anchor text instead of the constant ``l`` —
     the hook for anchor-text workloads (extract.anchors_from_pages):
     the anchor stream stays derivable from the edge table alone, so a
-    SQL oracle can check the full render→parse round-trip.
+    SQL oracle can check the full render→parse round-trip. Anchor text
+    is HTML-ESCAPED at render time (&, <, >, ", ' → entities), and the
+    extractor's entity unescape inverts it exactly, so markup
+    characters round-trip render→parse byte-identically. (An oracle
+    deriving anchors straight from the edge table needs no inverse —
+    escape∘unescape is the identity on the anchor stream.) The one
+    remaining normalization is the extractor's whitespace contract:
+    runs of whitespace collapse to single spaces on parse.
     """
     url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("name"))
     dst_url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("dst_name"))
-    anchor_text = F.col(anchor_col) if anchor_col else F.lit("l")
+    anchor_text = (
+        _escape_html(F.col(anchor_col)) if anchor_col else F.lit("l")
+    )
     body = edges.groupBy(F.col("src_name").alias("name")).agg(
         F.concat_ws(
             "",

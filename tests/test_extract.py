@@ -121,3 +121,39 @@ def test_pages_from_edges_anchor_col_roundtrip(spark):
         for r in anchors_from_pages(pages).collect()
     }
     assert got == {("1", "2", "two links"), ("1", "3", "three"), ("2", "3", "three")}
+
+
+def test_pages_from_edges_markup_anchor_roundtrip(spark):
+    """Anchor strings containing markup characters (&, <, >, quotes,
+    even a literal '</a>') must survive render->parse byte-identically:
+    the renderer HTML-escapes at render time and the extractor's entity
+    unescape inverts it (corpus.py _escape_html)."""
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.sources.extract import anchors_from_pages
+
+    nasty = [
+        "A & B",
+        "5 < 6 > 4",
+        'say "hi"',
+        "it's fine",
+        "</a> breaker",
+        "<b>bold</b>",
+        "&amp; already escaped",
+    ]
+    verts = spark.createDataFrame([("0",)] + [(str(i + 1),) for i in range(len(nasty))], "name string")
+    edges = spark.createDataFrame(
+        [("0", str(i + 1), s) for i, s in enumerate(nasty)],
+        "src_name string, dst_name string, label string",
+    )
+    pages = pages_from_edges(verts, edges, name="mk", anchor_col="label")
+    got = {
+        (r["dst_url"].rsplit("/", 1)[-1], r["anchor"])
+        for r in anchors_from_pages(pages).collect()
+    }
+    assert got == {(str(i + 1), s) for i, s in enumerate(nasty)}
+    # body text round-trip is unaffected: the page still parses and the
+    # fixture sentence survives
+    from linkgraph.sources.extract import extract_pages
+
+    texts = {r["url"].rsplit("/", 1)[-1]: r["extracted_text"] for r in extract_pages(pages).collect()}
+    assert "crawl fixture page" in texts["0"]
