@@ -1061,6 +1061,28 @@ def q_core_number_parts(spark, sf_dir):
     return core_number(g).select("id", F.col("core").cast("long").alias("core"))
 
 
+def q_core_number_parts_dist(spark, sf_dir):
+    """Distributed-plan twin: local_max_edges=0 pins the Montresor
+    h-index superstep loop (core.py:200s) — the 100 TB plan — while
+    the default entry takes the size-gated single-task BZ peeling."""
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return core_number(g, local_max_edges=0).select(
+        "id", F.col("core").cast("long").alias("core")
+    )
+
+
+def q_ktruss_parts_dist(spark, sf_dir):
+    """Distributed-plan twin of q_ktruss_parts: local_max_edges=0 pins
+    the per-round degree-oriented wedge + shuffle_hash closing-join
+    peeling plan; the default entry takes the size-gated single-task
+    support-peel kernel. The k-truss is a unique maximal subgraph, so
+    both physical shapes hash to the same edge set."""
+    from linkgraph.operators.core import k_truss
+
+    g = part_cooccurrence_graph(spark, sf_dir)
+    return k_truss(g, k=4, local_max_edges=0).edges.select("src", "dst")
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     emb = _read_wide(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -3152,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "kcore_parts": q_kcore_parts,
         "core_number_parts": q_core_number_parts,
+        "core_number_parts_dist": q_core_number_parts_dist,
         "scc_orders": q_scc_orders,
         "anchor_profile_orders": q_anchor_profile_orders,
         "spam_mass_orders": q_spam_mass_orders,
@@ -3181,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "closeness_orders": q_closeness_orders,
         "ktruss_parts": q_ktruss_parts,
+        "ktruss_parts_dist": q_ktruss_parts_dist,
         "nation_quotient_orders": q_nation_quotient_orders,
         "part_projection": q_part_projection,
         "condensation_orders": q_condensation_orders,
@@ -5931,6 +5955,7 @@ SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value_r,
 FROM events GROUP BY event_type""",
         "kcore_parts": _kcore_sql(k=3, rounds=8),
         "core_number_parts": _core_number_sql(iters=30),
+        "core_number_parts_dist": _core_number_sql(iters=30),
         "onion_orders": _onion_sql(rounds=24),
         "kshell_parts": _kshell_sql(iters=30),
         "avg_degree_connectivity_parts": _avg_degree_connectivity_sql(),
@@ -6067,6 +6092,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "doc_fingerprints": _doc_fingerprints_sql(),
         "closeness_orders": _closeness_sql(),
         "ktruss_parts": _ktruss_sql(k=4, rounds=4),
+        "ktruss_parts_dist": _ktruss_sql(k=4, rounds=4),
         "nation_quotient_orders": _nation_quotient_sql(),
         "part_projection": _part_projection_sql(),
         "condensation_orders": _condensation_sql(),

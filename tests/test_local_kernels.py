@@ -206,3 +206,58 @@ def test_katz_local_vs_distributed(spark):
                 for r in katz_centrality(g, local_max_edges=0, **kw).collect()}
         for k in local:
             assert local[k] == pytest.approx(dist[k], abs=1e-12)
+
+
+# ---------------- core_number / k_truss local-vs-distributed --------
+def test_core_number_local_vs_distributed(spark):
+    """The single-task BZ peeling (core.py _local_core_number) and the
+    Montresor h-index superstep fixpoint are both EXACT, so they must
+    agree bit-for-bit — including isolates (core 0), self-loops
+    (dropped) and parallel edges (deduped)."""
+    import networkx as nx
+
+    from linkgraph.operators.core import core_number
+
+    g_nx = nx.gnp_random_graph(120, 0.06, seed=5)
+    edges = [(u, v) for u, v in g_nx.edges()] + [(0, 0), (1, 2)]  # loop + dup
+    g = graph_from_edge_names(spark, edges, nodes=[999], directed=False)
+    name_of = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    loc = {name_of[r["id"]]: r["core"] for r in core_number(g).collect()}
+    dist = {
+        name_of[r["id"]]: r["core"]
+        for r in core_number(g, local_max_edges=0).collect()
+    }
+    assert loc == dist
+    want = nx.core_number(nx.Graph([(str(u), str(v)) for u, v in g_nx.edges()]))
+    for n, c in want.items():
+        assert loc[n] == c, n
+    assert loc["999"] == 0
+
+
+def test_ktruss_local_vs_distributed(spark):
+    """k-truss is a unique maximal subgraph, so the single-task
+    support-peel kernel and the distributed per-round peeling must
+    return the identical edge set; cross-checked vs nx.k_truss."""
+    import networkx as nx
+
+    from linkgraph.operators.core import k_truss
+
+    g_nx = nx.gnp_random_graph(60, 0.18, seed=9)
+    edges = list(g_nx.edges())
+    g = graph_from_edge_names(spark, edges, directed=False)
+    name_of = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    for k in (3, 4, 5):
+        loc = {
+            tuple(sorted((name_of[r["src"]], name_of[r["dst"]])))
+            for r in k_truss(g, k=k).edges.collect()
+        }
+        dist = {
+            tuple(sorted((name_of[r["src"]], name_of[r["dst"]])))
+            for r in k_truss(g, k=k, local_max_edges=0).edges.collect()
+        }
+        assert loc == dist, k
+        want = {
+            tuple(sorted((str(u), str(v))))
+            for u, v in nx.k_truss(g_nx, k).edges()
+        }
+        assert loc == want, k
