@@ -413,6 +413,112 @@ def q_lpa_nation_chains(spark, sf_dir):
     return label_propagation_communities(g).select("id", "label")
 
 
+def q_incremental_pagerank_epoch2(spark, sf_dir):
+    """Two-epoch incremental PageRank serving
+    (streaming/incremental.py ``refresh_ranks``): epoch 1 crawls the
+    order-graph pages of customers with custkey % 4 != 0 and converges
+    a cold serving table (fixed_iter=5); epoch 2 appends the remaining
+    pages and refreshes WARM-STARTED from the epoch-1 table (url-keyed
+    nstart, renormalized, new urls at mass 0 —
+    pagerank_alg.py:139-154 semantics). The oracle replays BOTH phases
+    in SQL — unrolled epoch-1 iterations seed the unrolled epoch-2
+    iterations through the same coalesce-0/renormalize step — so the
+    warm-start plumbing itself (url seeding, renormalization, new-page
+    zero mass) is what the hash verifies, not just the final graph."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import refresh_ranks
+
+    base = "/tmp/lg_entry_incr_pr"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, ranks_path = base + "/pages", base + "/ranks"
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_name"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+        F.col("o_custkey").alias("skey"),
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name="incrpr").write.mode("overwrite").parquet(
+        pages_path
+    )
+    refresh_ranks(spark, pages_path, ranks_path, fixed_iter=5)
+    pages_from_edges(v2, e2, name="incrpr").write.mode("append").parquet(
+        pages_path
+    )
+    serving = refresh_ranks(spark, pages_path, ranks_path, fixed_iter=5)
+    return serving.select("url", F.round("rank", 8).alias("rank_r"))
+
+
+def q_incremental_cc_epoch2(spark, sf_dir):
+    """Two-epoch incremental connected-components serving
+    (streaming/incremental.py ``refresh_components``): epoch 1 crawls
+    the nation-chain pages of customers with custkey % 5 != 0 (chains
+    split into segments where the missing pages break them), epoch 2
+    appends the rest and refreshes warm-started from the epoch-1
+    serving table. Under appends the warm fixpoint is BIT-IDENTICAL to
+    a cold run (labels_start contract), so the oracle is simply the
+    full graph's components: per nation, every chain page maps to the
+    lexicographically-min url (dense ids are assigned in url sort
+    order, graph.py assign_dense_ids)."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import refresh_components
+
+    base = "/tmp/lg_entry_incr_cc"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, labels_path = base + "/pages", base + "/labels"
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        cust.select(
+            F.col("c_custkey").alias("skey"),
+            F.lead("c_custkey").over(w).alias("dkey"),
+        )
+    ).where(F.col("dkey").isNotNull())
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    edges = chain.select(
+        F.col("skey").cast("string").alias("src_name"),
+        F.col("dkey").cast("string").alias("dst_name"),
+        "skey",
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(5)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(5)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(5)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(5)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name="incrcc").write.mode("overwrite").parquet(
+        pages_path
+    )
+    refresh_components(spark, pages_path, labels_path)
+    pages_from_edges(v2, e2, name="incrcc").write.mode("append").parquet(
+        pages_path
+    )
+    serving = refresh_components(spark, pages_path, labels_path)
+    return serving.select("url", "component_url")
+
+
 def q_lpa_weighted_nation_chains(spark, sf_dir):
     """Weighted LPA (label_propagation.py ``weight=`` — reference
     community/label_propagation.py:216, asyn_lpa weight semantics):
@@ -3279,6 +3385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation_chains": q_lpa_nation_chains,
         "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
         "lpa_weighted_nation_chains": q_lpa_weighted_nation_chains,
+        "incremental_pagerank_epoch2": q_incremental_pagerank_epoch2,
+        "incremental_cc_epoch2": q_incremental_cc_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
@@ -3455,6 +3563,81 @@ x{i + 1} AS MATERIALIZED (
         head + "," + ",".join(steps)
         + f"""
 SELECT 'https://test.example/ord/' || CAST(id AS VARCHAR) AS url,
+       round(r, 8) AS rank_r FROM x{iters}"""
+    )
+
+
+def _incremental_pagerank_sql(iters: int = 5, alpha: float = PR_ALPHA) -> str:
+    """Full SQL replay of the two-epoch warm-started serving refresh
+    (q_incremental_pagerank_epoch2): unrolled epoch-1 PageRank on the
+    custkey%4!=0 subgraph (un-crawled link targets dropped BEFORE
+    out-strength normalization, exactly graph_from_pages), then the
+    warm-start step — coalesce-to-0 for new pages, renormalized by the
+    seed vector's own sum (pagerank_alg.py:139-154) — then unrolled
+    epoch-2 iterations on the full graph. Every CTE MATERIALIZED (the
+    chain references each x{i} twice; DuckDB would inline plain CTEs
+    exponentially)."""
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e_all AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+nodes1 AS MATERIALIZED (SELECT c_custkey AS id FROM customer WHERE c_custkey % 4 <> 0),
+n1 AS MATERIALIZED (SELECT count(*) AS n FROM nodes1),
+e1 AS MATERIALIZED (
+  SELECT src, dst FROM e_all
+  WHERE src % 4 <> 0 AND dst IN (SELECT id FROM nodes1)),
+ec1 AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e1 GROUP BY src, dst),
+os1 AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec1 GROUP BY src),
+ne1 AS MATERIALIZED (SELECT ec1.src, ec1.dst, ec1.w / os1.s AS w FROM ec1 JOIN os1 ON os1.src = ec1.src),
+dang1 AS MATERIALIZED (SELECT id FROM nodes1 WHERE id NOT IN (SELECT src FROM os1)),
+y0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM n1) AS r FROM nodes1)"""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+y{i + 1} AS MATERIALIZED (
+  SELECT nodes1.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM y{i} x JOIN dang1 d ON d.id = x.id)
+        * (1.0 / (SELECT n FROM n1)))
+    + {1.0 - alpha} * (1.0 / (SELECT n FROM n1)) AS r
+  FROM nodes1
+  LEFT JOIN (
+    SELECT ne1.dst AS id, sum(x.r * ne1.w) AS gathered
+    FROM y{i} x JOIN ne1 ON ne1.src = x.id GROUP BY ne1.dst
+  ) g ON g.id = nodes1.id
+)""")
+    mid = f"""
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+e2 AS MATERIALIZED (
+  SELECT src, dst FROM e_all WHERE dst IN (SELECT id FROM nodes)),
+ec AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e2 GROUP BY src, dst),
+os AS MATERIALIZED (SELECT src, sum(w) AS s FROM ec GROUP BY src),
+ne AS MATERIALIZED (SELECT ec.src, ec.dst, ec.w / os.s AS w FROM ec JOIN os ON os.src = ec.src),
+dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM os)),
+seedsum AS MATERIALIZED (SELECT sum(r) AS s FROM y{iters}),
+x0 AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(y.r, 0) / (SELECT s FROM seedsum) AS r
+  FROM nodes LEFT JOIN y{iters} y ON y.id = nodes.id)"""
+    for i in range(iters):
+        steps.append(f"""
+x{i + 1} AS MATERIALIZED (
+  SELECT nodes.id,
+    {alpha} * (COALESCE(g.gathered, 0)
+      + (SELECT COALESCE(sum(x.r), 0) FROM x{i} x JOIN dang d ON d.id = x.id)
+        * (1.0 / (SELECT n FROM nn)))
+    + {1.0 - alpha} * (1.0 / (SELECT n FROM nn)) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT ne.dst AS id, sum(x.r * ne.w) AS gathered
+    FROM x{i} x JOIN ne ON ne.src = x.id GROUP BY ne.dst
+  ) g ON g.id = nodes.id
+)""")
+    phase1 = ",".join(steps[:iters])
+    phase2 = ",".join(steps[iters:])
+    return (
+        head + "," + phase1 + "," + mid + "," + phase2
+        + f"""
+SELECT 'https://test.example/incrpr/' || CAST(id AS VARCHAR) AS url,
        round(r, 8) AS rank_r FROM x{iters}"""
     )
 
@@ -6104,6 +6287,12 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "betweenness_weighted_orders_dist": _weighted_betweenness_sql(),
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "hyperball_orders": _hyperball_sql(),
+        "incremental_pagerank_epoch2": _incremental_pagerank_sql(),
+        "incremental_cc_epoch2": """
+SELECT 'https://test.example/incrcc/' || CAST(c_custkey AS VARCHAR) AS url,
+       MIN('https://test.example/incrcc/' || CAST(c_custkey AS VARCHAR))
+         OVER (PARTITION BY c_nationkey) AS component_url
+FROM customer""",
         "hyperball_orders_b6": _hyperball_sql(6, 3),
         "harmonic_sampled_orders_dist": _harmonic_sampled_sql(),
         "katz_orders": _katz_sql(),
