@@ -5,14 +5,24 @@ run on actual content for .jpg exactly as they already do for PPM.
 
 Scope (documented, honest):
 
-* decoder: baseline sequential DCT (SOF0), 8-bit, 1- or 3-component,
-  arbitrary h/v sampling factors (4:4:4, 4:2:0, 4:2:2, ...), restart
-  intervals, 0xFF00 byte unstuffing. Progressive (SOF2) and arithmetic
-  coding raise ``ValueError`` — dispatchers fall back to the stub.
-* encoder: 4:4:4 single-scan baseline with the T.81 Annex K reference
+* decoder: baseline sequential DCT (SOF0/1) AND progressive DCT
+  (SOF2, full successive approximation — all four scan types with
+  EOBRUN, T.81 Annex G; the r3 verdict's open decision, closed by
+  decoding), 8-bit, 1- or 3-component, arbitrary h/v sampling factors
+  (4:4:4, 4:2:0, 4:2:2, ...), restart intervals, 0xFF00 byte
+  unstuffing. Hierarchical/lossless/arithmetic coding raise
+  ``ValueError`` — dispatchers fall back to the stub.
+* encoder: baseline single-scan (``encode_jpeg``) and progressive
+  (``encode_jpeg_progressive``, successive-approximation scan script
+  covering every scan type) with the T.81 Annex K reference
   quantization + Huffman tables (quality scaling per the libjpeg
-  50-point rule) — exists to make real fixtures in-container and to
-  round-trip-test the decoder.
+  50-point rule; progressive AC scans carry their own canonical table
+  because Annex K defines no EOBRUN symbols) — exists to make real
+  fixtures in-container and to round-trip-test the decoder.
+  Correctness cross-check: both encoders share only the quantized
+  coefficients; the progressive scan machinery is fully independent,
+  and tests assert progressive decode == baseline decode BIT-EXACT on
+  the same input.
 * pure Python/numpy bit twiddling: right for fixture-scale payloads
   inside Arrow batches; a production cluster swaps libjpeg-turbo in
   through the same ``set_decoder`` seam (multimodal.py:90).
@@ -100,6 +110,29 @@ K3_AC_CHROMA = (
         0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
 )
+def _progressive_ac_spec():
+    """Huffman table spec (BITS, HUFFVAL) for progressive AC scans.
+
+    The Annex K.3 AC tables define no EOBRUN symbols ((r<<4)|0 for
+    r=1..14 — T.81 G.1.2.2's multi-block end-of-band runs), so the
+    progressive encoder carries its own canonical table: every
+    (run,size≤10) code, ZRL, and EOB0..EOB14, with short codes on the
+    statistically common symbols and a flat 12-bit tail. Kraft sum
+    3/8 + 6/32 + 167/4096 < 1, so the assignment is prefix-feasible;
+    both encoder and decoder build it from this one spec."""
+    l3 = [0x00, 0x01, 0x11]
+    l5 = [0x02, 0x21, 0x12, 0x31, 0xF0, 0x10]
+    head = set(l3) | set(l5)
+    rest = sorted(
+        ({(r << 4) | s for r in range(16) for s in range(1, 11)}
+         | {r << 4 for r in range(15)} | {0xF0}) - head
+    )
+    bits = [0, 0, len(l3), 0, len(l5), 0, 0, 0, 0, 0, 0, len(rest), 0, 0, 0, 0]
+    return bits, l3 + l5 + rest
+
+
+PROG_AC_SPEC = _progressive_ac_spec()
+
 # encoder-side zigzag: the spec's hard-coded Figure A.6 order
 ZIGZAG_SPEC = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -234,12 +267,26 @@ def _extend(v: int, t: int) -> int:
 
 
 # ---------------------------------------------------------------- decoder
-def decode_jpeg_pixels(payload: bytes):
-    """Baseline-JPEG bytes -> (H, W, 3) or (H, W) uint8 numpy array.
+def _next_marker_pos(d: bytes, p: int) -> int:
+    """First position >= p of a real marker (0xFF followed by neither
+    a stuffed 0x00 nor an RSTn) — where the next header segment starts
+    after an entropy-coded progressive scan."""
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 and not (0xD0 <= d[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(d)
 
-    Raises ValueError on non-JPEG input, progressive scans (SOF2),
-    arithmetic coding, or >8-bit precision — dispatchers treat those
-    as 'no codec' and fall back to the stub."""
+
+def decode_jpeg_pixels(payload: bytes):
+    """JPEG bytes -> (H, W, 3) or (H, W) uint8 numpy array.
+
+    Decodes baseline sequential DCT (SOF0/1) and PROGRESSIVE DCT
+    (SOF2) with full successive approximation — all four progressive
+    scan types (DC first/refine, AC first/refine with EOBRUN), T.81
+    Annex G. Raises ValueError on non-JPEG input, the remaining
+    hierarchical/lossless/arithmetic frame types, or >8-bit precision —
+    dispatchers treat those as 'no codec' and fall back to the stub."""
     import numpy as np
 
     d = payload
@@ -252,6 +299,7 @@ def decode_jpeg_pixels(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient store
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(d):
@@ -280,7 +328,7 @@ def decode_jpeg_pixels(payload: bytes):
                 dezz = np.zeros(64, np.int32)
                 dezz[zz] = tbl
                 qt[tq] = dezz.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
                 ">H", seg[3:5]
             )[0], seg[5]
@@ -292,9 +340,11 @@ def decode_jpeg_pixels(payload: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential DCT (SOF0/1) supported")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0/1) and progressive (SOF2) DCT supported"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -314,16 +364,31 @@ def decode_jpeg_pixels(payload: bytes):
             scan = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                ci = next(
+                    i for i, c in enumerate(frame["comps"]) if c["id"] == cs
+                )
                 scan.append(
-                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                    {**frame["comps"][ci], "ci": ci, "dc": tt >> 4, "ac": tt & 0xF}
                 )
             data_start = pos + 2 + seglen
-            return _decode_scan(
-                d, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval, zz, C,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    d, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, zz, C,
+                )
+            if coefs is None:
+                coefs = _init_coef_store(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            end = _decode_progressive_scan(
+                d, data_start, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ah, al, coefs,
             )
+            pos = _next_marker_pos(d, end)
+            continue
         pos += 2 + seglen
+    if coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt, zz, C)
     raise ValueError("no SOS marker found")
 
 
@@ -387,6 +452,192 @@ def _decode_scan(
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (SOF2)
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) over the FRAME's components (a
+    progressive scan may cover a subset; geometry is frame-global)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_block_dims(frame, c):
+    """Non-interleaved block grid of one component: blocks covering
+    ceil(w·h_i/hmax) × ceil(h·v_i/vmax) samples (T.81 A.2.2) — NOT the
+    MCU-padded grid an interleaved scan walks."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _init_coef_store(frame):
+    """Per-component zigzag-order coefficient accumulators at the
+    MCU-padded grid (successive scans refine them in place)."""
+    import numpy as np
+
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _decode_progressive_scan(
+    d, pos, frame, scan, huff_dc, huff_ac, restart_interval, ss, se, ah, al,
+    coefs,
+):
+    """One progressive scan (T.81 Annex G.2): accumulates into
+    ``coefs`` and returns the stream position the reader stopped at
+    (the caller locates the next marker from there).
+
+    Scan grammar enforced per spec: DC scans (ss=0) may interleave
+    several components and walk MCU order; AC scans (ss>0) cover
+    exactly one component and walk that component's own block raster.
+    ``eobrun`` (end-of-band run) spans blocks within a scan and resets
+    at restart markers, as does the DC predictor."""
+    import numpy as np  # noqa: F401  (scalar indexing on coef arrays)
+
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    reader = _BitReader(d, pos)
+    p1 = 1 << al
+
+    if ss == 0:  # DC scan, possibly interleaved
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        pred = {c["ci"]: 0 for c in scan}
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    reader.align_and_skip_rst()
+                    pred = {c["ci"]: 0 for c in scan}
+                for c in scan:
+                    st = coefs[c["ci"]]
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            by, bx = my * c["v"] + bv, mx * c["h"] + bh
+                            if ah == 0:  # first pass: value << al
+                                t = reader.decode_symbol(huff_dc[c["dc"]])
+                                diff = _extend(reader.receive(t), t)
+                                pred[c["ci"]] += diff
+                                st[by, bx, 0] = pred[c["ci"]] << al
+                            else:  # refinement: one raw bit
+                                if reader.read_bit():
+                                    st[by, bx, 0] = int(st[by, bx, 0]) | p1
+                n_mcu += 1
+        return reader.pos
+
+    # AC scan: single component, non-interleaved block raster
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must cover one component")
+    c = scan[0]
+    st = coefs[c["ci"]]
+    table = huff_ac[c["ac"]]
+    nbx, nby = _comp_block_dims(frame, c)
+    eobrun = 0
+    n_blk = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and n_blk and n_blk % restart_interval == 0:
+                reader.align_and_skip_rst()
+                eobrun = 0
+            n_blk += 1
+            blk = st[by, bx]
+            if ah == 0:  # ---- AC first pass (G.2.2, values << al)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_symbol(table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in first scan")
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:  # ---- AC refinement (G.2.3): correction bits + new ±p1
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_symbol(table)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:  # s is always 1 in a refinement scan
+                            val = p1 if reader.read_bit() else -p1
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if reader.read_bit() and (abs(cur) & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if reader.read_bit() and (abs(cur) & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, coefs, qt, zz, C):
+    """Dequantize + IDCT the accumulated coefficient store and
+    assemble the image (same tail as the baseline scan decoder)."""
+    import numpy as np
+
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    h, w = frame["h"], frame["w"]
+    full = []
+    for c, st in zip(frame["comps"], coefs):
+        q = qt[c["tq"]]
+        nby, nbx = st.shape[0], st.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8), np.float64)
+        dezz = np.zeros((nby, nbx, 64), np.float64)
+        dezz[:, :, zz] = st
+        blocks = dezz.reshape(nby, nbx, 8, 8) * q
+        spatial = np.einsum("xk,abky,yl->abxl", C.T, blocks, C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -600,6 +851,310 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    pixels, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> PROGRESSIVE JFIF bytes (SOF2) with
+    a successive-approximation scan script that exercises all four
+    progressive scan types the decoder implements:
+
+        1. DC first  (interleaved, Al=1)
+        2. AC first  (per component, Ss=1..63, Al=1) with EOBRUN
+        3. DC refine (interleaved, Ah=1, Al=0 — raw bits)
+        4. AC refine (per component, Ah=1, Al=0 — correction bits,
+           buffered-bit EOB runs)
+
+    Exists to make real progressive fixtures in-container and to
+    round-trip-test the SOF2 decode path; quality/tables identical to
+    :func:`encode_jpeg`. Point transforms per T.81: DC is an
+    arithmetic shift, AC divides magnitudes (truncation toward zero).
+    """
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px]
+        factors = [(1, 1)]
+    else:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+        if subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            factors = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qluma_z, qchroma_z = _quality_tables(quality)
+    C = _dct_matrix()
+    zz = ZIGZAG_SPEC
+    qtabs = [qluma_z] if gray else [qluma_z, qchroma_z, qchroma_z]
+    dqz = []
+    for qz in qtabs:
+        dq = np.zeros(64, np.int32)
+        dq[zz] = qz
+        dqz.append(dq.reshape(8, 8))
+
+    # quantized zigzag coefficients for every (padded) block, computed once
+    zq_store = []
+    for ci, ((ch_f, cv), c) in enumerate(zip(factors, comps)):
+        p = _box_down(c, vmax // cv, hmax // ch_f)
+        th, tw = mcuy * cv * 8, mcux * ch_f * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        nby, nbx = th // 8, tw // 8
+        # per-block FDCT with the IDENTICAL expression the baseline
+        # encoder uses (C @ blk @ C.T): a vectorized einsum sums in a
+        # different order and its last-bit float differences flip
+        # np.round at exact-.5 quantization boundaries — the two
+        # encoders must quantize bit-identically for the progressive
+        # decode == baseline decode cross-check to hold
+        q = np.empty((nby, nbx, 8, 8), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                q[by, bx] = np.round((C @ blk @ C.T) / dqz[ci]).astype(np.int64)
+        zq_store.append(q.reshape(nby, nbx, 64)[:, :, zz])
+
+    dc_tbl = [_huff_encode_table(*K3_DC_LUMA), _huff_encode_table(*K3_DC_CHROMA)]
+    # one shared AC table for every progressive AC scan: the K.3 AC
+    # tables lack EOBRUN symbols (see _progressive_ac_spec)
+    ac_prog = _huff_encode_table(*PROG_AC_SPEC)
+    ac_tbl = [ac_prog, ac_prog]
+
+    def tid(ci):
+        return 0 if ci == 0 else 1
+
+    def comp_dims(ci):
+        ch_f, cv = factors[ci]
+        cw = -(-w * ch_f // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-cw // 8), -(-chh // 8)
+
+    scans = []  # (sos_body, entropy_bytes)
+
+    def sos_body(comp_ids, tspecs, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, ts in zip(comp_ids, tspecs):
+            body += bytes([cid, ts])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    nc = len(comps)
+    all_ids = [ci + 1 for ci in range(nc)]
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                ch_f, cv = factors[ci]
+                for bv in range(cv):
+                    for bh in range(ch_f):
+                        v = int(zq_store[ci][my * cv + bv, mx * ch_f + bh, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        ln, code = dc_tbl[tid(ci)][s]
+                        bw.write(code, ln)
+                        if s:
+                            mag = diff if diff >= 0 else diff + (1 << s) - 1
+                            bw.write(mag, s)
+    bw.flush()
+    scans.append(
+        (sos_body(all_ids, [tid(ci) << 4 for ci in range(nc)], 0, 0, 0, 1),
+         bytes(bw.out))
+    )
+
+    # ---- scans 2..: AC first per component, Ss=1..63, Al=1
+    def pt_ac(v, al):
+        a = abs(v) >> al
+        return a if v >= 0 else -a
+
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eob(bw=bw):
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                ln, code = ac_tbl[tid(ci)][rr << 4]
+                bw.write(code, ln)
+                if rr:
+                    bw.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        nbx, nby = comp_dims(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zq_store[ci][by, bx]
+                ts = [pt_ac(int(blk[k]), 1) for k in range(1, 64)]
+                if not any(ts):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, t in enumerate(ts) if t)
+                for i, t in enumerate(ts):
+                    if i > last_nz:
+                        break
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_tbl[tid(ci)][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(t)
+                    ln, code = ac_tbl[tid(ci)][(run << 4) | s]
+                    bw.write(code, ln)
+                    mag = t if t >= 0 else t + (1 << s) - 1
+                    bw.write(mag, s)
+                    run = 0
+                if last_nz < 62:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        bw.flush()
+        scans.append(
+            (sos_body([ci + 1], [0x00], 1, 63, 0, 1), bytes(bw.out))
+        )
+
+    # ---- scan: DC refine, interleaved, Ah=1 Al=0 (raw bits)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                ch_f, cv = factors[ci]
+                for bv in range(cv):
+                    for bh in range(ch_f):
+                        bw.write(
+                            int(zq_store[ci][my * cv + bv, mx * ch_f + bh, 0]) & 1,
+                            1,
+                        )
+    bw.flush()
+    scans.append(
+        (sos_body(all_ids, [0] * nc, 0, 0, 1, 0), bytes(bw.out))
+    )
+
+    # ---- scans: AC refine per component, Ah=1 Al=0
+    for ci in range(nc):
+        bw = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob_r(bw=bw):
+            nonlocal eobrun, pending
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                ln, code = ac_tbl[tid(ci)][rr << 4]
+                bw.write(code, ln)
+                if rr:
+                    bw.write(eobrun - (1 << rr), rr)
+            for b in pending:
+                bw.write(b, 1)
+            eobrun = 0
+            pending = []
+
+        nbx, nby = comp_dims(ci)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zq_store[ci][by, bx]
+                absv = [abs(int(blk[k])) for k in range(1, 64)]
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                if not newly:
+                    corr = [a & 1 for a in absv if a > 1]
+                    eobrun += 1
+                    pending.extend(corr)
+                    if eobrun == 0x7FFF:
+                        flush_eob_r()
+                    continue
+                flush_eob_r()
+                run = 0
+                br: list[int] = []
+                last_new = newly[-1]
+                # scan the FULL band: positions past the last
+                # newly-significant coefficient still accumulate run
+                # (zero-history zeros) and br (correction bits) so the
+                # terminating EOB below covers the tail — breaking at
+                # last_new would end the block without an EOB and the
+                # decoder would keep reading symbols into the next block
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    # ZRLs flush at ANY nonzero coefficient (correction
+                    # or newly-significant), BEFORE buffering its bit —
+                    # the buffered bits after each ZRL must correspond
+                    # only to coefficients inside that 16-zero window or
+                    # the decoder's bit stream desynchronizes; never
+                    # emit a ZRL beyond the last newly-significant
+                    # coefficient (that region belongs to the EOB run)
+                    while run > 15 and i <= last_new:
+                        ln, code = ac_tbl[tid(ci)][0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in br:
+                            bw.write(b, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    # a == 1: newly significant
+                    ln, code = ac_tbl[tid(ci)][(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if int(blk[i + 1]) >= 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob_r()
+        flush_eob_r()
+        bw.flush()
+        scans.append(
+            (sos_body([ci + 1], [0x00], 1, 63, 1, 0), bytes(bw.out))
+        )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qluma_z))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(int(x) for x in qchroma_z))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        ch_f, cv = factors[ci]
+        sof += bytes([ci + 1, (ch_f << 4) | cv, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    for tc_th, (bits, vals) in (
+        ((0x00, K3_DC_LUMA), (0x10, PROG_AC_SPEC))
+        + (((0x01, K3_DC_CHROMA),) if not gray else ())
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    for body, data in scans:
+        out += seg(0xDA, body)
+        out += data
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -20,12 +20,13 @@ Design for 100 TB:
   RIFF/WAVE 16-bit PCM audio, YUV4MPEG2 (C444) video — implemented in
   pure numpy (:func:`ppm_decode`, :func:`wav_features`,
   :func:`decode_y4m_frames`): actual pixels/samples/frames drive the
-  features, resampling, and frame sampling — plus baseline JPEG
-  (pure-numpy T.81, functions/jpeg.py) and PNG (stdlib zlib + numpy,
-  functions/png.py). Formats still codec-bound (progressive JPEG,
-  Ogg, MP4) fall back to a deterministic sha-derived stub
-  (:func:`fake_decode`) behind the ``set_decoder`` seam — the same
-  magic-byte dispatch a production pipeline uses.
+  features, resampling, and frame sampling — plus baseline AND
+  progressive JPEG (pure-numpy T.81 incl. Annex G successive
+  approximation, functions/jpeg.py) and PNG (stdlib zlib + numpy,
+  functions/png.py). Formats still codec-bound (hierarchical/
+  arithmetic JPEG, Adam7 PNG, Ogg, MP4) fall back to a deterministic
+  sha-derived stub (:func:`fake_decode`) behind the ``set_decoder``
+  seam — the same magic-byte dispatch a production pipeline uses.
 
 Media table shape (Iceberg-compatible, like the pages table):
 
@@ -209,11 +210,12 @@ def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
 
 
 def auto_decode(payload: bytes) -> dict:
-    """Dispatch on magic bytes: P6, baseline JPEG, and PNG decode for
-    REAL (zero-dependency codecs), anything else falls back to the
-    deterministic stub (the honest boundary — a cluster image pipeline
-    dispatches on format exactly like this; progressive JPEG raises
-    inside the codec and lands on the stub too)."""
+    """Dispatch on magic bytes: P6, baseline + progressive JPEG, and
+    PNG decode for REAL (zero-dependency codecs), anything else falls
+    back to the deterministic stub (the honest boundary — a cluster
+    image pipeline dispatches on format exactly like this; arithmetic/
+    hierarchical JPEG raises inside the codec and lands on the stub
+    too)."""
     if payload and payload.startswith(b"P6"):
         try:
             return ppm_decode(payload)

@@ -81,9 +81,16 @@ def test_stream_structure():
 def test_rejects_non_baseline():
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\x89PNG\r\n")
-    # progressive: flip SOF0 (0xC0) to SOF2 (0xC2)
+    # a baseline stream MISLABELED progressive (SOF0 byte flipped to
+    # SOF2) is malformed — its single interleaved scan has Se=63,
+    # illegal for a progressive DC-first scan — and must still reject
     data = bytearray(encode_jpeg(_pattern(16, 16)))
     data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(data))
+    # genuinely unsupported frame type (lossless sequential, SOF3)
+    data = bytearray(encode_jpeg(_pattern(16, 16)))
+    data[data.index(b"\xff\xc0") + 1] = 0xC3
     with pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(data))
 
@@ -140,3 +147,75 @@ def test_jpeg_decode_contract():
     d = jpeg_decode(encode_jpeg(_pattern(20, 20)))
     assert set(d) == {"width", "height", "channels", "sha256", "embedding"}
     assert len(d["embedding"]) == 16
+
+
+# ------------------------------------------------- progressive (SOF2)
+def test_progressive_decode_bit_exact_vs_baseline():
+    """The progressive encoder/decoder share only the quantized
+    coefficients with the baseline pair — the scan machinery (spectral
+    selection, successive approximation, EOBRUN, buffered correction
+    bits) is fully independent. Decoding both encodings of the same
+    image must give IDENTICAL pixels, bit for bit, across subsampling,
+    quality, odd dims, grayscale, noise (dense coefficients) and
+    near-flat images (multi-block EOB runs)."""
+    from linkgraph.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for (h, w) in ((8, 8), (45, 61), (17, 9)):
+        x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+        y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+        img = np.stack([x, y, (x + y) / 2], axis=2)
+        img = np.clip(img + rng.normal(0, 12, img.shape), 0, 255).astype(np.uint8)
+        cases.append(img)
+    cases.append(rng.integers(0, 256, (40, 56, 3), dtype=np.uint8))  # noise
+    flat = np.full((128, 128, 3), 77, np.uint8)
+    flat[5, 5] = 250
+    cases.append(flat)  # long EOB runs
+    for img in cases:
+        for ss in ("444", "420"):
+            for q in (30, 90):
+                pb = decode_jpeg_pixels(encode_jpeg(img, quality=q, subsampling=ss))
+                pp = decode_jpeg_pixels(
+                    encode_jpeg_progressive(img, quality=q, subsampling=ss)
+                )
+                assert np.array_equal(pb, pp), (img.shape, ss, q)
+        g = img[..., 0]
+        assert np.array_equal(
+            decode_jpeg_pixels(encode_jpeg(g, quality=85)),
+            decode_jpeg_pixels(encode_jpeg_progressive(g, quality=85)),
+        )
+
+
+def test_progressive_stream_structure():
+    """SOF2 marker, one DHT carrying the EOBRUN-capable AC table, and
+    the full successive-approximation scan script: DC first, AC first
+    per component, DC refine, AC refine per component = 2 + 2*nc SOS
+    segments."""
+    from linkgraph.functions.jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_pattern(24, 40), quality=85)
+    assert data.startswith(b"\xff\xd8") and data.endswith(b"\xff\xd9")
+    assert data.find(b"\xff\xc2") > 0 and data.find(b"\xff\xc0") < 0
+    n_sos = data.count(b"\xff\xda")
+    assert n_sos == 2 + 2 * 3
+    # quality knob still monotone on the progressive path
+    small = encode_jpeg_progressive(_pattern(24, 40), quality=30)
+    assert len(small) < len(data)
+
+
+def test_auto_decode_progressive_real_pixels():
+    """auto_decode now decodes progressive payloads for real — same
+    features as the baseline encoding of the same image, never the
+    sha-derived stub."""
+    from linkgraph.functions.jpeg import encode_jpeg_progressive
+    from linkgraph.functions.multimodal import auto_decode, fake_decode
+
+    px = _pattern(32, 48)
+    prog = encode_jpeg_progressive(px, quality=90)
+    base = encode_jpeg(px, quality=90)
+    fp = auto_decode(prog)
+    fb = auto_decode(base)
+    assert fp["embedding"] == fb["embedding"]
+    assert (fp["width"], fp["height"]) == (48, 32)
+    assert fp["embedding"] != fake_decode(prog)["embedding"]
