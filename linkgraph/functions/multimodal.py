@@ -22,11 +22,13 @@ Design for 100 TB:
   :func:`decode_y4m_frames`): actual pixels/samples/frames drive the
   features, resampling, and frame sampling — plus baseline AND
   progressive JPEG (pure-numpy T.81 incl. Annex G successive
-  approximation, functions/jpeg.py) and PNG (stdlib zlib + numpy,
-  functions/png.py). Formats still codec-bound (hierarchical/
-  arithmetic JPEG, Adam7 PNG, Ogg, MP4) fall back to a deterministic
-  sha-derived stub (:func:`fake_decode`) behind the ``set_decoder``
-  seam — the same magic-byte dispatch a production pipeline uses.
+  approximation, functions/jpeg.py) and PNG at every legal
+  depth/color-type incl. Adam7 interlace and 16-bit samples (stdlib
+  zlib + numpy, functions/png.py). Formats still codec-bound
+  (hierarchical/arithmetic JPEG, Ogg, MP4) fall back to a
+  deterministic sha-derived stub (:func:`fake_decode`) behind the
+  ``set_decoder`` seam — the same magic-byte dispatch a production
+  pipeline uses.
 
 Media table shape (Iceberg-compatible, like the pages table):
 

@@ -9,14 +9,20 @@ like PPM and baseline JPEG.
 
 Scope (documented, honest):
 
-* decoder: 8-bit samples, color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); multiple IDAT chunks; CRC-verified.
-  Interlace (Adam7), 16-bit samples, and sub-byte palette depths
-  raise ``ValueError`` — dispatchers fall back to the stub.
-* encoder: 8-bit gray/RGB/RGBA, any of the five scanline filters
-  (forward-applied from the spec formulas) — exists to make real
-  fixtures in-container and to round-trip-test the decoder on every
-  filter path.
+* decoder: every legal bit depth/color-type combination — 1/2/4/8/16
+  bit for gray (0) and palette (3, sub-byte indices unpacked), 8/16
+  bit for RGB (2), gray+alpha (4) and RGBA (6) — PLUS Adam7
+  interlacing (all seven passes unfiltered independently at their own
+  pass geometry, then scattered into the full grid); multiple IDAT
+  chunks; CRC-verified. 16-bit samples decode for real and emit their
+  HIGH byte (the feature contract downstream is 8-bit — documented
+  precision reduction, not a stub). Only genuinely out-of-spec
+  streams raise ``ValueError`` now.
+* encoder: 8-bit gray/RGB/RGBA with any of the five scanline filters
+  (forward-applied from the spec formulas), optional Adam7
+  (``interlace=True``), and a 16-bit variant (``encode_png16``) —
+  exists to make real fixtures in-container and to round-trip-test
+  the decoder on every filter, pass-geometry and depth path.
 * unfilter cost: Sub is a per-byte-lane cumulative sum (vectorized);
   Up is one vector add; Average/Paeth have a left dependency, so the
   column loop is Python with the channel lanes vectorized — right
@@ -76,11 +82,105 @@ def _chunks(payload: bytes):
     raise ValueError("PNG missing IEND")
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step), spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+# legal bit depths per color type (spec table 11.1)
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
+def _unfilter(rows_with_filters, height, stride, bpp):
+    """Invert the five scanline filters over a (filter byte + stride
+    bytes) × height region; ``bpp`` is the spec's filter unit (bytes
+    per complete pixel, min 1 — so sub-byte depths filter at distance
+    1 and 16-bit at 2×samples). Returns (height, stride) uint8."""
+    import numpy as np
+
+    raw = np.frombuffer(rows_with_filters, dtype="uint8")
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG: IDAT size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:]
+    npix = stride // bpp  # whole filter units per scanline
+    out = np.zeros((height, stride), dtype="uint8")
+    prev = np.zeros(stride, dtype="uint8")
+    for y in range(height):
+        f = int(filters[y])
+        cur = rows[y]
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 1:  # Sub: prefix sum per byte lane, mod 256
+            lanes = cur.reshape(npix, bpp).astype("uint32")
+            rec = (
+                np.cumsum(lanes, axis=0, dtype="uint32") % 256
+            ).astype("uint8").reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average — left dependency: column loop
+            rec = np.zeros(stride, dtype="uint8")
+            lanes = np.arange(bpp)
+            for x in range(npix):
+                left = (
+                    rec[(x - 1) * bpp + lanes].astype("int32") if x else 0
+                )
+                up = prev[x * bpp + lanes].astype("int32")
+                rec[x * bpp + lanes] = (
+                    cur[x * bpp + lanes] + ((left + up) >> 1)
+                ).astype("uint8")
+        elif f == 4:  # Paeth — left dependency: column loop
+            rec = np.zeros(stride, dtype="uint8")
+            lanes = np.arange(bpp)
+            zero = np.zeros(bpp, dtype="uint8")
+            for x in range(npix):
+                a = rec[(x - 1) * bpp + lanes] if x else zero
+                b = prev[x * bpp + lanes]
+                c = prev[(x - 1) * bpp + lanes] if x else zero
+                rec[x * bpp + lanes] = cur[x * bpp + lanes] + _paeth(a, b, c)
+        else:
+            raise ValueError(f"PNG: unknown scanline filter {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _rows_to_samples(rows, width, depth, samples):
+    """(h, stride) unfiltered bytes -> (h, width, samples) uint8.
+
+    16-bit samples keep their HIGH byte (documented precision
+    reduction — the downstream feature contract is 8-bit); sub-byte
+    depths unpack MSB-first and are returned RAW (gray scaling /
+    palette lookup is the caller's concern)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, width, samples)
+    if depth == 16:
+        # big-endian sample pairs; high byte first
+        return rows.reshape(h, width, samples, 2)[:, :, :, 0]
+    # sub-byte: one sample per pixel (gray or palette index), MSB first
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits[:, : width * depth].reshape(h, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype("uint8")
+    return (vals * weights).sum(axis=2, dtype="uint16").astype("uint8")[
+        :, :, None
+    ]
+
+
+def _byte_stride(width, depth, samples):
+    return (width * depth * samples + 7) // 8
+
+
 def decode_png_pixels(payload: bytes):
     """(H, W) uint8 for grayscale, (H, W, 3|4) for color — REAL pixels.
 
-    Raises ``ValueError`` on any PNG feature outside the documented
-    scope so ``auto_decode`` can fall back to the stub."""
+    Handles every legal depth/color-type combination and Adam7
+    interlacing (module docstring); raises ``ValueError`` only on
+    malformed or out-of-spec streams so ``auto_decode`` can fall back
+    to the stub."""
     import numpy as np
 
     width = height = None
@@ -100,67 +200,48 @@ def decode_png_pixels(payload: bytes):
             idat.append(data)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace not supported")
-    if depth != 8:
-        raise ValueError(f"PNG: bit depth {depth} not supported (8 only)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if ctype_i not in _SAMPLES:
         raise ValueError(f"PNG: color type {ctype_i} not supported")
+    if depth not in _DEPTHS[ctype_i]:
+        raise ValueError(
+            f"PNG: bit depth {depth} illegal for color type {ctype_i}"
+        )
     if ctype_i == 3 and plte is None:
         raise ValueError("PNG: palette image without PLTE")
 
-    bpp = _SAMPLES[ctype_i]  # bytes per pixel (8-bit samples)
-    stride = width * bpp
+    samples = _SAMPLES[ctype_i]
+    bpp = max(1, samples * depth // 8)  # filter unit, spec 9.2
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG: IDAT size mismatch")
-    raw = np.frombuffer(raw, dtype="uint8").reshape(height, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:]
 
-    out = np.zeros((height, stride), dtype="uint8")
-    prev = np.zeros(stride, dtype="uint8")
-    for y in range(height):
-        f = int(filters[y])
-        cur = rows[y]
-        if f == 0:  # None
-            rec = cur.copy()
-        elif f == 1:  # Sub: prefix sum per byte lane, mod 256
-            lanes = cur.reshape(width, bpp).astype("uint32")
-            rec = (
-                np.cumsum(lanes, axis=0, dtype="uint32") % 256
-            ).astype("uint8").reshape(stride)
-        elif f == 2:  # Up
-            rec = cur + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average — left dependency: column loop
-            rec = np.zeros(stride, dtype="uint8")
-            lanes = np.arange(bpp)
-            for x in range(width):
-                left = (
-                    rec[(x - 1) * bpp + lanes].astype("int32") if x else 0
-                )
-                up = prev[x * bpp + lanes].astype("int32")
-                rec[x * bpp + lanes] = (
-                    cur[x * bpp + lanes] + ((left + up) >> 1)
-                ).astype("uint8")
-        elif f == 4:  # Paeth — left dependency: column loop
-            rec = np.zeros(stride, dtype="uint8")
-            lanes = np.arange(bpp)
-            zero = np.zeros(bpp, dtype="uint8")
-            for x in range(width):
-                a = rec[(x - 1) * bpp + lanes] if x else zero
-                b = prev[x * bpp + lanes]
-                c = prev[(x - 1) * bpp + lanes] if x else zero
-                rec[x * bpp + lanes] = cur[x * bpp + lanes] + _paeth(a, b, c)
-            rec = rec
-        else:
-            raise ValueError(f"PNG: unknown scanline filter {f}")
-        out[y] = rec
-        prev = rec
+    if interlace == 0:
+        stride = _byte_stride(width, depth, samples)
+        rows = _unfilter(raw, height, stride, bpp)
+        px = _rows_to_samples(rows, width, depth, samples)
+    else:  # Adam7: seven independently-filtered reduced images
+        px = np.zeros((height, width, samples), dtype="uint8")
+        offset = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = _byte_stride(pw, depth, samples)
+            nbytes = (pstride + 1) * ph
+            rows = _unfilter(raw[offset : offset + nbytes], ph, pstride, bpp)
+            offset += nbytes
+            px[y0::ys, x0::xs] = _rows_to_samples(rows, pw, depth, samples)
+        if offset != len(raw):
+            raise ValueError("PNG: IDAT size mismatch (interlaced)")
 
-    px = out.reshape(height, width, bpp)
     if ctype_i == 0:
-        return px[:, :, 0]
+        g = px[:, :, 0]
+        if depth in (1, 2, 4):  # expand to full 8-bit range
+            g = (g.astype("uint16") * (255 // ((1 << depth) - 1))).astype(
+                "uint8"
+            )
+        return g
     if ctype_i == 2:
         return px
     if ctype_i == 3:
@@ -173,31 +254,22 @@ def decode_png_pixels(payload: bytes):
     return px  # 6: RGBA
 
 
-def encode_png(px, filter_type: int = 0) -> bytes:
-    """8-bit gray/RGB/RGBA array -> PNG bytes, every scanline using
-    ``filter_type`` (0..4, spec forward formulas) — the decoder's
-    round-trip counterpart and the in-container fixture factory."""
+def _filter_region(flat, bpp, filter_type):
+    """Forward-filter an (h, stride) int32 byte region with one filter
+    for every scanline; returns the serialized (filter byte + bytes)
+    stream. ``bpp`` = filter unit in bytes."""
     import numpy as np
 
-    px = np.asarray(px, dtype="uint8")
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, ch = px.shape
-    ctype_i = {1: 0, 3: 2, 4: 6}.get(ch)
-    if ctype_i is None:
-        raise ValueError(f"encode_png: {ch} channels unsupported")
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"encode_png: bad filter {filter_type}")
-    stride = w * ch
-    flat = px.reshape(h, stride).astype("int32")
+    h = flat.shape[0]
+    stride = flat.shape[1] if h else 0
     scan = bytearray()
     prev = np.zeros(stride, dtype="int32")
     for y in range(h):
         cur = flat[y]
         left = np.zeros(stride, dtype="int32")
-        left[ch:] = cur[:-ch]
+        left[bpp:] = cur[:-bpp]
         upleft = np.zeros(stride, dtype="int32")
-        upleft[ch:] = prev[:-ch]
+        upleft[bpp:] = prev[:-bpp]
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -214,21 +286,75 @@ def encode_png(px, filter_type: int = 0) -> bytes:
         scan.append(filter_type)
         scan.extend((filt % 256).astype("uint8").tobytes())
         prev = cur
+    return bytes(scan)
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_i, 0, 0, 0)
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _assemble_png(w, h, depth, ctype_i, interlace, scan: bytes) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_i, 0, 0, interlace)
     return (
         _SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(scan), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png(px, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """8-bit gray/RGB/RGBA array -> PNG bytes, every scanline using
+    ``filter_type`` (0..4, spec forward formulas), optionally Adam7
+    interlaced (each reduced pass filtered independently at its own
+    geometry) — the decoder's round-trip counterpart and the
+    in-container fixture factory."""
+    import numpy as np
+
+    px = np.asarray(px, dtype="uint8")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype_i = {1: 0, 3: 2, 4: 6}.get(ch)
+    if ctype_i is None:
+        raise ValueError(f"encode_png: {ch} channels unsupported")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"encode_png: bad filter {filter_type}")
+    if interlace:
+        scan = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], sub.shape[1] * ch).astype("int32")
+            scan += _filter_region(flat, ch, filter_type)
+        return _assemble_png(w, h, 8, ctype_i, 1, bytes(scan))
+    flat = px.reshape(h, w * ch).astype("int32")
+    return _assemble_png(w, h, 8, ctype_i, 0, _filter_region(flat, ch, filter_type))
+
+
+def encode_png16(px16, filter_type: int = 0) -> bytes:
+    """uint16 gray/RGB/RGBA array -> 16-bit PNG bytes (big-endian
+    sample pairs, filter unit 2×samples) — fixture factory for the
+    16-bit decode path."""
+    import numpy as np
+
+    px = np.asarray(px16, dtype="uint16")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype_i = {1: 0, 3: 2, 4: 6}.get(ch)
+    if ctype_i is None:
+        raise ValueError(f"encode_png16: {ch} channels unsupported")
+    be = px.astype(">u2").view("uint8").reshape(h, w * ch * 2)
+    return _assemble_png(
+        w, h, 16, ctype_i, 0,
+        _filter_region(be.astype("int32"), ch * 2, filter_type),
     )
 
 

@@ -107,7 +107,8 @@ def test_rejects_out_of_scope_and_corruption():
     bad[41] ^= 0x5A  # flip a byte inside IDAT -> CRC mismatch
     with pytest.raises(ValueError):
         decode_png_pixels(bytes(bad))
-    # interlaced header
+    # interlaced header whose IDAT was serialized NON-interlaced: the
+    # Adam7 pass sizes don't add up -> size mismatch, still rejected
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     interlaced = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
@@ -116,15 +117,15 @@ def test_rejects_out_of_scope_and_corruption():
     )
     with pytest.raises(ValueError):
         decode_png_pixels(interlaced)
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    deep = (
-        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr16)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+    # illegal depth/color-type combination (4-bit RGB, spec table 11.1)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad_depth = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError):
-        decode_png_pixels(deep)
+        decode_png_pixels(bad_depth)
 
 
 def test_auto_decode_dispatch_and_fallback():
@@ -136,7 +137,8 @@ def test_auto_decode_dispatch_and_fallback():
     assert (feats["width"], feats["height"]) == (48, 32)
     assert feats["embedding"] != fake_decode(data)["embedding"]
     assert abs(feats["embedding"][0] - px[..., 0].mean() / 255.0) < 1e-9
-    # out-of-scope PNG (interlaced flag) falls back to the stub
+    # malformed PNG (interlace flag flipped on a linear-serialized
+    # IDAT -> pass-size mismatch) falls back to the stub, not a crash
     broken = bytearray(data)
     # IHDR interlace byte is at offset 8(sig)+8(hdr)+12(ihdr data)=28
     broken[28] = 1
@@ -144,6 +146,10 @@ def test_auto_decode_dispatch_and_fallback():
     ihdr = bytes(broken[16:29])
     broken[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     assert auto_decode(bytes(broken)) == fake_decode(bytes(broken))
+    # REAL interlaced PNG decodes for real now — identical features to
+    # the linear encoding of the same pixels
+    inter = encode_png(px, filter_type=2, interlace=True)
+    assert auto_decode(inter)["embedding"] == feats["embedding"]
 
 
 def test_dhash_png_matches_ppm():
@@ -197,3 +203,80 @@ def test_png_decode_contract():
     # rgba: stats over color channels only
     d4 = png_decode(encode_png(_pattern(8, 8, ch=4)))
     assert d4["channels"] == 3
+
+
+# --------------------------------------- Adam7 / 16-bit / sub-byte
+def test_adam7_roundtrip_all_filters_and_channels():
+    """Adam7 interlacing: each reduced pass is filtered independently
+    at its own geometry; scatter-reassembly must reproduce the input
+    exactly for every filter type and channel count, including tiny
+    images where several passes are empty."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    g = img[..., 0]
+    rgba = np.dstack([img, rng.integers(0, 256, (21, 33), dtype=np.uint8)])
+    for ft in range(5):
+        for arr in (g, img, rgba):
+            got = decode_png_pixels(encode_png(arr, filter_type=ft, interlace=True))
+            assert np.array_equal(got, arr), (ft, arr.shape)
+    for h, w in ((1, 1), (2, 3), (5, 1), (1, 9), (7, 7)):
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_png_pixels(encode_png(a, 4, interlace=True)), a
+        ), (h, w)
+
+
+def test_16bit_samples_decode_high_byte():
+    """16-bit PNGs decode for real; output keeps the high byte (the
+    downstream feature contract is 8-bit — documented reduction)."""
+    from linkgraph.functions.png import encode_png16
+
+    rng = np.random.default_rng(5)
+    px16 = rng.integers(0, 65536, (13, 17, 3), dtype=np.uint16)
+    for ft in range(5):
+        got = decode_png_pixels(encode_png16(px16, filter_type=ft))
+        assert np.array_equal(got, (px16 >> 8).astype(np.uint8)), ft
+    g16 = px16[..., 0]
+    assert np.array_equal(
+        decode_png_pixels(encode_png16(g16, 4)), (g16 >> 8).astype(np.uint8)
+    )
+
+
+def test_sub_byte_gray_and_palette():
+    """1/2/4-bit images: MSB-first bit unpacking; gray scales to the
+    full 8-bit range (255 // (2^d - 1)), palette indexes look up
+    PLTE."""
+    from linkgraph.functions.png import _SIG, _png_chunk
+
+    # 2-bit gray 4x6
+    vals = np.array(
+        [[0, 1, 2, 3, 0, 1], [3, 2, 1, 0, 3, 2],
+         [1, 1, 2, 2, 3, 3], [0, 0, 0, 3, 3, 3]], dtype=np.uint8
+    )
+    w, h, depth = 6, 4, 2
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        bits = "".join(format(v, "02b") for v in vals[y])
+        bits = bits.ljust(((w * depth + 7) // 8) * 8, "0")
+        rows.extend(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    data = (_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_pixels(data), vals * 85)
+    # 1-bit palette 3x5
+    pal = np.array([[255, 0, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 0, 1, 1], [1, 0, 0, 0, 1], [0, 0, 1, 1, 0]],
+                   dtype=np.uint8)
+    w, h, depth = 5, 3, 1
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        bits = "".join(str(v) for v in idx[y]).ljust(8, "0")
+        rows.extend(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    data = (_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png_pixels(data), pal[idx])
