@@ -519,6 +519,58 @@ def q_incremental_cc_epoch2(spark, sf_dir):
     return serving.select("url", "component_url")
 
 
+def q_incremental_triangles_epoch2(spark, sf_dir):
+    """Two-epoch incremental TRIANGLE-COUNT serving
+    (streaming/incremental.py ``refresh_triangles``): epoch 1 builds
+    the full per-url counts cold; epoch 2 appends the remaining pages
+    and refreshes via the Δ-edge common-neighbor probe (every gained
+    triangle contains ≥1 new edge under appends), adding corner deltas
+    onto the stored counts. Per-url triangle counts are EXACT and the
+    warm result equals a cold recount, so the oracle is the plain
+    per-node triangle count of the full undirected order graph."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import refresh_triangles
+
+    base = "/tmp/lg_entry_incr_tri"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, tri_path = base + "/pages", base + "/tri"
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_name"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+        F.col("o_custkey").alias("skey"),
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name="incrtri").write.mode("overwrite").parquet(
+        pages_path
+    )
+    refresh_triangles(spark, pages_path, tri_path)
+    pages_from_edges(v2, e2, name="incrtri").write.mode("append").parquet(
+        pages_path
+    )
+    stats: dict = {}
+    serving = refresh_triangles(spark, pages_path, tri_path, stats_out=stats)
+    assert stats.get("mode") == "delta", stats  # the path under test
+    return serving.select(
+        "url", F.col("triangles").cast("long").alias("n_tri")
+    )
+
+
 def q_lpa_weighted_nation_chains(spark, sf_dir):
     """Weighted LPA (label_propagation.py ``weight=`` — reference
     community/label_propagation.py:216, asyn_lpa weight semantics):
@@ -3387,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_weighted_nation_chains": q_lpa_weighted_nation_chains,
         "incremental_pagerank_epoch2": q_incremental_pagerank_epoch2,
         "incremental_cc_epoch2": q_incremental_cc_epoch2,
+        "incremental_triangles_epoch2": q_incremental_triangles_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
@@ -6288,6 +6341,25 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "hyperball_orders": _hyperball_sql(),
         "incremental_pagerank_epoch2": _incremental_pagerank_sql(),
+        "incremental_triangles_epoch2": """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
+e0 AS MATERIALIZED (
+  SELECT o_custkey AS src, o_orderkey % (SELECT n FROM nn) AS dst FROM orders),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS d
+  FROM e0 WHERE src <> dst AND dst IN (SELECT id FROM nodes)),
+tri AS MATERIALIZED (
+  SELECT e1.s AS a, e1.d AS b, e2.d AS c
+  FROM e e1 JOIN e e2 ON e2.s = e1.d JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b AS id FROM tri
+  UNION ALL SELECT c AS id FROM tri),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+SELECT 'https://test.example/incrtri/' || CAST(nodes.id AS VARCHAR) AS url,
+       CAST(COALESCE(cnt.t, 0) AS BIGINT) AS n_tri
+FROM nodes LEFT JOIN cnt ON cnt.id = nodes.id""",
         "incremental_cc_epoch2": """
 SELECT 'https://test.example/incrcc/' || CAST(c_custkey AS VARCHAR) AS url,
        MIN('https://test.example/incrcc/' || CAST(c_custkey AS VARCHAR))
