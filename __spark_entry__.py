@@ -1751,6 +1751,27 @@ def q_hyperball_orders_b6(spark, sf_dir):
     )
 
 
+def q_hyperball_harmonic_orders(spark, sf_dir):
+    """HyperBall geometric centralities for EVERY vertex
+    (hyperball.py ``harmonic_centrality_hyperball``; Boldi & Vigna
+    2013 §4): harmonic/closeness/reach estimates from in-ball shell
+    increments. Rows-only by necessity: the ball estimates pass
+    through libm ``ln`` (linear-counting branch), so the floats have
+    no bit-stable SQL twin; estimate ACCURACY is pytest-verified
+    against exact nx harmonic/closeness (tests/test_hyperball.py).
+    Values are rounded to stabilize the row shape only."""
+    from linkgraph.operators.hyperball import harmonic_centrality_hyperball
+
+    g = order_graph(spark, sf_dir)
+    hc = harmonic_centrality_hyperball(g, b=4, max_t=6)
+    return hc.select(
+        "id",
+        F.round("harmonic_est", 4).alias("harmonic_r"),
+        F.round("n_in_est", 4).alias("n_in_r"),
+        F.round("closeness_est", 6).alias("closeness_r"),
+    )
+
+
 def q_walks_orders(spark, sf_dir):
     """Deterministic random walks (walks.py ``random_walks``) on the
     order graph: starts = custkey % 10 == 1, 6 steps, seed 1 —
@@ -3376,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
         "hyperball_orders": q_hyperball_orders,
         "hyperball_orders_b6": q_hyperball_orders_b6,
+        "hyperball_harmonic_orders": q_hyperball_harmonic_orders,
         "katz_orders": q_katz_orders,
         "katz_orders_dist": q_katz_orders_dist,
         "doc_dedup_clusters": q_doc_dedup_clusters,
