@@ -571,6 +571,59 @@ def q_incremental_triangles_epoch2(spark, sf_dir):
     )
 
 
+def q_incremental_reach_epoch2(spark, sf_dir):
+    """Two-epoch incremental HyperBall-REACH serving
+    (streaming/incremental.py ``refresh_reach``): epoch 1 sketches the
+    custkey%4!=0 crawl cold (b=4, 4 supersteps, registers hashed from
+    the URL — the rebuild-stable key that makes warm sketches valid
+    lower bounds); epoch 2 appends the rest and refreshes warm-started
+    from the stored url-keyed registers. The oracle replays BOTH phases
+    in exact integer SQL (per-register GREATEST warm merge between two
+    unrolled superstep chains), so the url-hash init, the warm lattice
+    merge and the packed-wire superstep all hash-verify together. The
+    float reach_est column (libm ln) is excluded, as everywhere."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import refresh_reach
+
+    base = "/tmp/lg_entry_incr_reach"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, reach_path = base + "/pages", base + "/reach"
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    n = cust.count()
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_name"),
+        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+        F.col("o_custkey").alias("skey"),
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name="incrreach").write.mode("overwrite").parquet(
+        pages_path
+    )
+    refresh_reach(spark, pages_path, reach_path, b=4, max_t=4)
+    pages_from_edges(v2, e2, name="incrreach").write.mode("append").parquet(
+        pages_path
+    )
+    serving = refresh_reach(spark, pages_path, reach_path, b=4, max_t=4)
+    reg_sum = sum((F.col(f"r{i}") for i in range(16)), F.lit(0))
+    return serving.select(
+        "url", *[f"r{i}" for i in range(16)], reg_sum.cast("int").alias("reg_sum")
+    )
+
+
 def q_lpa_weighted_nation_chains(spark, sf_dir):
     """Weighted LPA (label_propagation.py ``weight=`` — reference
     community/label_propagation.py:216, asyn_lpa weight semantics):
@@ -3462,6 +3515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pagerank_epoch2": q_incremental_pagerank_epoch2,
         "incremental_cc_epoch2": q_incremental_cc_epoch2,
         "incremental_triangles_epoch2": q_incremental_triangles_epoch2,
+        "incremental_reach_epoch2": q_incremental_reach_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
@@ -3714,6 +3768,92 @@ x{i + 1} AS MATERIALIZED (
         + f"""
 SELECT 'https://test.example/incrpr/' || CAST(id AS VARCHAR) AS url,
        round(r, 8) AS rank_r FROM x{iters}"""
+    )
+
+
+def _incremental_reach_sql(b: int = 4, t: int = 4) -> str:
+    """Two-phase unrolled HyperBall replay for the warm-started reach
+    serving (q_incremental_reach_epoch2): epoch-1 supersteps on the
+    custkey%4!=0 subgraph, registers hashed from the URL STRING (the
+    serving table's rebuild-stable key — this is what makes warm
+    sketches valid lower bounds), then the warm-start step (per-register
+    GREATEST of a fresh full-graph init against the epoch-1 registers,
+    new pages at 0), then epoch-2 supersteps on the full graph. Exact
+    integers throughout — max-merge is idempotent, so an early-stopped
+    Spark loop and the fixed unrolled depth agree whenever t covers the
+    saturation point (t here ≥ both phases' superstep counts by
+    construction of the fixture)."""
+    m = 1 << b
+    rcols = [f"r{i}" for i in range(m)]
+    rlist = ", ".join(rcols)
+
+    def init_block(nodes: str, sfx: str) -> str:
+        url = f"'https://test.example/incrreach/' || CAST(id AS VARCHAR)"
+        init_regs = ",\n    ".join(
+            f"CAST(CASE WHEN j = {i} THEN rho ELSE 0 END AS INTEGER) AS r{i}"
+            for i in range(m)
+        )
+        return f"""
+h{sfx} AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5({url}), 1, 15))::BIGINT AS hv
+  FROM {nodes}),
+hb{sfx} AS MATERIALIZED (
+  SELECT id, hv % {m} AS j,
+         CAST(CASE WHEN (hv >> {b}) = 0 THEN {61 - b}
+              ELSE bit_count((((hv >> {b})) & -((hv >> {b}))) - 1) + 1 END
+              AS INTEGER) AS rho
+  FROM h{sfx}),
+init{sfx} AS MATERIALIZED (
+  SELECT id,
+    {init_regs}
+  FROM hb{sfx})"""
+
+    def rounds(prefix: str, start: str, edges: str, n: int) -> str:
+        out = []
+        prev = start
+        for k in range(n):
+            maxes = ", ".join(f"max(r{i}) AS r{i}" for i in range(m))
+            name = f"{prefix}{k + 1}"
+            out.append(f"""
+{name} AS MATERIALIZED (
+  SELECT id, {maxes} FROM (
+    SELECT id, {rlist} FROM {prev}
+    UNION ALL
+    SELECT e.src AS id, {rlist} FROM {edges} e JOIN {prev} g ON g.id = e.dst
+  ) u GROUP BY id)""")
+            prev = name
+        return ",".join(out), prev
+
+    head = f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
+e_all AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey % (SELECT n FROM nn) AS BIGINT) AS dst
+  FROM orders),
+nodes1 AS MATERIALIZED (
+  SELECT CAST(c_custkey AS BIGINT) AS id FROM customer WHERE c_custkey % 4 <> 0),
+e1 AS MATERIALIZED (
+  SELECT src, dst FROM e_all
+  WHERE src % 4 <> 0 AND dst IN (SELECT id FROM nodes1)),
+nodes AS MATERIALIZED (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer),
+e2 AS MATERIALIZED (
+  SELECT src, dst FROM e_all WHERE dst IN (SELECT id FROM nodes)),
+{init_block('nodes1', '1')[1:]},
+{init_block('nodes', 'f')[1:]}"""
+    r1, last1 = rounds("y", "init1", "e1", t)
+    warm = f""",
+w0 AS MATERIALIZED (
+  SELECT initf.id,
+    {", ".join(f"GREATEST(initf.r{i}, COALESCE(y.r{i}, 0)) AS r{i}" for i in range(m))}
+  FROM initf LEFT JOIN {last1} y ON y.id = initf.id)"""
+    r2, last2 = rounds("x", "w0", "e2", t)
+    reg_sum = " + ".join(rcols)
+    final_regs = ", ".join(f"CAST(r{i} AS INTEGER) AS r{i}" for i in range(m))
+    return (
+        head + "," + r1 + warm + "," + r2
+        + f"""
+SELECT 'https://test.example/incrreach/' || CAST(id AS VARCHAR) AS url,
+       {final_regs}, CAST({reg_sum} AS INT) AS reg_sum FROM {last2}"""
     )
 
 
@@ -6363,6 +6503,7 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         "harmonic_sampled_orders": _harmonic_sampled_sql(),
         "hyperball_orders": _hyperball_sql(),
         "incremental_pagerank_epoch2": _incremental_pagerank_sql(),
+        "incremental_reach_epoch2": _incremental_reach_sql(),
         "incremental_triangles_epoch2": """
 WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM customer),
 nodes AS MATERIALIZED (SELECT c_custkey AS id FROM customer),
