@@ -624,6 +624,60 @@ def q_incremental_reach_epoch2(spark, sf_dir):
     )
 
 
+def q_incremental_communities_epoch2(spark, sf_dir):
+    """Two-epoch incremental LPA serving
+    (streaming/incremental.py ``refresh_communities``): epoch 1 labels
+    the partial nation-chain crawl, epoch 2 appends the rest and
+    refreshes warm-started (warmup_rounds=0 — only disturbed
+    neighborhoods re-label). Rows-only like every LPA entry (the Luby
+    sweep priorities have no DuckDB twin and warm/cold may land on
+    different VALID fixpoints); the serving contract — fixpoint
+    validity + fewer warm sweeps — is pytest-verified
+    (tests/test_incremental.py)."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import refresh_communities
+
+    base = "/tmp/lg_entry_incr_lpa"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, labels_path = base + "/pages", base + "/labels"
+    cust = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    chain = (
+        cust.select(
+            F.col("c_custkey").alias("skey"),
+            F.lead("c_custkey").over(w).alias("dkey"),
+        )
+    ).where(F.col("dkey").isNotNull())
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    edges = chain.select(
+        F.col("skey").cast("string").alias("src_name"),
+        F.col("dkey").cast("string").alias("dst_name"),
+        "skey",
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(5)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(5)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(5)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(5)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name="incrlpa").write.mode("overwrite").parquet(
+        pages_path
+    )
+    refresh_communities(spark, pages_path, labels_path)
+    pages_from_edges(v2, e2, name="incrlpa").write.mode("append").parquet(
+        pages_path
+    )
+    serving = refresh_communities(spark, pages_path, labels_path)
+    return serving.select("url", "label_url")
+
+
 def q_lpa_weighted_nation_chains(spark, sf_dir):
     """Weighted LPA (label_propagation.py ``weight=`` — reference
     community/label_propagation.py:216, asyn_lpa weight semantics):
@@ -3516,6 +3570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_epoch2": q_incremental_cc_epoch2,
         "incremental_triangles_epoch2": q_incremental_triangles_epoch2,
         "incremental_reach_epoch2": q_incremental_reach_epoch2,
+        "incremental_communities_epoch2": q_incremental_communities_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
