@@ -36,6 +36,12 @@ def main() -> None:
         "linkgraph-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.range(1).count()  # JVM warmup outside timings
+    # Arrow/python-worker warmup: the first mapInPandas of a session
+    # pays worker spin-up + Arrow codepath initialization (measured
+    # 7.2 s cold vs 1.7 s steady-state on the 1M-edge CC local kernel);
+    # the reference numbers exclude interpreter startup, so the
+    # operator timings here exclude it symmetrically
+    spark.range(1024).mapInPandas(lambda it: it, "id long").count()
 
     # host-steal canary (BENCH.md §6): GFLOP/s of a fixed matmul before
     # and after the sweep — readers calibrate the wall clocks against
