@@ -100,9 +100,18 @@ def connected_components(
     local_max_edges: int = LOCAL_CC_MAX_EDGES,
     labels_start: DataFrame | None = None,
     stats_out: dict | None = None,
+    _level: int = 0,
 ) -> DataFrame:
     """Returns labels(id BIGINT, component BIGINT) — component is the
     minimum vertex id in the component (deterministic representative).
+
+    Convergence strategy: up to ``max_iter`` neighbor-min + jump
+    supersteps over the static salted adjacency (one O(n) label
+    shuffle per round — the cheap path, and the only phase web-scale
+    low-diameter graphs ever run), then star CONTRACTION on the
+    partial labeling and recursion (``_level`` internal) for
+    high-diameter graphs, where plain propagation is O(diameter) and
+    previously returned a silently-wrong labeling on exhaustion.
 
     ``labels_start`` (id, component) warm-starts the superstep loop —
     the incremental-serving hook (streaming/incremental.py): each
@@ -212,8 +221,8 @@ def connected_components(
                 )
             )
             # pointer jumping: component <- component(component) —
-            # halves the rounds; the representative side is n rows
-            # (not m) and AQE's skew split absorbs the giant
+            # compresses shallow label chains; the representative side
+            # is n rows (not m) and AQE's skew split absorbs the giant
             # component's hot key
             jumped = (
                 stepped.alias("a")
@@ -238,7 +247,72 @@ def connected_components(
             if m["label_sum"] == prev_sum:
                 return labels
             prev_sum = m["label_sum"]
-        return labels
+        # Phase budget exhausted without a fixpoint: CONTRACT and
+        # recurse (the star-contraction move of Kiveris et al. 2014 /
+        # Shiloach–Vishkin, expressed as a quotient graph). Min-label
+        # propagation advances a basin boundary ~1 step per round —
+        # O(diameter) on high-diameter graphs (observed: a 600-node
+        # id-permuted path still had 3 components after 64 rounds, a
+        # wrong labeling the round-4 incremental-CC oracle caught when
+        # it was silently returned). The partial labeling is always
+        # VALID (each label names a member of the same component), so
+        # the quotient graph on current labels has the same component
+        # structure; its radius shrinks ~max_iter× per level, so a few
+        # levels cover any diameter — and the contracted graph usually
+        # falls under the LOCAL gate and finishes exactly in one task.
+        # Each level = one O(m') edge-projection shuffle, m' falling
+        # fast; the per-component min id survives contraction (the min
+        # vertex always keeps its own label), so the composed result
+        # is the identical min-id labeling a converged flat run
+        # reaches.
+        if _level >= 8:
+            raise RuntimeError(
+                "connected_components did not converge within "
+                f"{max_iter} supersteps x {_level} contraction levels"
+            )
+        lbl = labels
+        cedges = (
+            sym.join(
+                lbl.select(F.col("id").alias("src"), F.col("component").alias("cu")),
+                "src",
+            )
+            .join(
+                lbl.select(F.col("id").alias("dst"), F.col("component").alias("cv")),
+                "dst",
+            )
+            .select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("weight", F.lit(1.0))
+        )
+        cverts = lbl.select(F.col("component").alias("id")).distinct()
+        from ..graph import LinkGraph as _LG
+
+        substats: dict = {}
+        subcc = connected_components(
+            _LG(vertices=cverts, edges=cedges, directed=False),
+            max_iter=max_iter,
+            num_partitions=num_partitions,
+            local_max_edges=local_max_edges,
+            stats_out=substats,
+            _level=_level + 1,
+        )
+        if stats_out is not None:
+            stats_out["supersteps"] = stats_out.get("supersteps", 0) + substats.get(
+                "supersteps", 0
+            )
+            stats_out["contraction_levels"] = (
+                substats.get("contraction_levels", 0) + 1
+            )
+        return (
+            lbl.join(
+                subcc.select(
+                    F.col("id").alias("component"), F.col("component").alias("root")
+                ),
+                "component",
+            )
+            .select("id", F.col("root").alias("component"))
+        )
     finally:
         adj.unpersist()
 

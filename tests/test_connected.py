@@ -108,3 +108,42 @@ def test_distributed_path_matches_local(spark):
         for r in connected_components(g, local_max_edges=0).collect()
     }
     assert local == dist
+
+
+def test_distributed_high_diameter_contracts_to_exact_labels(spark):
+    """Regression (round 4): min-label propagation advances a basin
+    boundary ~1 step/round, so a high-diameter graph with PERMUTED ids
+    (labels give pointer jumping nothing to compress) exhausted
+    max_iter and silently returned a wrong labeling — caught by the
+    incremental-CC oracle at sf0.1 (600-long nation chains). The loop
+    now star-contracts the partial labeling and recurses; labels must
+    equal the exact local kernel's bit-for-bit."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.components import connected_components
+
+    n = 900
+    rng = random.Random(11)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(n - 1) if (i + 1) % 300 != 0]
+    g = LinkGraph(
+        vertices=spark.range(n).select("id"),
+        edges=spark.createDataFrame(edges, "src long, dst long").withColumn(
+            "weight", F.lit(1.0)
+        ),
+        directed=False,
+    )
+    stats = {}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(g, local_max_edges=0, stats_out=stats).collect()
+    }
+    local = {
+        r["id"]: r["component"] for r in connected_components(g).collect()
+    }
+    assert dist == local
+    assert stats.get("contraction_levels", 0) >= 1, stats
