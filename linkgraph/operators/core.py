@@ -41,12 +41,21 @@ def _simple_undirected_edges(graph: LinkGraph) -> DataFrame:
     return e.where(F.col("src") != F.col("dst")).distinct()
 
 
-def k_core(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
+def k_core(graph: LinkGraph, k: int, max_rounds: int | None = None) -> LinkGraph:
     """Maximal subgraph with all degrees >= k (networkx/algorithms/core.py
     ``k_core``). Returns a LinkGraph over the surviving vertices and
-    canonical undirected edges."""
-    spark = graph.spark
-    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    canonical undirected edges.
+
+    Computed via the identity k_core(G, k) = induced subgraph on
+    {v : core_number(v) ≥ k} — NOT round-by-round sub-k peeling. The
+    peeling loop this replaces cascades one wave per round, O(n)
+    rounds on a path (k=2 peels two endpoints per round), and with a
+    bounded round budget it SILENTLY returned a non-maximal remainder
+    (round-4 bug class: k_core(520-path, 2) returned 119 edges instead
+    of 0). ``core_number`` is exact at every size (gated single-task
+    BZ peeling below 2M edges; the h-index fixpoint above, which
+    RAISES on non-convergence instead of lying). ``max_rounds`` is
+    retained for API compatibility and ignored."""
     if k <= 0:
         # nx.k_core(G, 0) is the whole graph — including isolates
         # (networkx/algorithms/core.py k_core with k=0 filters nothing)
@@ -55,48 +64,8 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int = 200) -> LinkGraph:
             edges=_simple_undirected_edges(graph).withColumn("weight", F.lit(1.0)),
             directed=False,
         )
-    edges = _simple_undirected_edges(graph).repartition(num_partitions, "src").persist()
-    n_edges = edges.count()
-
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            break
-        deg = (
-            edges.select(F.col("src").alias("id"))
-            .unionAll(edges.select(F.col("dst").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.where(F.col("deg") >= k).select("id").persist()
-        # localCheckpoint truncates lineage: each round's plan references
-        # the previous round's edges ~5x (once directly, twice per
-        # semi-join through keep->deg), so without truncation the
-        # logical plan grows 5^rounds and planning OOMs.
-        new_edges = (
-            edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        n_new = new_edges.count()
-        edges.unpersist()
-        keep.unpersist()
-        edges = new_edges
-        if n_new == n_edges:
-            break
-        n_edges = n_new
-
-    survivors = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    vertices = graph.vertices.join(survivors, "id", "left_semi")
-    return LinkGraph(
-        vertices=vertices,
-        edges=edges.withColumn("weight", F.lit(1.0)),
-        directed=False,
-    )
+    c = core_number(graph)
+    return _induced_on(graph, c.where(F.col("core") >= k))
 
 
 def _h_index_expr(hst) -> F.Column:
@@ -445,8 +414,10 @@ def k_truss(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    stable = False
     for _ in range(max_rounds):
         if n_edges == 0:
+            stable = True
             break
         both = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -512,8 +483,18 @@ def k_truss(
         o.unpersist()
         e = kept
         if n_kept == n_edges:
+            stable = True
             break
         n_edges = n_kept
+    if not stable:
+        # truss peeling can cascade one wave per round (chains of
+        # triangles), so a bounded budget without a stability check
+        # would return a NON-maximal remainder silently — the round-4
+        # k_core/CC bug class. Raise instead; callers with genuinely
+        # deep cascades can widen max_rounds.
+        raise RuntimeError(
+            f"k_truss did not stabilize within max_rounds={max_rounds}"
+        )
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

@@ -441,6 +441,7 @@ def label_propagation_communities(
     # ---- provable drain: Luby independent-set sweeps ----
     dirty = None
     accepted = None
+    drained = False
     for sweep in range(max_rounds):
         # completion check: every node's label in its argmax set
         # (isolated nodes vacuously complete — label_propagation.py:303-305).
@@ -475,6 +476,7 @@ def label_propagation_communities(
         )
         incomplete = dirty.count()
         if incomplete == 0:
+            drained = True
             mode.unpersist()
             if stats_out is not None:
                 stats_out["sweeps"] = sweep  # sweeps that moved labels
@@ -552,6 +554,15 @@ def label_propagation_communities(
                 flush=True,
             )
     edges.unpersist()
+    if not drained:
+        # Φ ≤ Σw bounds accepted moves, not sweeps, so a pathological
+        # schedule could exhaust the budget mid-drain; a partial
+        # labeling violates the documented fixpoint contract, so raise
+        # (the round-4 silent-truncation bug class) rather than return.
+        raise RuntimeError(
+            "label_propagation_communities did not reach its fixpoint "
+            f"within max_rounds={max_rounds} sweeps"
+        )
     return labels
 
 
