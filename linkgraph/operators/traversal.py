@@ -26,11 +26,22 @@ from ._local import member_maps, run_local_kernel
 # additionally bounds its dense bitset state (|V| x ceil(|S|/64)
 # uint64 words) so a huge source sample never allocates unboundedly.
 LOCAL_MSBFS_MAX_EDGES = 2_000_000
+
+
+def _depths(max_depth: int | None):
+    """Depth iterator: ``None`` = unbounded (a BFS frontier strictly
+    shrinks the unvisited set, so the loop always drains — a finite
+    default here silently truncated deep traversals, the round-4
+    bounded-loop bug class); an int = the caller's explicit cutoff
+    semantics (descendants_at_distance, cutoff= in path lengths)."""
+    import itertools
+
+    return itertools.count(1) if max_depth is None else range(1, max_depth + 1)
 LOCAL_MSBFS_MAX_WORDS = 64_000_000
 
 
 def _local_msbfs_counts(
-    statics: DataFrame, edges: DataFrame, max_depth: int
+    statics: DataFrame, edges: DataFrame, max_depth: int | None
 ) -> DataFrame:
     """Single-task MS-BFS: the same bitset technique as the
     distributed plan (Then et al. VLDB'15), with the (vertex, word)
@@ -39,12 +50,12 @@ def _local_msbfs_counts(
     via ``np.unpackbits``. Emits the identical (id, layer, n_src)
     rows: one layer-0 row per source, then per (vertex, depth) the
     number of sources first reaching it at that depth."""
-    depth_cap = int(max_depth)
-
     def kernel(ids, stat, es, ed, ew):
         import numpy as np
 
         nv = len(ids)
+        # None = until the frontier drains; hop distance < |V| always
+        depth_cap = int(max_depth) if max_depth is not None else max(nv, 1)
         si, di, ms, md = member_maps(ids, es, ed)
         keep = ms & md
         gs = si[keep].astype(np.int64)
@@ -92,7 +103,7 @@ def _local_msbfs_counts(
 def bfs_layers(
     graph: LinkGraph,
     sources: Iterable[int] | DataFrame,
-    max_depth: int = 10_000,
+    max_depth: int | None = None,
     directed: bool | None = None,
 ) -> DataFrame:
     """(id BIGINT, layer INT) — shortest hop distance from the source
@@ -127,7 +138,7 @@ def bfs_layers(
     visited = frontier.select("id", F.lit(0).alias("layer")).persist()
     visited.count()
     try:
-        for depth in range(1, max_depth + 1):
+        for depth in _depths(max_depth):
             # localCheckpoint (not bare persist): the frontier feeds the
             # next round's semi-join, so an unbroken lineage chain grows
             # one plan level per round — O(rounds) analysis cost and an
@@ -159,7 +170,7 @@ def bfs_layers(
 def multi_source_bfs_layers(
     graph: LinkGraph,
     sources: Iterable[int] | DataFrame,
-    max_depth: int = 10_000,
+    max_depth: int | None = None,
     directed: bool | None = None,
 ) -> DataFrame:
     """(source BIGINT, id BIGINT, layer INT) — per-source hop
@@ -204,7 +215,7 @@ def multi_source_bfs_layers(
     visited = frontier.select("source", "id", F.lit(0).alias("layer")).persist()
     visited.count()
     try:
-        for depth in range(1, max_depth + 1):
+        for depth in _depths(max_depth):
             # localCheckpoint, not bare persist — see bfs_layers note
             nxt = (
                 edges.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -258,13 +269,13 @@ def single_source_shortest_path_length(
     """(id, layer) — unweighted shortest path lengths
     (networkx/algorithms/shortest_paths/unweighted.py
     ``single_source_shortest_path_length``)."""
-    return bfs_layers(graph, [source], max_depth=cutoff if cutoff is not None else 10_000)
+    return bfs_layers(graph, [source], max_depth=cutoff)
 
 
 def multi_source_bfs_counts(
     graph: LinkGraph,
     sources: Iterable[int] | DataFrame,
-    max_depth: int = 10_000,
+    max_depth: int | None = None,
     directed: bool | None = None,
     local_max_edges: int = LOCAL_MSBFS_MAX_EDGES,
 ) -> DataFrame:
@@ -352,7 +363,7 @@ def multi_source_bfs_counts(
             F.sum(F.bit_count("w")).alias("n_src")
         ).select("id", F.lit(0).alias("layer"), "n_src")
     ]
-    for depth in range(1, max_depth + 1):
+    for depth in _depths(max_depth):
         msgs = (
             edges.join(state.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"), "wi")
@@ -397,7 +408,7 @@ def multi_source_bfs_counts(
 def voronoi_cells(
     graph: LinkGraph,
     centers: Iterable[int] | DataFrame,
-    max_depth: int = 10_000,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """(id, center, dist) — every reachable vertex assigned to its
     nearest center by hop distance (reference networkx voronoi.py
@@ -439,7 +450,7 @@ def voronoi_cells(
     ).localCheckpoint(eager=True)
     frontier = settled
     try:
-        for depth in range(1, max_depth + 1):
+        for depth in _depths(max_depth):
             nxt = (
                 edges.join(frontier.select(F.col("id").alias("src"), "center"), "src")
                 .groupBy(F.col("dst").alias("id"))
