@@ -147,3 +147,37 @@ def test_distributed_high_diameter_contracts_to_exact_labels(spark):
     }
     assert dist == local
     assert stats.get("contraction_levels", 0) >= 1, stats
+
+
+def test_contraction_stacks_multiple_levels(spark):
+    """Force several contraction levels with a tiny phase budget: the
+    level composition must still land on the exact min-id labeling."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import LinkGraph
+    from linkgraph.operators.components import connected_components
+
+    n = 240
+    rng = random.Random(5)
+    perm = list(range(n))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(n - 1) if (i + 1) % 80 != 0]
+    g = LinkGraph(
+        vertices=spark.range(n).select("id"),
+        edges=spark.createDataFrame(edges, "src long, dst long").withColumn(
+            "weight", F.lit(1.0)
+        ),
+        directed=False,
+    )
+    stats = {}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            g, local_max_edges=0, max_iter=3, stats_out=stats
+        ).collect()
+    }
+    local = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    assert dist == local
+    assert stats.get("contraction_levels", 0) >= 2, stats
