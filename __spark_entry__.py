@@ -413,6 +413,64 @@ def q_lpa_nation_chains(spark, sf_dir):
     return label_propagation_communities(g).select("id", "label")
 
 
+def _two_epoch_refresh(spark, sf_dir, name, mod, chain, refresh, state_sub):
+    """Shared two-epoch serving fixture behind every
+    q_incremental_*_epoch2 entry: epoch 1 renders the pages of
+    customers with custkey % mod != 0 (links to un-crawled pages drop
+    at graph build) and runs one COLD refresh; epoch 2 appends the
+    remaining pages and runs the WARM refresh, whose serving table is
+    returned. ``chain=True`` uses the nation-chain edges, else the
+    order graph; ``refresh(pages_path, state_path)`` runs one serving
+    refresh and returns its table. Keeping this in ONE place keeps all
+    five entries in lockstep with their SQL oracles."""
+    import shutil
+
+    from linkgraph.sources.corpus import pages_from_edges
+
+    base = f"/tmp/lg_entry_{name}"
+    shutil.rmtree(base, ignore_errors=True)
+    pages_path, state_path = base + "/pages", base + "/" + state_sub
+    cust = _read(spark, sf_dir, "customer")
+    if chain:
+        w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+        edges = (
+            cust.select(
+                F.col("c_custkey").alias("skey"),
+                F.lead("c_custkey").over(w).alias("dkey"),
+            )
+            .where(F.col("dkey").isNotNull())
+            .select(
+                F.col("skey").cast("string").alias("src_name"),
+                F.col("dkey").cast("string").alias("dst_name"),
+                "skey",
+            )
+        )
+    else:
+        orders = _read(spark, sf_dir, "orders")
+        n = cust.count()
+        edges = orders.select(
+            F.col("o_custkey").cast("string").alias("src_name"),
+            F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
+            F.col("o_custkey").alias("skey"),
+        )
+    verts = cust.select(
+        F.col("c_custkey").cast("string").alias("name"),
+        F.col("c_custkey").alias("key"),
+    )
+    v1 = verts.where(F.pmod(F.col("key"), F.lit(mod)) != 0).select("name")
+    v2 = verts.where(F.pmod(F.col("key"), F.lit(mod)) == 0).select("name")
+    e1 = edges.where(F.pmod(F.col("skey"), F.lit(mod)) != 0).select(
+        "src_name", "dst_name"
+    )
+    e2 = edges.where(F.pmod(F.col("skey"), F.lit(mod)) == 0).select(
+        "src_name", "dst_name"
+    )
+    pages_from_edges(v1, e1, name=name).write.mode("overwrite").parquet(pages_path)
+    refresh(pages_path, state_path)
+    pages_from_edges(v2, e2, name=name).write.mode("append").parquet(pages_path)
+    return refresh(pages_path, state_path)
+
+
 def q_incremental_pagerank_epoch2(spark, sf_dir):
     """Two-epoch incremental PageRank serving
     (streaming/incremental.py ``refresh_ranks``): epoch 1 crawls the
@@ -425,42 +483,12 @@ def q_incremental_pagerank_epoch2(spark, sf_dir):
     iterations through the same coalesce-0/renormalize step — so the
     warm-start plumbing itself (url seeding, renormalization, new-page
     zero mass) is what the hash verifies, not just the final graph."""
-    import shutil
-
-    from linkgraph.sources.corpus import pages_from_edges
     from linkgraph.streaming.incremental import refresh_ranks
 
-    base = "/tmp/lg_entry_incr_pr"
-    shutil.rmtree(base, ignore_errors=True)
-    pages_path, ranks_path = base + "/pages", base + "/ranks"
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    n = cust.count()
-    verts = cust.select(
-        F.col("c_custkey").cast("string").alias("name"),
-        F.col("c_custkey").alias("key"),
+    serving = _two_epoch_refresh(
+        spark, sf_dir, "incrpr", 4, False,
+        lambda p, s: refresh_ranks(spark, p, s, fixed_iter=5), "ranks",
     )
-    edges = orders.select(
-        F.col("o_custkey").cast("string").alias("src_name"),
-        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
-        F.col("o_custkey").alias("skey"),
-    )
-    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
-    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
-    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
-        "src_name", "dst_name"
-    )
-    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
-        "src_name", "dst_name"
-    )
-    pages_from_edges(v1, e1, name="incrpr").write.mode("overwrite").parquet(
-        pages_path
-    )
-    refresh_ranks(spark, pages_path, ranks_path, fixed_iter=5)
-    pages_from_edges(v2, e2, name="incrpr").write.mode("append").parquet(
-        pages_path
-    )
-    serving = refresh_ranks(spark, pages_path, ranks_path, fixed_iter=5)
     return serving.select("url", F.round("rank", 8).alias("rank_r"))
 
 
@@ -474,48 +502,14 @@ def q_incremental_cc_epoch2(spark, sf_dir):
     a cold run (labels_start contract), so the oracle is simply the
     full graph's components: per nation, every chain page maps to the
     lexicographically-min url (dense ids are assigned in url sort
-    order, graph.py assign_dense_ids)."""
-    import shutil
-
-    from linkgraph.sources.corpus import pages_from_edges
+    order, graph.py assign_dense_ids). This entry run at sf0.1 is what
+    exposed the round-4 distributed-CC non-convergence bug."""
     from linkgraph.streaming.incremental import refresh_components
 
-    base = "/tmp/lg_entry_incr_cc"
-    shutil.rmtree(base, ignore_errors=True)
-    pages_path, labels_path = base + "/pages", base + "/labels"
-    cust = _read(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
-    chain = (
-        cust.select(
-            F.col("c_custkey").alias("skey"),
-            F.lead("c_custkey").over(w).alias("dkey"),
-        )
-    ).where(F.col("dkey").isNotNull())
-    verts = cust.select(
-        F.col("c_custkey").cast("string").alias("name"),
-        F.col("c_custkey").alias("key"),
+    serving = _two_epoch_refresh(
+        spark, sf_dir, "incrcc", 5, True,
+        lambda p, s: refresh_components(spark, p, s), "labels",
     )
-    edges = chain.select(
-        F.col("skey").cast("string").alias("src_name"),
-        F.col("dkey").cast("string").alias("dst_name"),
-        "skey",
-    )
-    v1 = verts.where(F.pmod(F.col("key"), F.lit(5)) != 0).select("name")
-    v2 = verts.where(F.pmod(F.col("key"), F.lit(5)) == 0).select("name")
-    e1 = edges.where(F.pmod(F.col("skey"), F.lit(5)) != 0).select(
-        "src_name", "dst_name"
-    )
-    e2 = edges.where(F.pmod(F.col("skey"), F.lit(5)) == 0).select(
-        "src_name", "dst_name"
-    )
-    pages_from_edges(v1, e1, name="incrcc").write.mode("overwrite").parquet(
-        pages_path
-    )
-    refresh_components(spark, pages_path, labels_path)
-    pages_from_edges(v2, e2, name="incrcc").write.mode("append").parquet(
-        pages_path
-    )
-    serving = refresh_components(spark, pages_path, labels_path)
     return serving.select("url", "component_url")
 
 
@@ -528,43 +522,13 @@ def q_incremental_triangles_epoch2(spark, sf_dir):
     onto the stored counts. Per-url triangle counts are EXACT and the
     warm result equals a cold recount, so the oracle is the plain
     per-node triangle count of the full undirected order graph."""
-    import shutil
-
-    from linkgraph.sources.corpus import pages_from_edges
     from linkgraph.streaming.incremental import refresh_triangles
 
-    base = "/tmp/lg_entry_incr_tri"
-    shutil.rmtree(base, ignore_errors=True)
-    pages_path, tri_path = base + "/pages", base + "/tri"
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    n = cust.count()
-    verts = cust.select(
-        F.col("c_custkey").cast("string").alias("name"),
-        F.col("c_custkey").alias("key"),
-    )
-    edges = orders.select(
-        F.col("o_custkey").cast("string").alias("src_name"),
-        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
-        F.col("o_custkey").alias("skey"),
-    )
-    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
-    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
-    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
-        "src_name", "dst_name"
-    )
-    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
-        "src_name", "dst_name"
-    )
-    pages_from_edges(v1, e1, name="incrtri").write.mode("overwrite").parquet(
-        pages_path
-    )
-    refresh_triangles(spark, pages_path, tri_path)
-    pages_from_edges(v2, e2, name="incrtri").write.mode("append").parquet(
-        pages_path
-    )
     stats: dict = {}
-    serving = refresh_triangles(spark, pages_path, tri_path, stats_out=stats)
+    serving = _two_epoch_refresh(
+        spark, sf_dir, "incrtri", 4, False,
+        lambda p, s: refresh_triangles(spark, p, s, stats_out=stats), "tri",
+    )
     assert stats.get("mode") == "delta", stats  # the path under test
     return serving.select(
         "url", F.col("triangles").cast("long").alias("n_tri")
@@ -582,42 +546,12 @@ def q_incremental_reach_epoch2(spark, sf_dir):
     unrolled superstep chains), so the url-hash init, the warm lattice
     merge and the packed-wire superstep all hash-verify together. The
     float reach_est column (libm ln) is excluded, as everywhere."""
-    import shutil
-
-    from linkgraph.sources.corpus import pages_from_edges
     from linkgraph.streaming.incremental import refresh_reach
 
-    base = "/tmp/lg_entry_incr_reach"
-    shutil.rmtree(base, ignore_errors=True)
-    pages_path, reach_path = base + "/pages", base + "/reach"
-    cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
-    n = cust.count()
-    verts = cust.select(
-        F.col("c_custkey").cast("string").alias("name"),
-        F.col("c_custkey").alias("key"),
+    serving = _two_epoch_refresh(
+        spark, sf_dir, "incrreach", 4, False,
+        lambda p, s: refresh_reach(spark, p, s, b=4, max_t=4), "reach",
     )
-    edges = orders.select(
-        F.col("o_custkey").cast("string").alias("src_name"),
-        F.pmod(F.col("o_orderkey"), F.lit(n)).cast("string").alias("dst_name"),
-        F.col("o_custkey").alias("skey"),
-    )
-    v1 = verts.where(F.pmod(F.col("key"), F.lit(4)) != 0).select("name")
-    v2 = verts.where(F.pmod(F.col("key"), F.lit(4)) == 0).select("name")
-    e1 = edges.where(F.pmod(F.col("skey"), F.lit(4)) != 0).select(
-        "src_name", "dst_name"
-    )
-    e2 = edges.where(F.pmod(F.col("skey"), F.lit(4)) == 0).select(
-        "src_name", "dst_name"
-    )
-    pages_from_edges(v1, e1, name="incrreach").write.mode("overwrite").parquet(
-        pages_path
-    )
-    refresh_reach(spark, pages_path, reach_path, b=4, max_t=4)
-    pages_from_edges(v2, e2, name="incrreach").write.mode("append").parquet(
-        pages_path
-    )
-    serving = refresh_reach(spark, pages_path, reach_path, b=4, max_t=4)
     reg_sum = sum((F.col(f"r{i}") for i in range(16)), F.lit(0))
     return serving.select(
         "url", *[f"r{i}" for i in range(16)], reg_sum.cast("int").alias("reg_sum")
@@ -634,47 +568,12 @@ def q_incremental_communities_epoch2(spark, sf_dir):
     different VALID fixpoints); the serving contract — fixpoint
     validity + fewer warm sweeps — is pytest-verified
     (tests/test_incremental.py)."""
-    import shutil
-
-    from linkgraph.sources.corpus import pages_from_edges
     from linkgraph.streaming.incremental import refresh_communities
 
-    base = "/tmp/lg_entry_incr_lpa"
-    shutil.rmtree(base, ignore_errors=True)
-    pages_path, labels_path = base + "/pages", base + "/labels"
-    cust = _read(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
-    chain = (
-        cust.select(
-            F.col("c_custkey").alias("skey"),
-            F.lead("c_custkey").over(w).alias("dkey"),
-        )
-    ).where(F.col("dkey").isNotNull())
-    verts = cust.select(
-        F.col("c_custkey").cast("string").alias("name"),
-        F.col("c_custkey").alias("key"),
+    serving = _two_epoch_refresh(
+        spark, sf_dir, "incrlpa", 5, True,
+        lambda p, s: refresh_communities(spark, p, s), "labels",
     )
-    edges = chain.select(
-        F.col("skey").cast("string").alias("src_name"),
-        F.col("dkey").cast("string").alias("dst_name"),
-        "skey",
-    )
-    v1 = verts.where(F.pmod(F.col("key"), F.lit(5)) != 0).select("name")
-    v2 = verts.where(F.pmod(F.col("key"), F.lit(5)) == 0).select("name")
-    e1 = edges.where(F.pmod(F.col("skey"), F.lit(5)) != 0).select(
-        "src_name", "dst_name"
-    )
-    e2 = edges.where(F.pmod(F.col("skey"), F.lit(5)) == 0).select(
-        "src_name", "dst_name"
-    )
-    pages_from_edges(v1, e1, name="incrlpa").write.mode("overwrite").parquet(
-        pages_path
-    )
-    refresh_communities(spark, pages_path, labels_path)
-    pages_from_edges(v2, e2, name="incrlpa").write.mode("append").parquet(
-        pages_path
-    )
-    serving = refresh_communities(spark, pages_path, labels_path)
     return serving.select("url", "label_url")
 
 
@@ -3572,7 +3471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_reach_epoch2": q_incremental_reach_epoch2,
         "incremental_communities_epoch2": q_incremental_communities_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
-        "find_cycle_nations_dist": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
         "simple_cycles_orders": q_simple_cycles_orders,
         "girth_parts": q_girth_parts,

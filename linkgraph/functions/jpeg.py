@@ -514,10 +514,40 @@ def _decode_progressive_scan(
     reader = _BitReader(d, pos)
     p1 = 1 << al
 
-    if ss == 0:  # DC scan, possibly interleaved
+    if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
+
+        def dc_one(c, by, bx, pred):
+            st = coefs[c["ci"]]
+            if ah == 0:  # first pass: value << al
+                t = reader.decode_symbol(huff_dc[c["dc"]])
+                diff = _extend(reader.receive(t), t)
+                pred[c["ci"]] += diff
+                st[by, bx, 0] = pred[c["ci"]] << al
+            else:  # refinement: one raw bit
+                if reader.read_bit():
+                    st[by, bx, 0] = int(st[by, bx, 0]) | p1
+
         pred = {c["ci"]: 0 for c in scan}
+        if len(scan) == 1:
+            # single-component DC scan is NON-interleaved (T.81
+            # A.2.2): walk the component's own ceil(cw/8)×ceil(ch/8)
+            # raster, not the MCU-padded grid — a subsampled
+            # component's padded grid has more blocks in a different
+            # order, which desynchronizes third-party scan scripts
+            # (e.g. a luma-only DC scan from a custom encoder)
+            c = scan[0]
+            nbx, nby = _comp_block_dims(frame, c)
+            n_blk = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n_blk and n_blk % restart_interval == 0:
+                        reader.align_and_skip_rst()
+                        pred = {c["ci"]: 0}
+                    dc_one(c, by, bx, pred)
+                    n_blk += 1
+            return reader.pos
         n_mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -525,18 +555,9 @@ def _decode_progressive_scan(
                     reader.align_and_skip_rst()
                     pred = {c["ci"]: 0 for c in scan}
                 for c in scan:
-                    st = coefs[c["ci"]]
                     for bv in range(c["v"]):
                         for bh in range(c["h"]):
-                            by, bx = my * c["v"] + bv, mx * c["h"] + bh
-                            if ah == 0:  # first pass: value << al
-                                t = reader.decode_symbol(huff_dc[c["dc"]])
-                                diff = _extend(reader.receive(t), t)
-                                pred[c["ci"]] += diff
-                                st[by, bx, 0] = pred[c["ci"]] << al
-                            else:  # refinement: one raw bit
-                                if reader.read_bit():
-                                    st[by, bx, 0] = int(st[by, bx, 0]) | p1
+                            dc_one(c, my * c["v"] + bv, mx * c["h"] + bh, pred)
                 n_mcu += 1
         return reader.pos
 
@@ -628,12 +649,21 @@ def _reconstruct_progressive(frame, coefs, qt, zz, C):
     for c, st in zip(frame["comps"], coefs):
         q = qt[c["tq"]]
         nby, nbx = st.shape[0], st.shape[1]
-        plane = np.zeros((nby * 8, nbx * 8), np.float64)
         dezz = np.zeros((nby, nbx, 64), np.float64)
         dezz[:, :, zz] = st
         blocks = dezz.reshape(nby, nbx, 8, 8) * q
-        spatial = np.einsum("xk,abky,yl->abxl", C.T, blocks, C) + 128.0
-        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # per-block IDCT with the IDENTICAL expression the baseline
+        # scan decoder uses (C.T @ blk @ C): a vectorized einsum sums
+        # in a different order and its last-bit differences flip
+        # np.round at exact-.5 boundaries — the progressive-decode ==
+        # baseline-decode bit-exact contract requires matching float
+        # accumulation order (same reasoning as the encoder's FDCT)
+        plane = np.zeros((nby * 8, nbx * 8), np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ blocks[by, bx] @ C + 128.0
+                )
         plane = np.repeat(
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
@@ -856,7 +886,8 @@ def encode_jpeg(
 
 
 def encode_jpeg_progressive(
-    pixels, quality: int = 85, subsampling: str = "444"
+    pixels, quality: int = 85, subsampling: str = "444",
+    dc_interleaved: bool = True,
 ) -> bytes:
     """(H, W, 3) or (H, W) uint8 -> PROGRESSIVE JFIF bytes (SOF2) with
     a successive-approximation scan script that exercises all four
@@ -872,6 +903,11 @@ def encode_jpeg_progressive(
     round-trip-test the SOF2 decode path; quality/tables identical to
     :func:`encode_jpeg`. Point transforms per T.81: DC is an
     arithmetic shift, AC divides magnitudes (truncation toward zero).
+    ``dc_interleaved=False`` emits one DC scan PER COMPONENT instead
+    (ns=1 ⇒ non-interleaved per T.81 A.2.2, walking the component's
+    own block raster) — the scan-script shape third-party encoders
+    may emit, exercising the decoder's non-interleaved DC path on
+    subsampled components.
     """
     import numpy as np
 
@@ -953,29 +989,48 @@ def encode_jpeg_progressive(
     nc = len(comps)
     all_ids = [ci + 1 for ci in range(nc)]
 
-    # ---- scan 1: DC first, interleaved, Al=1
-    bw = _BitWriter()
-    pred = [0] * nc
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(nc):
-                ch_f, cv = factors[ci]
-                for bv in range(cv):
-                    for bh in range(ch_f):
-                        v = int(zq_store[ci][my * cv + bv, mx * ch_f + bh, 0]) >> 1
-                        diff = v - pred[ci]
-                        pred[ci] = v
-                        s = _category(diff)
-                        ln, code = dc_tbl[tid(ci)][s]
-                        bw.write(code, ln)
-                        if s:
-                            mag = diff if diff >= 0 else diff + (1 << s) - 1
-                            bw.write(mag, s)
-    bw.flush()
-    scans.append(
-        (sos_body(all_ids, [tid(ci) << 4 for ci in range(nc)], 0, 0, 0, 1),
-         bytes(bw.out))
-    )
+    def emit_dc_first(bw, ci, by, bx, pred):
+        v = int(zq_store[ci][by, bx, 0]) >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        s = _category(diff)
+        ln, code = dc_tbl[tid(ci)][s]
+        bw.write(code, ln)
+        if s:
+            mag = diff if diff >= 0 else diff + (1 << s) - 1
+            bw.write(mag, s)
+
+    # ---- scan 1: DC first, Al=1 — interleaved MCU walk, or one
+    # non-interleaved scan per component over its own raster
+    if dc_interleaved:
+        bw = _BitWriter()
+        pred = [0] * nc
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    ch_f, cv = factors[ci]
+                    for bv in range(cv):
+                        for bh in range(ch_f):
+                            emit_dc_first(
+                                bw, ci, my * cv + bv, mx * ch_f + bh, pred
+                            )
+        bw.flush()
+        scans.append(
+            (sos_body(all_ids, [tid(ci) << 4 for ci in range(nc)], 0, 0, 0, 1),
+             bytes(bw.out))
+        )
+    else:
+        for ci in range(nc):
+            bw = _BitWriter()
+            pred = [0] * nc
+            nbx, nby = comp_dims(ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    emit_dc_first(bw, ci, by, bx, pred)
+            bw.flush()
+            scans.append(
+                (sos_body([ci + 1], [tid(ci) << 4], 0, 0, 0, 1), bytes(bw.out))
+            )
 
     # ---- scans 2..: AC first per component, Ss=1..63, Al=1
     def pt_ac(v, al):
@@ -1035,22 +1090,35 @@ def encode_jpeg_progressive(
             (sos_body([ci + 1], [0x00], 1, 63, 0, 1), bytes(bw.out))
         )
 
-    # ---- scan: DC refine, interleaved, Ah=1 Al=0 (raw bits)
-    bw = _BitWriter()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(nc):
-                ch_f, cv = factors[ci]
-                for bv in range(cv):
-                    for bh in range(ch_f):
-                        bw.write(
-                            int(zq_store[ci][my * cv + bv, mx * ch_f + bh, 0]) & 1,
-                            1,
-                        )
-    bw.flush()
-    scans.append(
-        (sos_body(all_ids, [0] * nc, 0, 0, 1, 0), bytes(bw.out))
-    )
+    # ---- scan: DC refine, Ah=1 Al=0 (raw bits) — same interleaving
+    # shape as the DC-first scan
+    if dc_interleaved:
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    ch_f, cv = factors[ci]
+                    for bv in range(cv):
+                        for bh in range(ch_f):
+                            bw.write(
+                                int(zq_store[ci][my * cv + bv, mx * ch_f + bh, 0]) & 1,
+                                1,
+                            )
+        bw.flush()
+        scans.append(
+            (sos_body(all_ids, [0] * nc, 0, 0, 1, 0), bytes(bw.out))
+        )
+    else:
+        for ci in range(nc):
+            bw = _BitWriter()
+            nbx, nby = comp_dims(ci)
+            for by in range(nby):
+                for bx in range(nbx):
+                    bw.write(int(zq_store[ci][by, bx, 0]) & 1, 1)
+            bw.flush()
+            scans.append(
+                (sos_body([ci + 1], [0], 0, 0, 1, 0), bytes(bw.out))
+            )
 
     # ---- scans: AC refine per component, Ah=1 Al=0
     for ci in range(nc):

@@ -181,7 +181,9 @@ def connected_components(
         )
     loop = SuperstepLoop(
         spark,
-        "connected_components",
+        # each contraction level gets its own ledger name so the
+        # levels' checkpoints never collide under one checkpoint_dir
+        "connected_components" if _level == 0 else f"connected_components_l{_level}",
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         lineage=lineage,
@@ -293,6 +295,13 @@ def connected_components(
             _LG(vertices=cverts, edges=cedges, directed=False),
             max_iter=max_iter,
             num_partitions=num_partitions,
+            # forward the durability contract: contraction levels write
+            # their own ledgers (level-suffixed loop name) under the
+            # same checkpoint_dir, so executor loss during a level
+            # resumes that level's phase instead of restarting cold
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            lineage=lineage,
             local_max_edges=local_max_edges,
             stats_out=substats,
             _level=_level + 1,

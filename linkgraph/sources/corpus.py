@@ -104,6 +104,33 @@ def pages_df(spark: SparkSession, graph: str, edges, nodes=()) -> DataFrame:
     return spark.createDataFrame(pages_pdf(graph, edges, nodes), schema=PAGES_SCHEMA)
 
 
+def zipf_edges(spark: SparkSession, n: int, avg_out: int = 10,
+               exponent: float = 0.7, partitions: int = 32) -> DataFrame:
+    """Deterministic Zipf-skewed (src, dst) edge table — THE shared
+    generator behind every at-scale measurement (cc/hyperball/anchor/
+    incremental scaling tools and :func:`zipf_pages`): per-page
+    out-degree 1..2·avg_out−1 from a hash, target ids power-law-skewed
+    toward 0 (hub in-link skew). Pure ``spark.range`` + hash
+    arithmetic — identical rows at any parallelism, never touches the
+    driver. Self-loops dropped; parallel edges possible (multigraph
+    semantics, callers dedup as their operator requires)."""
+    ids = spark.range(0, n, 1, partitions)
+    k = ids.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(avg_out * 2 - 1)))
+        ).alias("k"),
+    )
+    u = (F.pmod(F.xxhash64("id", "k"), F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
+    dst = F.least(
+        F.lit(n - 1), F.floor(F.pow(u, F.lit(1.0 / (1.0 - exponent))) * n)
+    ).cast("long")
+    return (
+        k.select(F.col("id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
 def zipf_pages(
     spark: SparkSession,
     n: int,
@@ -121,19 +148,9 @@ def zipf_pages(
     in-links on low ids (hub skew, exercises salting/AQE paths).
     """
     ids = spark.range(0, n, 1, partitions)
-    k = (
-        ids.select(
-            F.col("id"),
-            F.explode(
-                F.sequence(F.lit(0), (F.pmod(F.xxhash64("id"), F.lit(avg_out * 2 - 1))))
-            ).alias("k"),
-        )
-    )
-    u = (F.pmod(F.xxhash64("id", "k"), F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
-    dst = F.least(
-        F.lit(n - 1), F.floor(F.pow(u, F.lit(1.0 / (1.0 - exponent))) * n)
-    ).cast("long")
-    links = k.select("id", dst.alias("dst")).where(F.col("dst") != F.col("id"))
+    links = zipf_edges(
+        spark, n, avg_out=avg_out, exponent=exponent, partitions=partitions
+    ).select(F.col("src").alias("id"), "dst")
     url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("id"))
     dst_url = F.concat(F.lit(f"{BASE}/{name}/"), F.col("dst"))
     body = links.groupBy("id").agg(

@@ -35,21 +35,11 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    exponent = 0.7
+    from linkgraph.sources.corpus import zipf_edges
+
     ids = spark.range(0, n, 1, cores)
-    k = ids.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(avg_out * 2 - 1)))
-        ).alias("k"),
-    )
-    u = (F.pmod(F.xxhash64("id", "k"), F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
-    dst = F.least(
-        F.lit(n - 1), F.floor(F.pow(u, F.lit(1.0 / (1.0 - exponent))) * n)
-    ).cast("long")
     edges = (
-        k.select(F.col("id").alias("src"), dst.alias("dst"))
-        .where(F.col("src") != F.col("dst"))
+        zipf_edges(spark, n, avg_out=avg_out, partitions=cores)
         .withColumn("weight", F.lit(1.0))
         .persist()
     )

@@ -44,23 +44,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1024).mapInPandas(lambda it: it, "id long").count()
 
-    exponent = 0.7
+    from linkgraph.sources.corpus import zipf_edges
+
     ids = spark.range(0, n, 1, cores)
-    k = ids.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(0), F.pmod(F.xxhash64("id"), F.lit(avg_out * 2 - 1)))
-        ).alias("k"),
+    edges = zipf_edges(spark, n, avg_out=avg_out, partitions=cores).select(
+        F.col("src").cast("string").alias("src_name"),
+        F.col("dst").cast("string").alias("dst_name"),
+        F.col("src").alias("skey"),
     )
-    u = (F.pmod(F.xxhash64("id", "k"), F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
-    dst = F.least(
-        F.lit(n - 1), F.floor(F.pow(u, F.lit(1.0 / (1.0 - exponent))) * n)
-    ).cast("long")
-    edges = k.select(
-        F.col("id").cast("string").alias("src_name"),
-        dst.cast("string").alias("dst_name"),
-        F.col("id").alias("skey"),
-    ).where(F.col("src_name") != F.col("dst_name"))
     verts = ids.select(
         F.col("id").cast("string").alias("name"), F.col("id").alias("key")
     )
