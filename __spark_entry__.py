@@ -417,19 +417,30 @@ def _two_epoch_refresh(spark, sf_dir, name, mod, chain, refresh, state_sub):
     """Shared two-epoch serving fixture behind every
     q_incremental_*_epoch2 entry: epoch 1 renders the pages of
     customers with custkey % mod != 0 (links to un-crawled pages drop
-    at graph build) and runs one COLD refresh; epoch 2 appends the
+    at graph build), ingests them ONCE into the append-only edge store
+    (streaming/incremental.py ``ingest_pages`` — the r5 O(Δ) shape:
+    HTML extraction runs exactly once per page, a refresh reads only
+    the store) and runs one COLD refresh; epoch 2 ingests the
     remaining pages and runs the WARM refresh, whose serving table is
     returned. ``chain=True`` uses the nation-chain edges, else the
-    order graph; ``refresh(pages_path, state_path)`` runs one serving
+    order graph; ``refresh(store_path, state_path)`` runs one serving
     refresh and returns its table. Keeping this in ONE place keeps all
-    five entries in lockstep with their SQL oracles."""
+    five entries in lockstep with their SQL oracles — which pin that
+    the store-built graph is bit-identical to whole-crawl
+    re-extraction."""
+    import os
     import shutil
 
     from linkgraph.sources.corpus import pages_from_edges
+    from linkgraph.streaming.incremental import ingest_pages
 
-    base = f"/tmp/lg_entry_{name}"
+    # PID-suffixed scratch (ADVICE r4): two drivers running the same
+    # entry query on one host must not corrupt each other's page/state
+    # tables; rmtree still resets state for re-runs within one driver
+    base = f"/tmp/lg_entry_{name}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     pages_path, state_path = base + "/pages", base + "/" + state_sub
+    store_path = base + "/store"
     cust = _read(spark, sf_dir, "customer")
     if chain:
         w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
@@ -465,10 +476,15 @@ def _two_epoch_refresh(spark, sf_dir, name, mod, chain, refresh, state_sub):
     e2 = edges.where(F.pmod(F.col("skey"), F.lit(mod)) == 0).select(
         "src_name", "dst_name"
     )
-    pages_from_edges(v1, e1, name=name).write.mode("overwrite").parquet(pages_path)
-    refresh(pages_path, state_path)
-    pages_from_edges(v2, e2, name=name).write.mode("append").parquet(pages_path)
-    return refresh(pages_path, state_path)
+    # each batch is written then ingested FROM ITS OWN parquet drop —
+    # extraction touches every page exactly once across both epochs
+    p1, p2 = pages_path + "/b1", pages_path + "/b2"
+    pages_from_edges(v1, e1, name=name).write.mode("overwrite").parquet(p1)
+    ingest_pages(spark, spark.read.parquet(p1), store_path)
+    refresh(store_path, state_path)
+    pages_from_edges(v2, e2, name=name).write.mode("overwrite").parquet(p2)
+    ingest_pages(spark, spark.read.parquet(p2), store_path)
+    return refresh(store_path, state_path)
 
 
 def q_incremental_pagerank_epoch2(spark, sf_dir):
@@ -487,7 +503,7 @@ def q_incremental_pagerank_epoch2(spark, sf_dir):
 
     serving = _two_epoch_refresh(
         spark, sf_dir, "incrpr", 4, False,
-        lambda p, s: refresh_ranks(spark, p, s, fixed_iter=5), "ranks",
+        lambda p, s: refresh_ranks(spark, None, s, store_path=p, fixed_iter=5), "ranks",
     )
     return serving.select("url", F.round("rank", 8).alias("rank_r"))
 
@@ -508,7 +524,7 @@ def q_incremental_cc_epoch2(spark, sf_dir):
 
     serving = _two_epoch_refresh(
         spark, sf_dir, "incrcc", 5, True,
-        lambda p, s: refresh_components(spark, p, s), "labels",
+        lambda p, s: refresh_components(spark, None, s, store_path=p), "labels",
     )
     return serving.select("url", "component_url")
 
@@ -527,7 +543,7 @@ def q_incremental_triangles_epoch2(spark, sf_dir):
     stats: dict = {}
     serving = _two_epoch_refresh(
         spark, sf_dir, "incrtri", 4, False,
-        lambda p, s: refresh_triangles(spark, p, s, stats_out=stats), "tri",
+        lambda p, s: refresh_triangles(spark, None, s, store_path=p, stats_out=stats), "tri",
     )
     assert stats.get("mode") == "delta", stats  # the path under test
     return serving.select(
@@ -550,7 +566,7 @@ def q_incremental_reach_epoch2(spark, sf_dir):
 
     serving = _two_epoch_refresh(
         spark, sf_dir, "incrreach", 4, False,
-        lambda p, s: refresh_reach(spark, p, s, b=4, max_t=4), "reach",
+        lambda p, s: refresh_reach(spark, None, s, store_path=p, b=4, max_t=4), "reach",
     )
     reg_sum = sum((F.col(f"r{i}") for i in range(16)), F.lit(0))
     return serving.select(
@@ -572,7 +588,7 @@ def q_incremental_communities_epoch2(spark, sf_dir):
 
     serving = _two_epoch_refresh(
         spark, sf_dir, "incrlpa", 5, True,
-        lambda p, s: refresh_communities(spark, p, s), "labels",
+        lambda p, s: refresh_communities(spark, None, s, store_path=p), "labels",
     )
     return serving.select("url", "label_url")
 

@@ -55,7 +55,19 @@ def k_core(graph: LinkGraph, k: int, max_rounds: int | None = None) -> LinkGraph
     of 0). ``core_number`` is exact at every size (gated single-task
     BZ peeling below 2M edges; the h-index fixpoint above, which
     RAISES on non-convergence instead of lying). ``max_rounds`` is
-    retained for API compatibility and ignored."""
+    retained for API compatibility only — passing it warns, because a
+    caller who used it to CAP cost now gets the full (exact)
+    core_number computation instead."""
+    if max_rounds is not None:
+        import warnings
+
+        warnings.warn(
+            "k_core(max_rounds=) is ignored since the round-4 switch to "
+            "the exact core_number>=k identity; the bound no longer caps "
+            "cost and will be removed",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     if k <= 0:
         # nx.k_core(G, 0) is the whole graph — including isolates
         # (networkx/algorithms/core.py k_core with k=0 filters nothing)
@@ -95,7 +107,9 @@ def _h_index_expr(hst) -> F.Column:
     )
 
 
-def _local_core_number(graph: LinkGraph) -> DataFrame:
+def _local_core_number(
+    graph: LinkGraph, edges: DataFrame | None = None
+) -> DataFrame:
     """Single-task exact k-core decomposition: the Batagelj–Zaversnik
     (2003) O(m) bucket peeling — the SAME algorithm the reference's
     sequential ``core_number`` implements with dicts
@@ -152,7 +166,7 @@ def _local_core_number(graph: LinkGraph) -> DataFrame:
         return {"id": ids, "core": np.asarray(degs, dtype=np.int64)}
 
     return run_local_kernel(
-        graph.weighted_edges(),
+        edges if edges is not None else graph.weighted_edges(),
         graph.vertices.select("id"),
         [],
         kernel,
@@ -198,8 +212,20 @@ def core_number(
     physical choice every sibling iterative operator makes; the
     ``*_dist`` entry twin pins this superstep plan.
     """
-    if local_max_edges and graph.edges.count() <= local_max_edges:
-        return _local_core_number(graph)
+    if local_max_edges:
+        # persist the edge projection before the gate count and hand
+        # the SAME persisted plan to the local kernel (k_truss gate
+        # pattern — ADVICE r4: counting the unpersisted plan and then
+        # re-deriving weighted_edges() evaluated a possibly expensive
+        # edge derivation twice)
+        we = graph.weighted_edges().persist()
+        if we.count() <= local_max_edges:
+            out = _local_core_number(graph, edges=we).localCheckpoint(
+                eager=True
+            )
+            we.unpersist()
+            return out
+        we.unpersist()
     spark = graph.spark
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     canon = _simple_undirected_edges(graph)

@@ -365,6 +365,20 @@ def label_propagation_communities(
         )
     edges = edges.repartition(nparts, "src").persist()
     edges.count()
+    if weight is not None:
+        # the docstring's termination argument (potential Φ_w) requires
+        # non-negative weights; fail HERE instead of surfacing later as
+        # an opaque max_rounds RuntimeError or a wrong fixpoint. Cheap:
+        # one agg over the already-persisted aggregated edge table.
+        min_w = edges.agg(F.min("w")).first()[0]
+        if min_w is not None and min_w < 0:
+            edges.unpersist()
+            raise ValueError(
+                f"label_propagation_communities(weight=) requires "
+                f"non-negative edge weights (min aggregated weight "
+                f"{min_w}); the sweep's termination potential is only "
+                f"monotone for w >= 0"
+            )
     vertices = graph.vertices.select("id")
 
     if labels_start is None:

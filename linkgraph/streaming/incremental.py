@@ -10,13 +10,22 @@ without recomputing from a cold uniform vector each time.
 
 Design (all existing engine pieces, no new algorithm):
 
-* each micro-batch of pages is appended to a parquet page store
-  (exactly-once via the stream checkpoint when driven by
-  ``ingest.write_edge_stream``-style sinks, or by the foreachBatch
-  epoch id here);
-* the full accumulated page set rebuilds the graph
-  (``graph_from_pages`` — the dense-id dictionary is recomputed, so
-  ids are NOT stable across batches);
+* each micro-batch of pages is ingested ONCE into an append-only
+  **edge store** (``ingest_pages`` — extraction runs once per page
+  EVER; the store holds the raw (src_url, dst_url) out-links plus the
+  crawled url set), exactly-once via the stream checkpoint when driven
+  by ``ingest.write_edge_stream``-style sinks, or by the foreachBatch
+  epoch id here;
+* a refresh rebuilds the graph from the STORE
+  (``graph_from_store`` — an O(E) parquet scan + the dense-id
+  dictionary, NO HTML re-extraction; ids are still recomputed, so
+  they are NOT stable across batches). The legacy pages-path mode
+  (re-read all pages, re-extract) remains for whole-crawl rebuilds
+  and is hash-identical — extraction is deterministic per page, so
+  accumulating its output is the same edge multiset (asserted in
+  tests/test_incremental.py). At 100 TB the store path is the only
+  viable shape: round-4 measurement (BENCH §7h) put the O(corpus)
+  re-extraction at ≈55 s of a 62 s warm refresh at just 1M pages;
 * PageRank runs warm-started from the previous serving table via
   ``nstart`` — keyed by URL, not id, exactly because ids remap as the
   vertex set grows; new urls enter with mass 0 and the vector is
@@ -36,26 +45,95 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..graph import graph_from_pages
+from ..graph import LinkGraph, assign_dense_ids, graph_from_pages
 from ..operators.pagerank import pagerank
+
+
+def ingest_pages(
+    spark: SparkSession, batch_pages: DataFrame, store_path: str
+) -> None:
+    """Append ONE page batch to the edge store — the O(Δ) ingest step:
+    the vectorized extraction UDF runs over exactly this batch, once
+    per page EVER, and its raw output lands append-only:
+
+    * ``<store>/urls``  — (url) of every crawled page;
+    * ``<store>/edges`` — (src_url, dst_url), the UNfiltered extracted
+      out-links (a dst crawled only in a LATER batch must still become
+      an edge then, so the crawled-set filter belongs at graph build,
+      exactly where ``graph_from_pages`` applies it).
+
+    Append-only parquet: under a streaming checkpoint (or the
+    foreachBatch epoch id) this is exactly-once; the store is the
+    durable product of extraction, so a serving refresh never touches
+    HTML again."""
+    from ..sources.extract import edges_from_pages
+
+    batch_pages.select("url").write.mode("append").parquet(
+        store_path + "/urls"
+    )
+    edges_from_pages(batch_pages).write.mode("append").parquet(
+        store_path + "/edges"
+    )
+
+
+def graph_from_store(
+    spark: SparkSession, store_path: str, directed: bool = True
+) -> LinkGraph:
+    """Edge store -> LinkGraph: the O(E-scan) rebuild (no extraction).
+
+    Bit-identical to ``graph_from_pages`` over the same accumulated
+    crawl: the store's edge table is the union of each batch's
+    deterministic extraction output (= extracting all pages at once),
+    and the same crawled-url join drops out-links to uncrawled urls;
+    ``assign_dense_ids`` sorts by url either way. ``distinct()`` on
+    urls makes at-least-once batch replays idempotent for the vertex
+    set (valid crawls have unique urls, so it is a no-op otherwise)."""
+    urls = spark.read.parquet(store_path + "/urls").select("url").distinct()
+    raw = spark.read.parquet(store_path + "/edges").select(
+        "src_url", "dst_url"
+    )
+    ids = assign_dense_ids(urls, "url")
+    e = (
+        raw.join(ids.withColumnRenamed("id", "src"), raw.src_url == F.col("url"))
+        .drop("url")
+        .join(ids.withColumnRenamed("id", "dst"), F.col("dst_url") == F.col("url"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    return LinkGraph(vertices=ids.select("id", "url"), edges=e, directed=directed)
+
+
+def _load_graph(
+    spark: SparkSession,
+    pages_path: str | None,
+    store_path: str | None,
+    directed: bool = True,
+) -> LinkGraph:
+    """Refresh-time graph source: the edge store when given (O(E) scan,
+    extraction already paid at ingest), else the legacy whole-crawl
+    re-extraction from ``pages_path``."""
+    if store_path is not None:
+        return graph_from_store(spark, store_path, directed=directed)
+    return graph_from_pages(spark.read.parquet(pages_path), directed=directed)
 
 
 def refresh_ranks(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     ranks_path: str,
     alpha: float = 0.85,
     tol: float = 1.0e-6,
     stats_out: dict | None = None,
+    store_path: str | None = None,
     **pagerank_kwargs,
 ) -> DataFrame:
-    """One serving refresh: read ALL pages under ``pages_path``, build
-    the graph, warm-start from ``ranks_path`` if it exists, write the
-    new (url, rank) serving table atomically (write-new + rename is
-    the caller's concern on object stores; local parquet overwrite
-    here). Returns the serving DataFrame."""
-    pages = spark.read.parquet(pages_path)
-    g = graph_from_pages(pages)
+    """One serving refresh: build the graph — from the append-only
+    edge store at ``store_path`` when given (the O(Δ)-ingest shape:
+    no re-extraction, see :func:`ingest_pages`), else by re-reading
+    ALL pages under ``pages_path`` — warm-start from ``ranks_path``
+    if it exists, write the new (url, rank) serving table atomically
+    (write-new + rename is the caller's concern on object stores;
+    local parquet overwrite here). Returns the serving DataFrame."""
+    g = _load_graph(spark, pages_path, store_path)
     nstart = None
     if os.path.isdir(ranks_path):
         prev = spark.read.parquet(ranks_path)
@@ -81,24 +159,32 @@ def incremental_pagerank_sink(
     ranks_path: str,
     alpha: float = 0.85,
     tol: float = 1.0e-6,
+    store_path: str | None = None,
     **pagerank_kwargs,
 ):
-    """foreachBatch callback for a page stream: append the batch to
-    the page store, then refresh the serving ranks warm-started from
-    the previous epoch. Usage::
+    """foreachBatch callback for a page stream: ingest the batch, then
+    refresh the serving ranks warm-started from the previous epoch.
+    With ``store_path`` (the deployment shape) the batch is extracted
+    ONCE into the append-only edge store and the refresh reads only the
+    store; otherwise the batch is appended to the page store and the
+    refresh re-extracts the whole crawl. Usage::
 
         q = (read_page_stream(spark, drop_dir)
              .writeStream
-             .foreachBatch(incremental_pagerank_sink(spark, store, ranks))
+             .foreachBatch(incremental_pagerank_sink(
+                 spark, None, ranks, store_path=store))
              .option("checkpointLocation", ckpt)
              .start())
     """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(pages_path)
+        if store_path is not None:
+            ingest_pages(spark, batch_df, store_path)
+        else:
+            batch_df.write.mode("append").parquet(pages_path)
         refresh_ranks(
             spark, pages_path, ranks_path, alpha=alpha, tol=tol,
-            **pagerank_kwargs,
+            store_path=store_path, **pagerank_kwargs,
         )
 
     return _sink
@@ -106,13 +192,15 @@ def incremental_pagerank_sink(
 
 def refresh_components(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     labels_path: str,
     stats_out: dict | None = None,
+    store_path: str | None = None,
     **cc_kwargs,
 ) -> DataFrame:
     """Incremental CONNECTED-COMPONENTS serving (the CC analog of
-    :func:`refresh_ranks`): read ALL pages, build the graph, warm-start
+    :func:`refresh_ranks`): build the graph (edge store when
+    ``store_path`` is given, else re-extract all pages), warm-start
     the label superstep loop from the previous serving table, write the
     new serving table as (url, component_url).
 
@@ -125,8 +213,7 @@ def refresh_components(
     ``connected_components``; the warm fixpoint is bit-identical to a
     cold run (own-id stays a candidate), only the superstep count
     drops (asserted in tests/test_incremental.py)."""
-    pages = spark.read.parquet(pages_path)
-    g = graph_from_pages(pages)
+    g = _load_graph(spark, pages_path, store_path)
     labels_start = None
     if os.path.isdir(labels_path):
         prev = spark.read.parquet(labels_path)
@@ -170,13 +257,15 @@ def refresh_components(
 
 def refresh_communities(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     labels_path: str,
     stats_out: dict | None = None,
+    store_path: str | None = None,
     **lpa_kwargs,
 ) -> DataFrame:
     """Incremental LABEL-PROPAGATION serving (the LPA analog of
-    :func:`refresh_ranks`): read ALL pages, build the graph, warm-start
+    :func:`refresh_ranks`): build the graph (edge store when
+    ``store_path`` is given, else re-extract all pages), warm-start
     the Luby sweep loop from the previous serving table, write the new
     serving table as (url, label_url).
 
@@ -191,8 +280,7 @@ def refresh_communities(
     asserted in tests/test_incremental.py)."""
     from ..operators.label_propagation import label_propagation_communities
 
-    pages = spark.read.parquet(pages_path)
-    g = graph_from_pages(pages, directed=False)
+    g = _load_graph(spark, pages_path, store_path, directed=False)
     labels_start = None
     if os.path.isdir(labels_path):
         prev = spark.read.parquet(labels_path)
@@ -235,9 +323,10 @@ def refresh_communities(
 
 def refresh_triangles(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     tri_path: str,
     stats_out: dict | None = None,
+    store_path: str | None = None,
 ) -> DataFrame:
     """Incremental TRIANGLE-COUNT serving: per-url triangle counts
     refreshed under page APPENDS without re-enumerating old triangles.
@@ -259,8 +348,7 @@ def refresh_triangles(
     tests/test_incremental.py."""
     from ..operators.triangles import _simple_undirected, triangles
 
-    pages = spark.read.parquet(pages_path)
-    g = graph_from_pages(pages, directed=False)
+    g = _load_graph(spark, pages_path, store_path, directed=False)
     ids = g.vertices.select("url", "id")
     edges_path = tri_path + ".edges"
 
@@ -352,30 +440,39 @@ def incremental_components_sink(
     spark: SparkSession,
     pages_path: str,
     labels_path: str,
+    store_path: str | None = None,
     **cc_kwargs,
 ):
-    """foreachBatch callback: append the page batch, refresh the CC
-    serving table warm-started from the previous epoch (mirror of
-    :func:`incremental_pagerank_sink`)."""
+    """foreachBatch callback: ingest the page batch (edge store when
+    ``store_path`` is given — extraction once per page — else page
+    append), refresh the CC serving table warm-started from the
+    previous epoch (mirror of :func:`incremental_pagerank_sink`)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").parquet(pages_path)
-        refresh_components(spark, pages_path, labels_path, **cc_kwargs)
+        if store_path is not None:
+            ingest_pages(spark, batch_df, store_path)
+        else:
+            batch_df.write.mode("append").parquet(pages_path)
+        refresh_components(
+            spark, pages_path, labels_path, store_path=store_path, **cc_kwargs
+        )
 
     return _sink
 
 
 def refresh_reach(
     spark: SparkSession,
-    pages_path: str,
+    pages_path: str | None,
     reach_path: str,
     b: int = 6,
     max_t: int = 64,
     stats_out: dict | None = None,
+    store_path: str | None = None,
     **hb_kwargs,
 ) -> DataFrame:
     """Incremental HYPERBALL-REACH serving (the sketch analog of
-    :func:`refresh_ranks`): read ALL pages, build the graph, run the
+    :func:`refresh_ranks`): build the graph (edge store when
+    ``store_path`` is given, else re-extract all pages), run the
     HyperBall register loop to its full-reachability fixpoint
     warm-started from the previous serving table, write the new
     serving table as (url, r0…r_{m-1}, reach_est).
@@ -394,8 +491,7 @@ def refresh_reach(
         hyperball_registers,
     )
 
-    pages = spark.read.parquet(pages_path)
-    g = graph_from_pages(pages)
+    g = _load_graph(spark, pages_path, store_path)
     rcols = _register_cols(b)
     registers_start = None
     if os.path.isdir(reach_path):

@@ -80,6 +80,79 @@ def test_foreachbatch_stream(spark, tmp_path):
     assert abs(sum(serving.values()) - 1.0) < 1e-6
 
 
+def test_edge_store_refresh_parity(spark, tmp_path):
+    """r5 O(Δ) ingest path: batches ingested once into the append-only
+    edge store, refreshes built FROM THE STORE, land on the
+    bit-identical serving tables the legacy whole-crawl re-extraction
+    reaches — and a refresh never grows the store (extraction output
+    is written at ingest, exactly once per page, never at refresh)."""
+    import shutil
+
+    from linkgraph.streaming.incremental import (
+        graph_from_store,
+        ingest_pages,
+        refresh_components,
+        refresh_ranks,
+    )
+
+    store = str(tmp_path / "store")
+    pages = str(tmp_path / "pages")
+    ranks_s = str(tmp_path / "ranks_store")
+    ranks_p = str(tmp_path / "ranks_pages")
+
+    b1 = corpus.pages_df(spark, "inc", EPOCH1)
+    b1.write.mode("overwrite").parquet(pages)
+    ingest_pages(spark, b1, store)
+    refresh_ranks(spark, None, ranks_s, store_path=store, tol=1e-8)
+    refresh_ranks(spark, pages, ranks_p, tol=1e-8)
+
+    b2 = corpus.pages_df(spark, "inc", EPOCH2)
+    b2.write.mode("append").parquet(pages)
+    ingest_pages(spark, b2, store)
+    edge_rows_before = spark.read.parquet(store + "/edges").count()
+    r_store = {r["url"]: r["rank"] for r in refresh_ranks(
+        spark, None, ranks_s, store_path=store, tol=1e-8).collect()}
+    r_pages = {r["url"]: r["rank"] for r in refresh_ranks(
+        spark, pages, ranks_p, tol=1e-8).collect()}
+    assert r_store == r_pages  # bit-identical, not approx
+    # refresh is read-only on the store: no re-extraction, no rewrite
+    assert spark.read.parquet(store + "/edges").count() == edge_rows_before
+
+    # the store-built graph equals the pages-built graph exactly
+    from linkgraph.graph import graph_from_pages
+
+    gs = graph_from_store(spark, store)
+    gp = graph_from_pages(spark.read.parquet(pages))
+    assert sorted(map(tuple, gs.vertices.collect())) == sorted(
+        map(tuple, gp.vertices.collect())
+    )
+    assert sorted(map(tuple, gs.edges.collect())) == sorted(
+        map(tuple, gp.edges.collect())
+    )
+
+    # CC refresher through the same store: identical to the pages path
+    lab_s = str(tmp_path / "lab_store")
+    lab_p = str(tmp_path / "lab_pages")
+    l_s = {r["url"]: r["component_url"] for r in refresh_components(
+        spark, None, lab_s, store_path=store).collect()}
+    l_p = {r["url"]: r["component_url"] for r in refresh_components(
+        spark, pages, lab_p).collect()}
+    assert l_s == l_p
+
+    # an out-link extracted BEFORE its target was crawled becomes an
+    # edge once the target arrives (the store keeps unfiltered links):
+    # EPOCH1 node 0 links to 1..; add a batch crawling a url that was
+    # already linked-to plus a fresh linker, then check edge presence
+    shutil.rmtree(store)
+    late = corpus.pages_df(spark, "late", [(0, 1), (1, 0)])
+    ingest_pages(spark, late.where("url like '%/0'"), store)
+    g1 = graph_from_store(spark, store)
+    assert g1.edges.count() == 0  # dst /1 not crawled yet
+    ingest_pages(spark, late.where("url like '%/1'"), store)
+    g2 = graph_from_store(spark, store)
+    assert g2.edges.count() == 2  # both directions now resolve
+
+
 def test_incremental_components_refresh(spark, tmp_path):
     """CC serving refresh: warm start reaches the identical (url,
     component_url) fixpoint as a cold run, in fewer supersteps, across
