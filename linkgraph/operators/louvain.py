@@ -393,3 +393,195 @@ def louvain_communities(
         comm.unpersist()
         n_nodes = n_comms
     return mapping.select("id", F.col("node").alias("community"))
+
+
+def greedy_modularity_communities(
+    graph: LinkGraph,
+    resolution: float = 1.0,
+    cutoff: int = 1,
+    best_n: int | None = None,
+    max_edges: int = 2_000_000,
+) -> DataFrame:
+    """(id BIGINT, community BIGINT) — Clauset–Newman–Moore greedy
+    modularity maximization (reference
+    networkx/algorithms/community/modularity_max.py
+    ``greedy_modularity_communities``), community label = min member
+    id (stable canonical representative).
+
+    Semantics mirrored from the reference generator loop (r5 facade —
+    the most-called nx community API after LPA/Louvain had no surface
+    here): every node starts alone; repeatedly merge the community
+    pair with the largest modularity gain ΔQ (ties by smallest (u, v)
+    pair — the reference's MappedQueue ordering), maintaining the
+    sparse ΔQ matrix incrementally; stop when ΔQ < 0 (modularity
+    maximum) unless ``best_n`` forces further merges, or when
+    ``cutoff`` communities remain; if merging exhausts connected pairs
+    (StopIteration branch), pad down to ``best_n`` by unioning the
+    largest communities. Parallel edge weights sum; self-loops count
+    in degree/m but never merge. Generalized (resolution-scaled)
+    modularity throughout.
+
+    CNM's heap-driven merge order is INHERENTLY sequential — each ΔQ
+    update depends on the previous merge — so this runs as a
+    size-gated single-task kernel (the engine's local-lane pattern,
+    _local.py) and RAISES above ``max_edges``: at web scale the
+    modularity-maximizing surface is ``louvain_communities`` (same
+    objective, parallel local-moving schedule; communities differ —
+    both are valid greedy local optima, nx documents no equivalence).
+    """
+    if graph.directed:
+        raise ValueError(
+            "greedy_modularity_communities expects an undirected graph "
+            "(reference parity: modularity_max.py operates on G as given; "
+            "this engine's community surface is undirected)"
+        )
+    if cutoff < 1:
+        raise ValueError(f"cutoff must be >= 1. Got {cutoff}.")
+    if best_n is not None and best_n < cutoff:
+        raise ValueError(f"Must have best_n >= cutoff. Got {best_n} < {cutoff}")
+    edges = _canon_weighted(graph).persist()
+    n_edges = edges.count()
+    if n_edges > max_edges:
+        edges.unpersist()
+        raise ValueError(
+            f"greedy_modularity_communities is a sequential CNM kernel "
+            f"gated at {max_edges} edges (got {n_edges}); use "
+            f"louvain_communities for the distributed modularity path"
+        )
+    verts = graph.vertices.select("id")
+
+    both = (
+        edges.select("src", "dst", "weight")
+        .unionByName(
+            verts.select(
+                F.col("id").alias("src"),
+                F.lit(None).cast("long").alias("dst"),
+                F.lit(None).cast("double").alias("weight"),
+            )
+        )
+        .coalesce(1)
+    )
+
+    res = float(resolution)
+    cut = int(cutoff)
+    bn = None if best_n is None else int(best_n)
+
+    def fn(batches):
+        import heapq
+        from collections import defaultdict
+
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts, ws, nodes_parts = [], [], [], []
+        for b in batches:
+            mask = b["dst"].notna()
+            srcs.append(b.loc[mask, "src"].to_numpy(dtype="int64"))
+            dsts.append(b.loc[mask, "dst"].to_numpy(dtype="int64"))
+            ws.append(b.loc[mask, "weight"].to_numpy(dtype="float64"))
+            nodes_parts.append(b.loc[~mask, "src"].to_numpy(dtype="int64"))
+        nodes = sorted(set(np.concatenate(nodes_parts).tolist())) if nodes_parts else []
+        es = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        ed = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        ew = np.concatenate(ws) if ws else np.empty(0, np.float64)
+
+        if len(nodes) == 0:
+            yield pd.DataFrame({"id": [], "community": []}).astype("int64")
+            return
+        # G.size(weight): each canonical edge (incl. self-loop) once
+        m = float(ew.sum())
+        communities = {n: {n} for n in nodes}
+        if m == 0.0 or len(es) == 0:
+            yield pd.DataFrame(
+                {"id": nodes, "community": nodes}
+            ).astype("int64")
+            return
+        q0 = 1.0 / m
+        # a[u] = deg(u) * q0 * 0.5; degree counts self-loops TWICE
+        deg = defaultdict(float)
+        for u, v, wt in zip(es.tolist(), ed.tolist(), ew.tolist()):
+            deg[u] += wt
+            deg[v] += wt
+        a = {n: deg.get(n, 0.0) * q0 * 0.5 for n in nodes}
+        # sparse ΔQ matrix, both directions, self-loops excluded
+        dqd: dict = defaultdict(dict)
+        for u, v, wt in zip(es.tolist(), ed.tolist(), ew.tolist()):
+            if u == v:
+                continue
+            dqd[u][v] = dqd[u].get(v, 0.0) + wt
+            dqd[v][u] = dqd[v].get(u, 0.0) + wt
+        for u in list(dqd):
+            for v in list(dqd[u]):
+                dqd[u][v] = q0 * dqd[u][v] - res * 2.0 * a[u] * a[v]
+        # one global lazy heap over (-dq, u, v) + per-pair versions:
+        # the lexicographic global min equals the reference's
+        # heap-of-row-maxes pop (the argmin pair is its own row's max,
+        # and _HeapElement orders by (priority, element) exactly so)
+        ver: dict = defaultdict(int)
+        heap: list = []
+        for u in dqd:
+            for v, dq in dqd[u].items():
+                heapq.heappush(heap, (-dq, u, v, 0))
+
+        def pop_best():
+            while heap:
+                negdq, u, v, k = heap[0]
+                if u in dqd and v in dqd.get(u, {}) and k == ver[(u, v)]:
+                    heapq.heappop(heap)
+                    return -negdq, u, v
+                heapq.heappop(heap)
+            return None
+
+        def set_dq(u, v, val):
+            dqd[u][v] = val
+            ver[(u, v)] += 1
+            heapq.heappush(heap, (-val, u, v, ver[(u, v)]))
+
+        bn_eff = bn if bn is not None else len(nodes)
+        exhausted = False
+        while len(communities) > cut:
+            best = pop_best()
+            if best is None:
+                exhausted = True
+                break
+            dq, u, v = best
+            if dq < 0 and len(communities) <= bn_eff:
+                break
+            # merge u into v (reference direction: communities[v] |= u)
+            communities[v] = communities[u] | communities[v]
+            del communities[u]
+            u_nbrs = set(dqd[u])
+            v_nbrs = set(dqd[v])
+            for w in (u_nbrs | v_nbrs) - {u, v}:
+                if w in u_nbrs and w in v_nbrs:
+                    dq_vw = dqd[v][w] + dqd[u][w]
+                elif w in v_nbrs:
+                    dq_vw = dqd[v][w] - res * 2.0 * a[u] * a[w]
+                else:
+                    dq_vw = dqd[u][w] - res * 2.0 * a[v] * a[w]
+                set_dq(v, w, dq_vw)
+                set_dq(w, v, dq_vw)
+            for w in list(dqd[u]):
+                dqd[w].pop(u, None)
+            del dqd[u]
+            dqd[v].pop(u, None)
+            a[v] += a[u]
+            a[u] = 0.0
+        comms = sorted(communities.values(), key=len, reverse=True)
+        if exhausted and bn is not None:
+            while len(comms) > bn:
+                c1, c2, *rest = comms
+                comms = [c1 | c2] + rest
+        out_id, out_c = [], []
+        for c in comms:
+            rep = min(c)
+            for n in sorted(c):
+                out_id.append(n)
+                out_c.append(rep)
+        yield pd.DataFrame({"id": out_id, "community": out_c}).astype("int64")
+
+    out = both.mapInPandas(fn, "id long, community long").localCheckpoint(
+        eager=True
+    )
+    edges.unpersist()
+    return out

@@ -50,7 +50,10 @@ from ..operators.pagerank import pagerank
 
 
 def ingest_pages(
-    spark: SparkSession, batch_pages: DataFrame, store_path: str
+    spark: SparkSession,
+    batch_pages: DataFrame,
+    store_path: str,
+    batch_id: int | None = None,
 ) -> None:
     """Append ONE page batch to the edge store — the O(Δ) ingest step:
     the vectorized extraction UDF runs over exactly this batch, once
@@ -62,18 +65,31 @@ def ingest_pages(
       an edge then, so the crawled-set filter belongs at graph build,
       exactly where ``graph_from_pages`` applies it).
 
-    Append-only parquet: under a streaming checkpoint (or the
-    foreachBatch epoch id) this is exactly-once; the store is the
-    durable product of extraction, so a serving refresh never touches
-    HTML again."""
+    Exactly-once: foreachBatch replays a failed epoch AT-LEAST-once,
+    and a replayed plain append would double the batch's parallel
+    links (doubling their PageRank weight). Pass the sink's
+    ``batch_id`` and each epoch lands in its own partition directory
+    (``epoch=<id>``) written with OVERWRITE — a replay rewrites the
+    same partition instead of appending beside it, making ingest
+    idempotent. (urls are immune either way: ``graph_from_store``
+    dedups the crawled set.) Without ``batch_id`` (one-shot batch
+    callers) the write is a plain append. The store is the durable
+    product of extraction, so a serving refresh never touches HTML
+    again."""
     from ..sources.extract import edges_from_pages
 
-    batch_pages.select("url").write.mode("append").parquet(
-        store_path + "/urls"
-    )
-    edges_from_pages(batch_pages).write.mode("append").parquet(
-        store_path + "/edges"
-    )
+    urls = batch_pages.select("url")
+    edges = edges_from_pages(batch_pages)
+    if batch_id is None:
+        urls.write.mode("append").parquet(store_path + "/urls")
+        edges.write.mode("append").parquet(store_path + "/edges")
+    else:
+        urls.write.mode("overwrite").parquet(
+            f"{store_path}/urls/epoch={int(batch_id)}"
+        )
+        edges.write.mode("overwrite").parquet(
+            f"{store_path}/edges/epoch={int(batch_id)}"
+        )
 
 
 def graph_from_store(
@@ -179,7 +195,7 @@ def incremental_pagerank_sink(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if store_path is not None:
-            ingest_pages(spark, batch_df, store_path)
+            ingest_pages(spark, batch_df, store_path, batch_id=epoch_id)
         else:
             batch_df.write.mode("append").parquet(pages_path)
         refresh_ranks(
@@ -450,7 +466,7 @@ def incremental_components_sink(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if store_path is not None:
-            ingest_pages(spark, batch_df, store_path)
+            ingest_pages(spark, batch_df, store_path, batch_id=epoch_id)
         else:
             batch_df.write.mode("append").parquet(pages_path)
         refresh_components(

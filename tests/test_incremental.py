@@ -307,3 +307,63 @@ def test_incremental_reach_refresh(spark, tmp_path):
         assert [r2[u][c] for c in regs] == [r_cold[u][c] for c in regs]
         assert r2[u]["reach_est"] == r_cold[u]["reach_est"]
     assert s_warm["supersteps"] < s_cold["supersteps"]
+
+
+def test_incremental_communities_entry_membership(spark):
+    """The LPA serving entry cannot be SQL-pinned (schedule-dependent
+    choice among Fibonacci-many valid chain segmentations — see the
+    entry docstring), so assert MEMBERSHIP in the valid family
+    instead: after the two-epoch refresh every community is a
+    contiguous run of >= 2 consecutive customers within one nation
+    chain (no isolates exist on complete chains of length >= 2)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["incremental_communities_epoch2"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # url encodes the custkey; rebuild nation chains from the fixture
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    nation_of = {
+        str(r["c_custkey"]): r["c_nationkey"] for r in cust.collect()
+    }
+    key = lambda u: u.rsplit("/", 1)[-1]
+    label_of = {key(r["url"]): key(r["label_url"]) for r in rows}
+    assert len(label_of) == len(nation_of)
+    # group chain positions per nation, sorted by custkey
+    chains: dict = {}
+    for ck, nk in nation_of.items():
+        chains.setdefault(nk, []).append(int(ck))
+    for nk, members in chains.items():
+        members.sort()
+        run_len = 1
+        for prev, cur in zip(members, members[1:]):
+            same = label_of[str(prev)] == label_of[str(cur)]
+            if same:
+                run_len += 1
+            else:
+                assert run_len >= 2 or len(members) == 1, (nk, prev, run_len)
+                run_len = 1
+        assert run_len >= 2 or len(members) == 1, (nk, run_len)
+        # labels never cross nations: every community's representative
+        # is a member of the same nation chain
+        for ck in members:
+            assert nation_of[label_of[str(ck)]] == nk
+
+
+def test_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch replays an epoch at-least-once; epoch-partitioned
+    overwrite ingest makes the replay a no-op (no doubled parallel
+    links), and later epochs land beside it."""
+    from linkgraph.streaming.incremental import graph_from_store, ingest_pages
+
+    store = str(tmp_path / "store")
+    b1 = corpus.pages_df(spark, "ep", [(0, 1), (1, 2)])
+    ingest_pages(spark, b1, store, batch_id=0)
+    ingest_pages(spark, b1, store, batch_id=0)  # replayed epoch
+    g = graph_from_store(spark, store)
+    assert g.edges.count() == 2  # NOT 4: replay overwrote, not appended
+    b2 = corpus.pages_df(spark, "ep2", [(10, 11)])
+    ingest_pages(spark, b2, store, batch_id=1)
+    g2 = graph_from_store(spark, store)
+    assert g2.edges.count() == 3
+    assert g2.vertices.count() == 5

@@ -117,3 +117,83 @@ def test_louvain_isolated_nodes_kept(spark):
     )
     out = louvain_communities(g)
     assert out.count() == 4
+
+
+# ---------------------------------------------------------------- CNM facade
+def test_greedy_modularity_karate_nx_parity(spark):
+    """Exact reference parity on karate: CNM is deterministic
+    (largest-ΔQ merge, smallest-(u,v) tie-break), so the partition
+    must equal nx.community.greedy_modularity_communities verbatim —
+    including the largest-first output order's content."""
+    from linkgraph import nxapi
+
+    G = nx.karate_club_graph()
+    want = [set(map(str, c))
+            for c in nx.community.greedy_modularity_communities(G)]
+    got = nxapi.greedy_modularity_communities(spark, list(G.edges()))
+    assert sorted(map(sorted, got)) == sorted(map(sorted, want))
+    assert sorted(len(c) for c in got) == sorted(len(c) for c in want)
+
+
+def test_greedy_modularity_cutoff_best_n(spark):
+    """cutoff / best_n stopping parity with the reference on karate,
+    plus resolution sensitivity (higher resolution -> no fewer
+    communities)."""
+    from linkgraph import nxapi
+
+    G = nx.karate_club_graph()
+    edges = list(G.edges())
+    for kw in ({"cutoff": 5}, {"best_n": 2}, {"cutoff": 2, "best_n": 2}):
+        want = [set(map(str, c))
+                for c in nx.community.greedy_modularity_communities(G, **kw)]
+        got = nxapi.greedy_modularity_communities(spark, edges, **kw)
+        assert sorted(map(sorted, got)) == sorted(map(sorted, want)), kw
+    n_lo = len(nxapi.greedy_modularity_communities(spark, edges, resolution=0.5))
+    n_hi = len(nxapi.greedy_modularity_communities(spark, edges, resolution=2.0))
+    assert n_lo <= n_hi
+
+
+def test_greedy_modularity_weighted_and_guards(spark):
+    """Weighted parity on a small weighted fixture; directed input and
+    the scale gate raise with the documented redirect."""
+    from linkgraph import nxapi
+    from linkgraph.operators.louvain import greedy_modularity_communities
+
+    wedges = [("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0),
+              ("d", "e", 5.0), ("e", "f", 5.0), ("d", "f", 5.0),
+              ("c", "d", 1.0)]
+    G = nx.Graph()
+    G.add_weighted_edges_from(wedges)
+    want = [set(c) for c in
+            nx.community.greedy_modularity_communities(G, weight="weight")]
+    g = graph_from_edge_names(spark, wedges, directed=False)
+    nm = {r["id"]: r["url"].rsplit("/", 1)[-1] for r in g.vertices.collect()}
+    comms: dict = {}
+    for r in greedy_modularity_communities(g).collect():
+        comms.setdefault(r["community"], set()).add(nm[r["id"]])
+    assert sorted(map(sorted, comms.values())) == sorted(map(sorted, want))
+
+    gd = graph_from_edge_names(spark, [("a", "b")], directed=True)
+    with pytest.raises(ValueError, match="undirected"):
+        greedy_modularity_communities(gd)
+    gu = graph_from_edge_names(spark, [("a", "b"), ("b", "c")], directed=False)
+    with pytest.raises(ValueError, match="louvain_communities"):
+        greedy_modularity_communities(gu, max_edges=1)
+
+
+def test_greedy_modularity_isolates_and_empty(spark):
+    """Isolated nodes stay singleton communities; an edgeless graph
+    returns all-singletons (reference: ``if not G.size(): return
+    [{n} for n in G]``)."""
+    from linkgraph.operators.louvain import greedy_modularity_communities
+
+    g = graph_from_edge_names(
+        spark, [("a", "b")], nodes=["z"], directed=False
+    )
+    got = {r["id"]: r["community"] for r in
+           greedy_modularity_communities(g).collect()}
+    assert len(got) == 3
+    gz = graph_from_edge_names(spark, [], nodes=["x", "y"], directed=False)
+    gotz = {r["id"]: r["community"] for r in
+            greedy_modularity_communities(gz).collect()}
+    assert all(k == v for k, v in gotz.items()) and len(gotz) == 2

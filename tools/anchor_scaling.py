@@ -62,11 +62,19 @@ def main() -> None:
     n_pages = pages.count()
     prep_s = time.monotonic() - t_prep
 
-    t0 = time.monotonic()
-    anchors = anchors_from_pages(pages)
-    prof = anchor_text_profile(anchors)
-    prof.write.format("noop").mode("overwrite").save()
-    wall = time.monotonic() - t0
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from steal_canary import run_certified
+
+    def leg():
+        t0 = time.monotonic()
+        anchors = anchors_from_pages(pages)
+        prof = anchor_text_profile(anchors)
+        prof.write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    # r5 interior-certified leg (the r4 8->32 pair was uncertifiable
+    # under endpoint brackets): /proc/stat steal sampling + auto-retry
+    wall, steal = run_certified(leg)
     # determinism witness (cheap second pass over the cached pages)
     stats = anchor_text_profile(anchors_from_pages(pages)).agg(
         F.sum("n_inlinks").alias("rows"), F.count(F.lit(1)).alias("targets")
@@ -82,6 +90,7 @@ def main() -> None:
                 "anchor_rows": int(stats["rows"]),
                 "distinct_targets": int(stats["targets"]),
                 "anchors_per_sec": round(int(stats["rows"]) / wall, 1),
+                "steal": steal,
             }
         )
     )

@@ -48,13 +48,20 @@ def main() -> None:
     verts.count()
     g = LinkGraph(vertices=verts, edges=edges, directed=False)
 
-    t0 = time.monotonic()
-    ncc = (
-        connected_components(g)
-        .agg(F.countDistinct("component").alias("ncc"))
-        .collect()[0]["ncc"]
-    )
-    total = time.monotonic() - t0
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from steal_canary import run_certified
+
+    def leg():
+        t0 = time.monotonic()
+        ncc = (
+            connected_components(g)
+            .agg(F.countDistinct("component").alias("ncc"))
+            .collect()[0]["ncc"]
+        )
+        return time.monotonic() - t0, ncc
+
+    # r5: interior steal certification + auto-retry (tools/steal_canary)
+    (total, ncc), steal = run_certified(leg)
     print(
         json.dumps(
             {
@@ -64,6 +71,7 @@ def main() -> None:
                 "n_components": ncc,
                 "cc_s": round(total, 2),
                 "edges_per_sec": round(n_edges / total, 1),
+                "steal": steal,
             }
         )
     )

@@ -5,9 +5,15 @@ precede a late rewrite).
 Runs, in order:
   1. the full oracle self-check at sf0.01 -> SELFCHECK_<tag>.json
   2. the full physical-plan audit (exit status folded into the JSON)
+  3. the sf0.1 LOOP-FAMILY value gate -> SELFCHECK_<tag>_sf01.json:
+     every ``*_dist`` twin + ``incremental_*_epoch2`` +
+     ``hyperball_orders_b6`` re-hashed at sf0.1 (r5 routine, VERDICT
+     r4 next-round 3 — the round-4 CC bug class was correct at sf0.01
+     and silently wrong at sf0.1 because iteration budgets scale with
+     diameter; toy-SF hashing cannot see it)
 and then verifies the artifact's mtime is newer than the repo's last
 commit, printing a one-line verdict. Run this AFTER the final code
-commit of the round; commit the artifact it writes.
+commit of the round; commit the artifacts it writes.
 
 Usage: python tools/finalize_round.py r04 [sf_dir]
 """
@@ -35,6 +41,24 @@ def main() -> int:
         [sys.executable, os.path.join(REPO, "tools", "plan_audit.py"), sf_dir]
     )
 
+    # sf0.1 loop-family gate: the queries whose correctness depends on
+    # iteration budgets / graph diameter (the scale-dependent bug class)
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    slice_keys = [
+        k
+        for k in entry.queries()
+        if k.endswith("_dist")
+        or k.startswith("incremental_")
+        or k == "hyperball_orders_b6"
+    ]
+    art01 = os.path.join(REPO, f"SELFCHECK_{tag}_sf01.json")
+    rc3 = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         f"--json={art01}", "/root/testdata/sf0.1", *slice_keys]
+    )
+
     last_commit = int(
         subprocess.check_output(
             ["git", "-C", REPO, "log", "-1", "--format=%ct"]
@@ -48,6 +72,8 @@ def main() -> int:
     data["_meta"] = {
         "plan_audit_violations": rc2,
         "selfcheck_exit": rc1,
+        "sf01_slice_exit": rc3,
+        "sf01_slice_n": len(slice_keys),
         "fresher_than_last_commit": bool(fresh),
         "sf_dir": sf_dir,
     }
@@ -55,9 +81,10 @@ def main() -> int:
         json.dump(data, f, indent=1, sort_keys=True)
     print(
         f"finalize {tag}: selfcheck_exit={rc1} plan_audit_exit={rc2} "
+        f"sf01_slice_exit={rc3} ({len(slice_keys)} queries) "
         f"artifact_fresh={fresh}"
     )
-    return 0 if (rc1 == 0 and rc2 == 0 and fresh) else 1
+    return 0 if (rc1 == 0 and rc2 == 0 and rc3 == 0 and fresh) else 1
 
 
 if __name__ == "__main__":

@@ -52,12 +52,19 @@ def main() -> None:
     verts.count()
     g = LinkGraph(vertices=verts, edges=edges, directed=True)
 
-    t0 = time.monotonic()
-    regs = hyperball_registers(g, b=b, t=t)
-    reg_sum = regs.select(
-        sum((F.col(f"r{i}") for i in range(1 << b)), F.lit(0)).alias("s")
-    ).agg(F.sum("s").alias("total")).collect()[0]["total"]
-    total = time.monotonic() - t0
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from steal_canary import run_certified
+
+    def leg():
+        t0 = time.monotonic()
+        regs = hyperball_registers(g, b=b, t=t)
+        reg_sum = regs.select(
+            sum((F.col(f"r{i}") for i in range(1 << b)), F.lit(0)).alias("s")
+        ).agg(F.sum("s").alias("total")).collect()[0]["total"]
+        return time.monotonic() - t0, reg_sum
+
+    # r5: interior steal certification + auto-retry (tools/steal_canary)
+    (total, reg_sum), steal = run_certified(leg)
     print(
         json.dumps(
             {
@@ -69,6 +76,7 @@ def main() -> None:
                 "register_sum": int(reg_sum),
                 "hyperball_s": round(total, 2),
                 "edge_supersteps_per_sec": round(n_edges * t / total, 1),
+                "steal": steal,
             }
         )
     )

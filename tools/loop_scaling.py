@@ -67,12 +67,20 @@ def main() -> None:
     pagerank(g, fixed_iter=warm, dst_blocks=dst_blocks).write.format("noop").mode(
         "overwrite"
     ).save()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from steal_canary import run_certified
+
     stats: dict = {}
-    t0 = time.monotonic()
-    pagerank(
-        g, fixed_iter=iters, dst_blocks=dst_blocks, stats_out=stats
-    ).write.format("noop").mode("overwrite").save()
-    total = time.monotonic() - t0
+
+    def leg():
+        t0 = time.monotonic()
+        pagerank(
+            g, fixed_iter=iters, dst_blocks=dst_blocks, stats_out=stats
+        ).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    # r5: interior steal certification + auto-retry (tools/steal_canary)
+    total, steal = run_certified(leg)
     loop_s = stats.get("loop_s", total)
     print(
         json.dumps(
@@ -86,6 +94,7 @@ def main() -> None:
                 "loop_s": round(loop_s, 2),
                 "total_s": round(total, 2),
                 "edges_per_sec_per_superstep": round(n_edges * iters / loop_s, 1),
+                "steal": steal,
             }
         )
     )

@@ -46,25 +46,31 @@ def main() -> None:
     from linkgraph.session import get_spark
     from linkgraph.sources.corpus import zipf_pages
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from steal_canary import StealCanary
+
     spark = get_spark(
         f"pin-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
     spark.range(1).count()  # JVM warmup outside timings
 
-    t0 = time.monotonic()
-    pages = zipf_pages(spark, n=n_pages, avg_out=10, partitions=cores)
-    g = graph_from_pages(pages, directed=True)
-    g = type(g)(
-        vertices=g.vertices.persist(), edges=g.edges.persist(), directed=True
-    )
-    n_edges = g.edges.count()
-    g.vertices.count()
-    t_ingest = round(time.monotonic() - t0, 3)
+    # r5: interior steal certification over both timed phases (the
+    # endpoint probes bracket but cannot see a mid-leg burst)
+    with StealCanary() as canary:
+        t0 = time.monotonic()
+        pages = zipf_pages(spark, n=n_pages, avg_out=10, partitions=cores)
+        g = graph_from_pages(pages, directed=True)
+        g = type(g)(
+            vertices=g.vertices.persist(), edges=g.edges.persist(), directed=True
+        )
+        n_edges = g.edges.count()
+        g.vertices.count()
+        t_ingest = round(time.monotonic() - t0, 3)
 
-    t0 = time.monotonic()
-    ranks = pagerank(g, alpha=0.85, fixed_iter=pr_iters)
-    ranks.write.format("noop").mode("overwrite").save()
-    t_pr = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        ranks = pagerank(g, alpha=0.85, fixed_iter=pr_iters)
+        ranks.write.format("noop").mode("overwrite").save()
+        t_pr = round(time.monotonic() - t0, 3)
 
     probe_after = cpu_probe()
     print(
@@ -78,6 +84,7 @@ def main() -> None:
                 "edges_per_sec_superstep": round(n_edges * pr_iters / t_pr),
                 "probe_gflops_before": probe_before,
                 "probe_gflops_after": probe_after,
+                "steal": canary.summary(),
             }
         )
     )
