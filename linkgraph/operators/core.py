@@ -25,11 +25,13 @@ from ._local import member_maps, run_local_kernel
 # below a few million edges the whole peeling loop runs inside one
 # Arrow task instead of paying the per-job floor dozens of times
 LOCAL_CORE_MAX_EDGES = 2_000_000
-# truss peeling re-enumerates the O(m^1.5) wedge stream every round in
-# ONE task, so its crossover sits far below the core gate: measured on
-# the part co-occurrence graph, local wins 3.3x at 116k edges
-# (4.8 vs 15.8 s) but TIES the 32-core distributed plan at 1.2M edges
-# (78 vs 73 s) — one thread against 32 on a triangle-dense graph
+# truss crossover (re-measured r5, after the distributed lane switched
+# to incremental support maintenance): on the part co-occurrence graph
+# local wins 3.2x at 116k edges (3.4 vs 10.8 s — per-round job floors
+# still dominate at toy scale) while the distributed plan wins ~3x at
+# 1.2M edges (27 vs 77.5 s; it was a TIE at 73.5 s before r5's
+# one-enumeration + delta-probe peeling) — the 400k gate still sits
+# between the two certified measurements
 LOCAL_TRUSS_MAX_EDGES = 400_000
 
 
@@ -389,6 +391,7 @@ def k_truss(
     k: int,
     max_rounds: int = 200,
     local_max_edges: int = LOCAL_TRUSS_MAX_EDGES,
+    stats_out: dict | None = None,
 ) -> LinkGraph:
     """Maximal subgraph whose every edge lies in >= k-2 triangles OF
     THE SUBGRAPH (networkx/algorithms/core.py ``k_truss``; the
@@ -497,59 +500,69 @@ def k_truss(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("support"))
     )
+    from pyspark.sql import Observation
+
+    # supports + a STATIC probe orientation (lo = lower-INITIAL-degree
+    # endpoint) carried as columns: degrees only shrink during peeling,
+    # so the initial orientation stays a skew bound for every later
+    # probe, and the loop never recomputes degrees (the first cut of
+    # this loop paid a per-round degree agg + two joins for the same
+    # bound). The sub-threshold count rides the checkpoint action as an
+    # Observation, so round emptiness costs no extra job.
+    obs0 = Observation()
     s = (
         e.join(sup0, ["src", "dst"], "left")
+        .join(
+            o.select(
+                F.least("lo", "hi").alias("src"),
+                F.greatest("lo", "hi").alias("dst"),
+                "lo",
+                "hi",
+            ),
+            ["src", "dst"],
+        )
         .select(
-            "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+            "src", "dst", "lo", "hi",
+            F.coalesce("support", F.lit(0)).alias("support"),
         )
         .repartition(num_partitions, "src", "dst")
+        .observe(
+            obs0, F.sum((F.col("support") < k - 2).cast("long")).alias("nrem")
+        )
         .localCheckpoint(eager=True)
     )
+    n_rem = obs0.get["nrem"] or 0
     # ---- peel rounds: delta-frontier support updates only ----
-    stable = False
-    for _ in range(max_rounds):
-        removed = s.where(F.col("support") < k - 2).select("src", "dst")
-        if removed.limit(1).count() == 0:
-            stable = True
-            break
+    stable = n_rem == 0
+    rounds = 0
+    while not stable and rounds < max_rounds:
+        rounds += 1
+        removed = s.where(F.col("support") < k - 2)
         surv = s.where(F.col("support") >= k - 2)
         # destroyed triangles = ≥1 removed edge + a common neighbor in
-        # the PRE-round edge set; dedup by sorted corner triple. The
-        # probe expands from each removed edge's LOWER-degree endpoint
-        # (per-edge fan-out min(deg) not max(deg)), so a removed edge
-        # touching a Zipf hub never explodes the candidate stream.
+        # the PRE-round edge set; dedup by sorted corner triple; probe
+        # fans out from each removed edge's carried lo endpoint. The
+        # observation already told the driver |removed|, so the
+        # fan-out join BROADCASTS the removed set whenever it fits —
+        # the 2m-row adjacency stream is then never shuffled for the
+        # fan-out (map-side broadcast-hash over the checkpointed s);
+        # the closing membership check probes the CANONICAL m-row edge
+        # set (not the 2m symmetric view) with the shuffle_hash build.
         sym = s.select("src", "dst").unionByName(
             s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        rdeg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        r_or = (
-            removed.join(
-                rdeg.select(F.col("src").alias("_u"), F.col("deg").alias("du")),
-                F.col("src") == F.col("_u"),
-            ).drop("_u")
-            .join(
-                rdeg.select(F.col("src").alias("_v"), F.col("deg").alias("dv")),
-                F.col("dst") == F.col("_v"),
-            ).drop("_v")
+        rsel = removed.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        if n_rem < 500_000:
+            rsel = F.broadcast(rsel)
+        fan = rsel.join(
+            sym.select(F.col("src").alias("a"), F.col("dst").alias("w")), "a"
         )
-        s_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
-        )
-        cand = (
-            r_or.select(
-                F.when(s_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
-                F.when(s_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
-            )
-            .join(
-                sym.select(F.col("src").alias("a"), F.col("dst").alias("w")),
-                "a",
-            )
-            .join(
-                sym.select(F.col("src").alias("b"), F.col("dst").alias("w"))
-                .hint("shuffle_hash"),
-                ["b", "w"],
-                "left_semi",
-            )
+        cand = fan.join(
+            s.select(F.col("src").alias("_cs"), F.col("dst").alias("_cd"))
+            .hint("shuffle_hash"),
+            (F.least("b", "w") == F.col("_cs"))
+            & (F.greatest("b", "w") == F.col("_cd")),
+            "left_semi",
         )
         tri_d = cand.select(
             F.least("a", "b", "w").alias("x"),
@@ -570,17 +583,24 @@ def k_truss(
             .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        obs = Observation()
         s = (
             surv.join(dec, ["src", "dst"], "left")
             .select(
-                "src",
-                "dst",
+                "src", "dst", "lo", "hi",
                 (F.col("support") - F.coalesce("d", F.lit(0))).alias("support"),
             )
-            .repartition(num_partitions, "src", "dst")
+            .observe(
+                obs,
+                F.sum((F.col("support") < k - 2).cast("long")).alias("nrem"),
+            )
             .localCheckpoint(eager=True)
         )
+        n_rem = obs.get["nrem"] or 0
+        stable = n_rem == 0
     e = s.select("src", "dst")
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     if not stable:
         # truss peeling can cascade one wave per round (chains of
         # triangles), so a bounded budget without a stability check
