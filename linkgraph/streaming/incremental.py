@@ -54,6 +54,7 @@ def ingest_pages(
     batch_pages: DataFrame,
     store_path: str,
     batch_id: int | None = None,
+    stable_ids: bool = False,
 ) -> None:
     """Append ONE page batch to the edge store — the O(Δ) ingest step:
     the vectorized extraction UDF runs over exactly this batch, once
@@ -80,6 +81,10 @@ def ingest_pages(
 
     urls = batch_pages.select("url")
     edges = edges_from_pages(batch_pages)
+    if stable_ids:
+        # must run BEFORE this batch's urls land, so the anti-join
+        # sees only prior epochs (``append_id_ledger`` docstring)
+        append_id_ledger(spark, urls, store_path)
     if batch_id is None:
         urls.write.mode("append").parquet(store_path + "/urls")
         edges.write.mode("append").parquet(store_path + "/edges")
@@ -92,8 +97,50 @@ def ingest_pages(
         )
 
 
+def append_id_ledger(
+    spark: SparkSession, batch_urls: DataFrame, store_path: str
+) -> None:
+    """Stable-id ledger (r5 stretch, VERDICT r4 next-round 10): assign
+    each url a BIGINT id ONCE, at first crawl, and never remap it.
+
+    ``<store>/ids`` holds (url, id); a batch's NEW urls (anti-join
+    against the ledger) get ids ``max_id+1 …`` in url sort order
+    within the batch (``assign_dense_ids``, the deterministic
+    two-phase zip-with-index — no data-scale single partition).
+    Ids are therefore dense, monotone by crawl epoch, and STABLE
+    across refreshes — warm state keyed by these ids survives graph
+    rebuilds without url-string joins.
+
+    DIVERGENCE NOTE: after epoch 1 the ids are arrival-ordered, NOT
+    globally lexicographic like ``assign_dense_ids`` over the full
+    crawl — any output that exposes a min-id representative
+    (connected-components/LPA serving labels) would pick the
+    earliest-crawled member instead of the lexicographically-smallest
+    url. The refreshers whose outputs are id-invariant (ranks,
+    triangle counts, url-hashed reach registers) may build on stable
+    ids freely; the representative-exposing ones keep the
+    lexicographic build."""
+    ledger_path = store_path + "/ids"
+    if os.path.isdir(ledger_path):
+        prior = spark.read.parquet(ledger_path).select("url", "id")
+        base = prior.agg(F.max("id")).first()[0] + 1
+        new = batch_urls.select("url").distinct().join(
+            prior.select("url"), "url", "left_anti"
+        )
+    else:
+        base = 0
+        new = batch_urls.select("url").distinct()
+    inc = assign_dense_ids(new, "url").select(
+        (F.col("id") + F.lit(base)).cast("long").alias("id"), "url"
+    )
+    inc.select("url", "id").write.mode("append").parquet(ledger_path)
+
+
 def graph_from_store(
-    spark: SparkSession, store_path: str, directed: bool = True
+    spark: SparkSession,
+    store_path: str,
+    directed: bool = True,
+    stable_ids: bool = False,
 ) -> LinkGraph:
     """Edge store -> LinkGraph: the O(E-scan) rebuild (no extraction).
 
@@ -103,12 +150,25 @@ def graph_from_store(
     and the same crawled-url join drops out-links to uncrawled urls;
     ``assign_dense_ids`` sorts by url either way. ``distinct()`` on
     urls makes at-least-once batch replays idempotent for the vertex
-    set (valid crawls have unique urls, so it is a no-op otherwise)."""
+    set (valid crawls have unique urls, so it is a no-op otherwise).
+
+    ``stable_ids=True`` takes the id dictionary from the store's
+    ledger (:func:`append_id_ledger`) instead of re-sorting the url
+    set — the refresh skips the O(V log V) dictionary rebuild and any
+    id-keyed warm state stays valid across epochs. Same graph up to
+    id relabeling (see the ledger's divergence note)."""
     urls = spark.read.parquet(store_path + "/urls").select("url").distinct()
     raw = spark.read.parquet(store_path + "/edges").select(
         "src_url", "dst_url"
     )
-    ids = assign_dense_ids(urls, "url")
+    if stable_ids:
+        ids = (
+            spark.read.parquet(store_path + "/ids")
+            .select("id", "url")
+            .join(urls, "url", "left_semi")
+        )
+    else:
+        ids = assign_dense_ids(urls, "url")
     e = (
         raw.join(ids.withColumnRenamed("id", "src"), raw.src_url == F.col("url"))
         .drop("url")
@@ -123,12 +183,15 @@ def _load_graph(
     pages_path: str | None,
     store_path: str | None,
     directed: bool = True,
+    stable_ids: bool = False,
 ) -> LinkGraph:
     """Refresh-time graph source: the edge store when given (O(E) scan,
     extraction already paid at ingest), else the legacy whole-crawl
     re-extraction from ``pages_path``."""
     if store_path is not None:
-        return graph_from_store(spark, store_path, directed=directed)
+        return graph_from_store(
+            spark, store_path, directed=directed, stable_ids=stable_ids
+        )
     return graph_from_pages(spark.read.parquet(pages_path), directed=directed)
 
 
@@ -140,6 +203,7 @@ def refresh_ranks(
     tol: float = 1.0e-6,
     stats_out: dict | None = None,
     store_path: str | None = None,
+    stable_ids: bool = False,
     **pagerank_kwargs,
 ) -> DataFrame:
     """One serving refresh: build the graph — from the append-only
@@ -149,7 +213,7 @@ def refresh_ranks(
     if it exists, write the new (url, rank) serving table atomically
     (write-new + rename is the caller's concern on object stores;
     local parquet overwrite here). Returns the serving DataFrame."""
-    g = _load_graph(spark, pages_path, store_path)
+    g = _load_graph(spark, pages_path, store_path, stable_ids=stable_ids)
     nstart = None
     if os.path.isdir(ranks_path):
         prev = spark.read.parquet(ranks_path)
@@ -343,6 +407,7 @@ def refresh_triangles(
     tri_path: str,
     stats_out: dict | None = None,
     store_path: str | None = None,
+    stable_ids: bool = False,
 ) -> DataFrame:
     """Incremental TRIANGLE-COUNT serving: per-url triangle counts
     refreshed under page APPENDS without re-enumerating old triangles.
@@ -364,7 +429,9 @@ def refresh_triangles(
     tests/test_incremental.py."""
     from ..operators.triangles import _simple_undirected, triangles
 
-    g = _load_graph(spark, pages_path, store_path, directed=False)
+    g = _load_graph(
+        spark, pages_path, store_path, directed=False, stable_ids=stable_ids
+    )
     ids = g.vertices.select("url", "id")
     edges_path = tri_path + ".edges"
 
@@ -484,6 +551,7 @@ def refresh_reach(
     max_t: int = 64,
     stats_out: dict | None = None,
     store_path: str | None = None,
+    stable_ids: bool = False,
     **hb_kwargs,
 ) -> DataFrame:
     """Incremental HYPERBALL-REACH serving (the sketch analog of
@@ -507,7 +575,7 @@ def refresh_reach(
         hyperball_registers,
     )
 
-    g = _load_graph(spark, pages_path, store_path)
+    g = _load_graph(spark, pages_path, store_path, stable_ids=stable_ids)
     rcols = _register_cols(b)
     registers_start = None
     if os.path.isdir(reach_path):

@@ -367,3 +367,69 @@ def test_ingest_epoch_replay_idempotent(spark, tmp_path):
     g2 = graph_from_store(spark, store)
     assert g2.edges.count() == 3
     assert g2.vertices.count() == 5
+
+
+def test_stable_id_ledger(spark, tmp_path):
+    """r5 stretch: the id ledger assigns each url a BIGINT once — ids
+    survive epochs unchanged (dense, monotone by arrival), the
+    stable-id graph equals the lexicographic build up to relabeling,
+    and the id-invariant refreshers produce bit-identical serving
+    tables through either dictionary."""
+    from linkgraph.streaming.incremental import (
+        graph_from_store,
+        ingest_pages,
+        refresh_ranks,
+        refresh_triangles,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = corpus.pages_df(spark, "led", EPOCH1)
+    ingest_pages(spark, b1, store, stable_ids=True)
+    ids1 = {r["url"]: r["id"]
+            for r in spark.read.parquet(store + "/ids").collect()}
+    assert sorted(ids1.values()) == list(range(40))  # dense from 0
+
+    b2 = corpus.pages_df(spark, "led", EPOCH2)
+    new_urls = {r["url"] for r in b2.select("url").collect()} - set(ids1)
+    ingest_pages(spark, b2.where(~b2.url.isin(list(ids1))), store,
+                 stable_ids=True)
+    ids2 = {r["url"]: r["id"]
+            for r in spark.read.parquet(store + "/ids").collect()}
+    for u, i in ids1.items():
+        assert ids2[u] == i  # epoch-1 ids never remap
+    assert {ids2[u] for u in new_urls} == set(
+        range(40, 40 + len(new_urls))
+    )  # new urls appended at the tail
+
+    # same graph up to relabeling: edge count + sorted url-edge set
+    gl = graph_from_store(spark, store)
+    gs = graph_from_store(spark, store, stable_ids=True)
+    def url_edges(g):
+        ids = g.vertices
+        return sorted(
+            (r["su"], r["du"])
+            for r in g.edges.join(
+                ids.selectExpr("id as src", "url as su"), "src"
+            ).join(ids.selectExpr("id as dst", "url as du"), "dst")
+            .select("su", "du").collect()
+        )
+    assert url_edges(gl) == url_edges(gs)
+
+    # id-invariant refreshers: bit-identical serving tables
+    r_lex = {r["url"]: r["rank"] for r in refresh_ranks(
+        spark, None, str(tmp_path / "rl"), store_path=store,
+        tol=1e-8).collect()}
+    r_stb = {r["url"]: r["rank"] for r in refresh_ranks(
+        spark, None, str(tmp_path / "rs"), store_path=store,
+        tol=1e-8, stable_ids=True).collect()}
+    # ranks are id-invariant up to float summation ORDER (different
+    # ids -> different gather order); triangles are exact integers
+    assert set(r_lex) == set(r_stb)
+    for u in r_lex:
+        assert r_lex[u] == pytest.approx(r_stb[u], abs=1e-12)
+    t_lex = {r["url"]: r["triangles"] for r in refresh_triangles(
+        spark, None, str(tmp_path / "tl"), store_path=store).collect()}
+    t_stb = {r["url"]: r["triangles"] for r in refresh_triangles(
+        spark, None, str(tmp_path / "ts"), store_path=store,
+        stable_ids=True).collect()}
+    assert t_lex == t_stb
