@@ -713,6 +713,20 @@ def q_louvain_parts(spark, sf_dir):
     return louvain_communities(g).select("id", "community")
 
 
+def q_greedy_modularity_chains(spark, sf_dir):
+    """Clauset-Newman-Moore greedy modularity communities (r5;
+    reference community/modularity_max.py) of the nation-chain graph,
+    community = min member id. Deterministic (largest-dQ merge,
+    smallest-(u, v) tie-break — no RNG anywhere) but the heap-driven
+    merge schedule is not SQL-replayable, so rows-only like the other
+    community entries; exact nx-verbatim parity (karate, weighted,
+    cutoff/best_n) is pytest-verified in tests/test_louvain.py."""
+    from linkgraph.operators.louvain import greedy_modularity_communities
+
+    g = nation_chain_graph(spark, sf_dir)
+    return greedy_modularity_communities(g).select("id", "community")
+
+
 def q_pages_pipeline_pagerank(spark, sf_dir):
     """Full mandated pipeline: pages in the input_hint schema ->
     vectorized extraction UDF -> edge table -> PageRank.
@@ -3401,8 +3415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition": q_doc_repetition,
-        "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
+        "greedy_modularity_chains": q_greedy_modularity_chains,
         # ---- below the driver window (full coverage in SELFCHECK) ----
+        "harmonic_sampled_orders_dist": q_harmonic_sampled_orders_dist,
         "degree_histogram_orders": q_degree_histogram_orders,
         "isolates_parts": q_isolates_parts,
         "selfloops_orders": q_selfloops_orders,

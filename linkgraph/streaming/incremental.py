@@ -18,8 +18,10 @@ Design (all existing engine pieces, no new algorithm):
   epoch id here;
 * a refresh rebuilds the graph from the STORE
   (``graph_from_store`` — an O(E) parquet scan + the dense-id
-  dictionary, NO HTML re-extraction; ids are still recomputed, so
-  they are NOT stable across batches). The legacy pages-path mode
+  dictionary, NO HTML re-extraction; by default ids are recomputed
+  per refresh — NOT stable across batches — while the opt-in id
+  ledger (``append_id_ledger`` / ``stable_ids=True``) pins them
+  forever at first crawl, see its divergence note). The legacy pages-path mode
   (re-read all pages, re-extract) remains for whole-crawl rebuilds
   and is hash-identical — extraction is deterministic per page, so
   accumulating its output is the same edge multiset (asserted in
