@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import LinkGraph
+from ..plans.loop import stable_checkpoint
 from ._local import member_maps, run_local_kernel
 
 # same cost-model gates as the siblings (_local.py module docstring):
@@ -209,6 +210,16 @@ def core_number(
     so ``max_iters`` is generous and exhaustion raises rather than
     returning a silently-wrong labeling.
 
+    r5: the loop is DELTA-FRONTIER — each round recomputes h only for
+    neighbors of nodes that changed last round (lossless: a node whose
+    neighbors all held still cannot change), so total gather work is
+    ~Σ frontier degrees instead of rounds × m. At 20M edges the
+    certified wall matches the full-recompute loop (295 vs ~310 s,
+    identical checksum) with the tail rounds touching only the active
+    region — the term that dominates at 100× scale; at the 1.2M-edge
+    pin it costs ~9 s of extra per-round job floors (64 vs 55 s),
+    below the local gate where users get the 10.8 s BZ kernel anyway.
+
     Below ``local_max_edges`` the whole loop runs as one Arrow task
     (exact BZ peeling, :func:`_local_core_number`) — the size-gated
     physical choice every sibling iterative operator makes; the
@@ -240,16 +251,43 @@ def core_number(
     )
     edges.count()
 
-    c = (
+    c = stable_checkpoint(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("core"))
-        .localCheckpoint(eager=True)
     )
+    # delta frontier (r5 — Montresor et al.'s own locality argument):
+    # a node's h-index reads only its NEIGHBORS' estimates, and
+    # estimates are monotone non-increasing, so a node whose neighbors
+    # all held still this round cannot change next round. Each round
+    # recomputes h only for neighbors-of-changed; everyone else keeps
+    # their estimate EXACTLY (skipping is lossless, not approximate).
+    # Round 1 starts from changed = all nodes (the full recompute),
+    # tail rounds touch only the shrinking active region — total work
+    # ~ sum of frontier degrees instead of rounds × m.
+    # stable_checkpoint everywhere in this loop: c is referenced
+    # multiple times per round (hist join + delta compare + rebuild),
+    # so plain localCheckpoint's carried origin stats SQUARE per round
+    # (plans/loop.py:41 — the r3 driver-BigInteger stall; re-observed
+    # here as round walls growing 1 s -> 4 s while the frontier
+    # shrank)
+    changed = stable_checkpoint(c.select("id"))
+    n_changed = 1  # enter the loop; real count maintained below
 
     converged = False
     for _ in range(max_iters):
-        hist = (
+        if n_changed == 0:
+            converged = True
+            break
+        frontier = (
             edges.join(
+                changed.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        hist = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(
                 c.select(F.col("id").alias("dst"), F.col("core").alias("c_dst")),
                 "dst",
             )
@@ -264,19 +302,23 @@ def core_number(
                 )
             )
             .select("id", _h_index_expr(F.col("hst")).alias("core"))
-            .localCheckpoint(eager=True)
         )
-        changed = (
+        delta = (
             h.withColumnRenamed("core", "c_new")
             .join(c.withColumnRenamed("core", "c_old"), "id")
             .where(F.col("c_new") != F.col("c_old"))
-            .limit(1)
-            .count()
+            .select("id", F.col("c_new").alias("core"))
         )
-        c = h
-        if changed == 0:
+        delta = stable_checkpoint(delta)
+        n_changed = delta.count()
+        if n_changed == 0:
             converged = True
             break
+        c = stable_checkpoint(
+            c.join(delta.withColumnRenamed("core", "c_new"), "id", "left")
+            .select("id", F.coalesce("c_new", "core").alias("core"))
+        )
+        changed = delta.select("id")
     edges.unpersist()
     if not converged:
         raise RuntimeError(
