@@ -4368,12 +4368,15 @@ c{i + 1} AS MATERIALIZED (
     return head + "," + ",".join(steps)
 
 
-def _core_number_sql(iters: int = 30) -> str:
+def _core_number_sql(iters: int = 64) -> str:
     """Unrolled Montresor h-index iteration — the exact mirror of the
     engine's ``core_number``: c0 = degree; c_{{t+1}}(v) = h-index of
     neighbors' c_t. Monotone non-increasing with fixpoint = core
-    number, so extra unrolled iterations (measured: 19 to fixpoint at
-    sf0.01) are idempotent."""
+    number, so extra unrolled iterations are idempotent. r5: the
+    sf0.1 gate caught the 30-iteration unroll UNCONVERGED at sf0.1
+    (19 rounds suffice at sf0.01, ~30+ needed at sf0.1 — the engine
+    matched the exact BZ kernel bit-for-bit; the ORACLE was the stale
+    side this time), so the unroll is now 64."""
     return (
         _core_chain(iters)
         + f"""
@@ -4382,7 +4385,7 @@ FROM part p LEFT JOIN c{iters} cn ON cn.id = p.p_partkey"""
     )
 
 
-def _kshell_sql(iters: int = 30) -> str:
+def _kshell_sql(iters: int = 64) -> str:
     """k_shell with default k = max core number: induced edges among
     nodes whose converged h-index estimate equals the global max —
     rides the same unrolled core chain."""
@@ -5563,11 +5566,14 @@ SELECT id, generation,
 FROM f"""
 
 
-def _ktruss_sql(k: int = 4, rounds: int = 4) -> str:
+def _ktruss_sql(k: int = 4, rounds: int = 10) -> str:
     """Unrolled k-truss peeling: per round enumerate triangles of the
     surviving edge set (a<b<c), scatter to the three edges, keep
-    support >= k-2. Idempotent at the fixpoint (measured: 2 rounds at
-    sf0.01), so extra rounds are harmless."""
+    support >= k-2. Idempotent at the fixpoint, so extra rounds are
+    harmless. r5: the sf0.1 gate caught the 4-round unroll UNDER-
+    peeled at sf0.1 (2 rounds suffice at sf0.01; the engine needs 7
+    removal rounds there and the 106-edge excess was the oracle's),
+    so the unroll is now 10."""
     head = f"WITH {_PAIRS_CTE}, t0 AS MATERIALIZED (SELECT src, dst FROM pairs)"
     steps = []
     for i in range(rounds):
@@ -6350,10 +6356,10 @@ SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value_r,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",
         "kcore_parts": _kcore_sql(k=3, rounds=8),
-        "core_number_parts": _core_number_sql(iters=30),
-        "core_number_parts_dist": _core_number_sql(iters=30),
+        "core_number_parts": _core_number_sql(iters=64),
+        "core_number_parts_dist": _core_number_sql(iters=64),
         "onion_orders": _onion_sql(rounds=24),
-        "kshell_parts": _kshell_sql(iters=30),
+        "kshell_parts": _kshell_sql(iters=64),
         "avg_degree_connectivity_parts": _avg_degree_connectivity_sql(),
         "attr_assortativity_orders": _attr_assortativity_sql(),
         "degree_centrality_orders": _degree_centrality_sql(),
@@ -6487,8 +6493,8 @@ UNION ALL SELECT id, CAST(2 AS BIGINT), lab FROM l2""",
         ),
         "doc_fingerprints": _doc_fingerprints_sql(),
         "closeness_orders": _closeness_sql(),
-        "ktruss_parts": _ktruss_sql(k=4, rounds=4),
-        "ktruss_parts_dist": _ktruss_sql(k=4, rounds=4),
+        "ktruss_parts": _ktruss_sql(k=4, rounds=10),
+        "ktruss_parts_dist": _ktruss_sql(k=4, rounds=10),
         "nation_quotient_orders": _nation_quotient_sql(),
         "part_projection": _part_projection_sql(),
         "condensation_orders": _condensation_sql(),
